@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction so Verify, Bench, and tests agree on
+  * the config that affects correctness and local performance.
+  */
+object Sessions {
+  def builder(cpus: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // testdata events.ts is parquet TIMESTAMP(NANOS); Spark 4 otherwise
+      // refuses the file (PARQUET_TYPE_ILLEGAL). Tables.events converts
+      // the long back to TimestampType.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

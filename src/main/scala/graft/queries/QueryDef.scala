@@ -1,0 +1,19 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One harness-facing declared query.
+  *
+  * @param name    stable key (drives `SparkEntry.queries` / `oracleSql`)
+  * @param oracle  equivalent ANSI SQL runnable by DuckDB over the same
+  *                parquet tables; None for ops DuckDB can't express
+  *                (those get the driver's weaker rows-only check).
+  * @param build   the Spark-side plan builder. MUST be deterministic
+  *                (stable ORDER BY, no uuid()/rand()) and column names
+  *                MUST match the oracle's exactly — the driver sorts
+  *                columns by name before hashing values.
+  */
+final case class QueryDef(
+    name: String,
+    oracle: Option[String])(
+    val build: (SparkSession, String) => DataFrame)

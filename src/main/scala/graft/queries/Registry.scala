@@ -1,0 +1,16 @@
+package graft.queries
+
+/** Central list of all declared queries. SparkEntry derives its `queries`
+  * and `oracleSql` maps from here so the two can never drift apart.
+  */
+object Registry {
+  lazy val all: Seq[QueryDef] =
+    Relational.all
+
+  lazy val byName: Map[String, QueryDef] = {
+    val names = all.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
+    all.map(q => q.name -> q).toMap
+  }
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+engine itself is pure Scala/Spark; this script just self-checks before
+the driver does).
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+    python3 tools/check.py <sfDir> <outDir>
+
+For each query result parquet in <outDir> compare against the oracle SQL
+in oracle_sql.json run through DuckDB on the same sf tables: sort columns
+by name, sort rows, compare values exactly (floats to 1e-9 reported).
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        got = canon(con.execute(
+            f"SELECT * FROM '{qdir}/*.parquet'").fetchdf())
+        if name not in oracle:
+            print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)")
+            if len(got) == 0:
+                print(f"    !! EMPTY RESULT")
+                failures += 1
+            continue
+        try:
+            want = canon(con.execute(oracle[name]).fetchdf())
+        except Exception as e:
+            print(f"!! {name:28s} ORACLE SQL ERROR: {str(e)[:200]}")
+            failures += 1
+            continue
+        ok = True
+        if list(got.columns) != list(want.columns):
+            print(f"!! {name:28s} SCHEMA: got {list(got.columns)} want {list(want.columns)}")
+            ok = False
+        elif len(got) != len(want):
+            print(f"!! {name:28s} ROWS: got {len(got)} want {len(want)}")
+            ok = False
+        else:
+            for c in got.columns:
+                g, w = got[c], want[c]
+                try:
+                    same = g.equals(w)
+                    if not same and g.dtype.kind == "f":
+                        import numpy as np
+                        same = bool(np.allclose(g.fillna(-9e99), w.fillna(-9e99),
+                                                rtol=0, atol=0, equal_nan=True))
+                        if not same:
+                            diff = (g - w).abs().max()
+                            print(f"!! {name:28s} COL {c}: max abs diff {diff}")
+                    if not same:
+                        if g.dtype != w.dtype:
+                            print(f"!! {name:28s} COL {c}: dtype got {g.dtype} want {w.dtype}")
+                        else:
+                            bad = (g.astype(str) != w.astype(str))
+                            i = bad.idxmax()
+                            print(f"!! {name:28s} COL {c}: first diff row {i}: got {g[i]!r} want {w[i]!r}")
+                        ok = False
+                except Exception as e:
+                    print(f"!! {name:28s} COL {c}: compare error {e}")
+                    ok = False
+        if ok:
+            print(f"OK {name:28s} rows={len(got):7d} cols={len(got.columns)}")
+        else:
+            failures += 1
+    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
