@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, TextSql => TS}
+import graft.sources.Tables._
+
+/** Text-analysis declared queries over the `documents` table (north-star
+  * extension: token counting, quality scoring, language-ID, rolling-hash
+  * fingerprinting, term frequency).
+  *
+  * All pure column expressions — at 100 TB each of these is a map-only
+  * scan (plus one shuffle for the aggregating ones); nothing here boxes
+  * rows through a UDF.
+  */
+object TextAnalysis {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── Token counting: whitespace tokens + BPE-ish subword units.
+    QueryDef(
+      "q30_token_stats",
+      Some(s"""
+        WITH t AS (SELECT doc_id, n_chars, ${TS.toksExpr("text")} AS toks FROM documents)
+        SELECT doc_id,
+               ${TS.tokenCountExpr("toks")} AS n_tokens,
+               ${TS.bpeCountExpr("toks")} AS n_bpe,
+               round(${TS.avgWordLenExpr("toks")}, 6) AS avg_word_len,
+               n_chars
+        FROM t ORDER BY doc_id"""))( (spark, dir) => {
+      val toks = TF.tokens(col("text"))
+      documents(spark, dir)
+        .select(col("doc_id"),
+          TF.tokenCount(toks).as("n_tokens"),
+          TF.bpeTokenCount(toks).as("n_bpe"),
+          round(TF.avgWordLen(toks), 6).as("avg_word_len"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Quality scoring: stopword/punct ratios + composite score.
+    QueryDef(
+      "q31_quality_score",
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, ${TS.toksExpr("text")} AS toks FROM documents)
+        SELECT doc_id,
+               round(${TS.stopwordRatioExpr("toks")}, 6) AS stopword_ratio,
+               round(${TS.punctRatioExpr("text")}, 6) AS punct_ratio,
+               round(${TS.qualityExpr("text", "toks")}, 6) AS quality
+        FROM t ORDER BY doc_id"""))( (spark, dir) => {
+      val toks = TF.tokens(col("text"))
+      documents(spark, dir)
+        .select(col("doc_id"),
+          round(TF.stopwordRatio(toks), 6).as("stopword_ratio"),
+          round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TF.qualityScore(col("text"), toks), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Language-ID heuristic vs the labeled lang column (confusion
+    // counts). The marker-word argmax is the deterministic stand-in for a
+    // char-n-gram model; the aggregation shape is what matters at scale.
+    QueryDef(
+      "q32_langid",
+      Some(s"""
+        WITH t AS (SELECT lang, ${TS.toksExpr("text")} AS toks FROM documents)
+        SELECT lang AS labeled, ${TS.langIdExpr("toks")} AS detected, count(*) AS n
+        FROM t GROUP BY 1, 2 ORDER BY labeled, detected"""))( (spark, dir) => {
+      val toks = TF.tokens(col("text"))
+      documents(spark, dir)
+        .select(col("lang").as("labeled"), TF.langId(toks).as("detected"))
+        .groupBy(col("labeled"), col("detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("labeled"), col("detected"))
+    }),
+
+    // ── Rolling-hash document fingerprint + exact-dup detection by
+    // fingerprint (count per fingerprint value).
+    QueryDef(
+      "q33_fingerprint",
+      Some(s"""
+        SELECT doc_id, ${TS.fingerprintExpr("text")} AS fp
+        FROM documents ORDER BY doc_id"""))( (spark, dir) =>
+      documents(spark, dir)
+        .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    ),
+
+    // ── Term frequency: explode tokens → global top terms. The classic
+    // wordcount shuffle; map-side partial agg keeps it one exchange.
+    QueryDef(
+      "q34_term_freq",
+      Some(s"""
+        WITH t AS (SELECT unnest(${TS.toksExpr("text")}) AS term FROM documents)
+        SELECT term, count(*) AS n FROM t
+        GROUP BY term ORDER BY n DESC, term LIMIT 30"""))( (spark, dir) => {
+      documents(spark, dir)
+        .select(explode(TF.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(30)
+    }),
+
+    // ── TF-IDF: per-document top term by tf·idf weight — two-pass agg
+    // (doc-frequency broadcast back onto the term explosion).
+    QueryDef(
+      "q35_tfidf_top",
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(${TS.toksExpr("text")}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+        scored AS (
+          SELECT doc_id, term,
+                 round(tf * ln(n_docs / df), 6) AS w,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY round(tf * ln(n_docs / df), 6) DESC, term) AS rn
+          FROM tf JOIN df USING (term) CROSS JOIN nd)
+        SELECT doc_id, term AS top_term, w
+        FROM scored WHERE rn = 1 ORDER BY doc_id"""))( (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = documents(spark, dir)
+        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("w").desc, col("term"))
+      tf.join(broadcast(df), "term")
+        .join(broadcast(nDocs))
+        .withColumn("w", round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("w"))
+        .orderBy(col("doc_id"))
+    })
+  )
+}
