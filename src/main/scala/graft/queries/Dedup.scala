@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{DedupFunctions => DF, DedupSql => DS, TextFunctions => TF, TextSql => TS}
+import graft.sources.Tables._
+
+/** Deduplication suite over `documents` (north-star extension): exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash. The testdata plants ~25
+  * near-duplicate pairs (3-gram Jaccard ≥ 0.90, next pair 0.07), so a
+  * 0.5 threshold / hamming ≤ 6 is far from any boundary and the result
+  * sets are stable under float rounding.
+  */
+object Dedup {
+
+  /** Shared shingle-set relation: (doc_id, shingles, hs). */
+  private val shinglesSqlCte = s"""
+    WITH toks AS (SELECT doc_id, text, ${TS.toksExpr("text")} AS toks FROM documents),
+    sh AS (SELECT doc_id, ${TS.shinglesExpr("toks", 3)} AS shingles FROM toks),
+    h AS (SELECT doc_id, shingles,
+                 list_transform(shingles, s -> ${TS.stringHashExpr("s")}) AS hs
+          FROM sh)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── Exact dedup: a simulated re-crawl (the corpus unioned with an
+    // id-shifted copy of itself) reduced back to one row per distinct
+    // text. Hash-groupBy on md5 — one shuffle keyed by digest; at 100 TB
+    // group keys are 16-byte digests, never the document bodies.
+    QueryDef(
+      "q40_dedup_exact",
+      Some("""
+        WITH crawl AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text FROM documents
+        )
+        SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM crawl GROUP BY 1 ORDER BY keep_id"""))( (spark, dir) => {
+      val d = documents(spark, dir).select(col("doc_id"), col("text"))
+      val crawl = d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      crawl.groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // ── n-gram Jaccard near-dup pairs: O(n²) within the corpus — the
+    // brute-force baseline the LSH variant (q42) must agree with above
+    // the threshold. At 100 TB this shape only survives per-bucket
+    // (which is exactly what q42 does); declared here as the oracle of
+    // record for the planted near-dups.
+    QueryDef(
+      "q41_ngram_jaccard",
+      Some(s"""
+        $shinglesSqlCte
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(${DS.jaccardExpr("a.shingles", "b.shingles")}, 6) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
+        ORDER BY a_id, b_id"""))( (spark, dir) => {
+      val sh = documents(spark, dir)
+        .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+      a.join(b, col("a_id") < col("b_id"))
+        .filter(DF.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
+        .select(col("a_id"), col("b_id"),
+          round(DF.jaccard(col("a_sh"), col("b_sh")), 6).as("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── MinHash + LSH: shingle→minhash→band→bucket-join→verify. The
+    // scale path: candidate generation shuffles only (band, key) pairs;
+    // exact Jaccard runs on candidates only. Oracle mirrors the entire
+    // pipeline (same hash family) so recall behavior is itself verified.
+    QueryDef(
+      "q42_minhash_lsh",
+      Some(s"""
+        $shinglesSqlCte,
+        sig AS (SELECT doc_id, shingles, ${DS.minhashSigExpr("hs")} AS sig FROM h),
+        bands AS (
+          SELECT doc_id, shingles, u.bk.band AS band, u.bk.key AS key
+          FROM sig, (SELECT unnest(${DS.bandKeysExpr("sig")}) AS bk) u),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT c.a_id, c.b_id,
+                 round(${DS.jaccardExpr("sa.shingles", "sb.shingles")}, 6) AS jac
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.a_id
+          JOIN sh sb ON sb.doc_id = c.b_id)
+        SELECT a_id, b_id, jac FROM verified
+        WHERE jac >= 0.5 ORDER BY a_id, b_id"""))( (spark, dir) => {
+      val sh = documents(spark, dir)
+        .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
+      val sig = sh.select(col("doc_id"),
+        DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
+      val bands = sig
+        .select(col("doc_id"), explode(DF.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+        .withColumn("jac", round(DF.jaccard(col("a_sh"), col("b_sh")), 6))
+        .filter(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── SimHash near-dup pairs: 48-bit signature per doc (one long), all
+    // pairs within hamming ≤ 6. The signature computation is a per-doc
+    // kernel; the pair search here is brute force (500 docs) — at scale
+    // it becomes a band join on signature chunks, same as q42.
+    QueryDef(
+      "q43_simhash",
+      Some(s"""
+        $shinglesSqlCte,
+        s AS (SELECT doc_id, ${DS.simhash48Expr("hs")} AS sh48 FROM h)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               ${DS.hammingExpr("a.sh48", "b.sh48")} AS ham
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE ${DS.hammingExpr("a.sh48", "b.sh48")} <= 6
+        ORDER BY a_id, b_id"""))( (spark, dir) => {
+      val s = documents(spark, dir)
+        .select(col("doc_id"),
+          DF.simhash48(TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 3))).as("sh48"))
+      val a = s.select(col("doc_id").as("a_id"), col("sh48").as("a_sh"))
+      val b = s.select(col("doc_id").as("b_id"), col("sh48").as("b_sh"))
+      a.join(b, col("a_id") < col("b_id"))
+        .filter(DF.hamming(col("a_sh"), col("b_sh")) <= 6)
+        .select(col("a_id"), col("b_id"),
+          DF.hamming(col("a_sh"), col("b_sh")).as("ham"))
+        .orderBy(col("a_id"), col("b_id"))
+    })
+  )
+}
