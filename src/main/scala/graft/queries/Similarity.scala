@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF, VectorSql => VS}
+import graft.sources.Tables._
+
+/** Similarity-search suite over `embeddings` (north-star extension):
+  * brute-force cosine KNN as the correctness baseline, an IVF-style
+  * cell-pruned variant as the scale path, embedding-cosine near-dup
+  * pairs, and per-label centroid analytics.
+  *
+  * Query set = vec_id < 5 throughout (small, broadcastable — the shape a
+  * real ANN-serving job has: tiny query batch vs huge corpus).
+  */
+object Similarity {
+
+  /** DuckDB normalized-corpus CTE: (vec_id, label, v DOUBLE[], nrm). */
+  private val corpusCte = s"""
+    WITH n AS (SELECT vec_id, label, embedding AS v, ${VS.normExpr("embedding")} AS nrm
+               FROM embeddings)"""
+
+  private def cosNN(a: String, b: String) =
+    s"(${VS.dotExpr(a + ".v", b + ".v")} / ($a.nrm * $b.nrm))"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── Brute-force cosine top-k: every query scores the whole corpus.
+    // Spark shape: broadcast the query batch, map-side cosine over the
+    // corpus scan, shuffle only (q_id, neighbor, cos) for the per-query
+    // top-k window — the embedding arrays never shuffle. At 100 TB this
+    // is the exact/recall-1.0 baseline; q51 is the pruned path.
+    QueryDef(
+      "q50_knn_brute",
+      Some(s"""
+        $corpusCte
+        SELECT q_id, neighbor_id, rnk, cos FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${cosNN("q", "c")} DESC, c.vec_id) AS rnk,
+                 round(${cosNN("q", "c")}, 6) AS cos
+          FROM n q JOIN n c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rnk <= 10 ORDER BY q_id, rnk"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("q_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), round(col("c"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ── IVF-style pruned KNN: anchors (every 50th vector) partition the
+    // corpus into nearest-anchor cells; a query scores only its own cell
+    // (nprobe=1). The cell assignment is a broadcast-argmax map pass, so
+    // at scale the corpus can be written bucketed-by-cell and each query
+    // reads ~1/n_cells of the data. Recall < 1 by design — the oracle
+    // mirrors the same pipeline, so the tradeoff itself is verified.
+    QueryDef(
+      "q51_ivf_knn",
+      Some(s"""
+        $corpusCte,
+        anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n WHERE vec_id % 50 = 0),
+        cells AS (
+          SELECT vec_id, label, v, nrm, a_id AS cell FROM (
+            SELECT c.*, a.a_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY (${VS.dotExpr("c.v", "a.av")} / (c.nrm * a.anrm)) DESC, a.a_id) AS arnk
+            FROM n c, anchors a)
+          WHERE arnk = 1)
+        SELECT q_id, neighbor_id, rnk, cos FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${cosNN("q", "c")} DESC, c.vec_id) AS rnk,
+                 round(${cosNN("q", "c")}, 6) AS cos
+          FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val anchors = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("anrm"))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy((VF.dot(col("embedding"), col("av")) / (col("nrm") * col("anrm"))).desc,
+          col("a_id"))
+      val cells = e.crossJoin(broadcast(anchors))
+        .withColumn("arnk", row_number().over(aw))
+        .filter(col("arnk") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("a_id").as("cell"))
+      val q = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      val scored = cells.join(broadcast(q),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"), round(col("c"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ── Embedding-cosine near-dup pairs (completes the dedup family):
+    // all pairs with cosine ≥ 0.45 (testdata max is ~0.513, next-below-
+    // threshold ~0.449 — margin >1e-3 against the bitwise-matched fold).
+    // Brute force here; the scale path is q51's cell join or a
+    // sign-random-projection band join (q43's shape on vectors).
+    QueryDef(
+      "q44_embedding_neardup",
+      Some(s"""
+        $corpusCte
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(${cosNN("a", "b")}, 6) AS cos
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE ${cosNN("a", "b")} >= 0.45
+        ORDER BY a_id, b_id"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("bn"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("c", VF.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+        .filter(col("c") >= 0.45)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // ── Per-label centroid + intra-cluster cohesion: element-wise mean
+    // vector per label (posexplode → groupBy(label, dim) → re-pack), then
+    // the average cosine of members to their own centroid. The dim-wise
+    // partial-agg shape is the scalable way to average vectors (no
+    // collect, map-side combine on (label, dim)).
+    QueryDef(
+      "q52_label_centroid",
+      Some(s"""
+        WITH x AS (
+          SELECT label, u.i AS dim, u.x AS x
+          FROM embeddings,
+               (SELECT unnest(generate_series(1, len(embedding))) AS i,
+                       unnest(list_transform(embedding, e -> e::DOUBLE)) AS x) u),
+        cent AS (
+          SELECT label, list(a ORDER BY dim) AS cv
+          FROM (SELECT label, dim, avg(x) AS a FROM x GROUP BY 1, 2)
+          GROUP BY label)
+        SELECT e.label,
+               count(*) AS n,
+               round(avg(${VS.dotExpr("e.embedding", "c.cv")} /
+                         (${VS.normExpr("e.embedding")} * ${VS.normExpr("c.cv")})), 6) AS avg_cos
+        FROM embeddings e JOIN cent c ON e.label = c.label
+        GROUP BY e.label ORDER BY e.label"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim")).agg(avg(col("x").cast("double")).as("a"))
+        .groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("a")))),
+          s => s.getField("a")).as("cv"))
+      e.join(broadcast(cent), "label")
+        .withColumn("c", VF.cosine(col("embedding"), col("cv")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c")), 6).as("avg_cos"))
+        .orderBy(col("label"))
+    })
+  )
+}
