@@ -1,0 +1,182 @@
+package graft.geo
+
+/** Seam-aware cylindrical bounding box on an equirectangular 360° panorama.
+  *
+  * Pure-Scala port of the reference semantics (SURVEY.md §2 M11):
+  * heritage-guard/heritage_guard/entities/bbox.py:4-109. A bbox whose raw
+  * x-span exceeds 95% of the image width is interpreted as crossing the
+  * horizontal seam, so its x coordinates are swapped on construction
+  * (bbox.py:16-20). Width/area/center are computed mod image width
+  * (bbox.py:31-60); the θ overlap handles wraparound by a +360 adjust
+  * (bbox.py:72-96).
+  *
+  * Units quirk preserved from the reference: IoU's intersection is
+  * θ-overlap (degrees) × y-overlap (pixels) while areas use pixel widths —
+  * consistent because union is built from the same product (bbox.py:98-109).
+  *
+  * Zero Spark dependencies — usable inside `flatMapGroups` kernels, plain
+  * UDFs, and unit tests without a session.
+  */
+final case class BBox(
+    xMin: Double,
+    yMin: Double,
+    xMax: Double,
+    yMax: Double,
+    score: Double,
+    objectClass: Int,
+    imageWidth: Double,
+    imageHeight: Double) {
+
+  /** θ range in degrees (bbox.py:23-28). */
+  val thetaMin: Double = xMin / imageWidth * 360.0
+  val thetaMax: Double = xMax / imageWidth * 360.0
+
+  /** Python-style modulo (sign of divisor) — bbox.py:31-33. */
+  def width: Double = BBox.pmod(xMax - xMin, imageWidth)
+  def height: Double = yMax - yMin
+  def area: Double = width * height
+
+  def crossesSeam: Boolean = xMax < xMin
+
+  /** Center wrapped back into the image (bbox.py:46-60). */
+  def center: (Double, Double) = {
+    val adjustedXMin = if (crossesSeam) xMin - imageWidth else xMin
+    val cx = BBox.pmod((adjustedXMin + xMax) / 2.0, imageWidth)
+    (math.rint(cx), yMin + height / 2.0)
+  }
+
+  /** Seam-aware IoU against another box (bbox.py:98-109). */
+  def iou(other: BBox): Double = {
+    val thetaOverlap = BBox.thetaOverlap(thetaMin, thetaMax, other.thetaMin, other.thetaMax)
+    val yOverlap = BBox.overlap(yMin, yMax, other.yMin, other.yMax)
+    val intersection = thetaOverlap * yOverlap
+    val union = area + other.area - intersection
+    if (union == 0.0) 0.0 else intersection / union
+  }
+}
+
+object BBox {
+
+  /** Python-style modulo: result carries the sign of the divisor. */
+  def pmod(a: Double, m: Double): Double = { val r = a % m; if (r != 0 && (r < 0) != (m < 0)) r + m else r }
+
+  /** Construct from a raw `[x1, y1, x2, y2]` detection, applying the
+    * seam-crossing swap when the raw span exceeds 95% of the image width
+    * (bbox.py:15-20).
+    */
+  def apply(
+      bbox: (Double, Double, Double, Double),
+      score: Double = 0.0,
+      objectClass: Int = 0,
+      imageWidth: Double = 8000,
+      imageHeight: Double = 4000): BBox = {
+    val (x1, y1, x2, y2) = bbox
+    val span = x2 - x1
+    if (span > imageWidth * 0.95)
+      new BBox(x2, y1, x1, y2, score, objectClass, imageWidth, imageHeight)
+    else
+      new BBox(x1, y1, x2, y2, score, objectClass, imageWidth, imageHeight)
+  }
+
+  /** 1-D interval overlap (bbox.py:68-69). */
+  def overlap(min1: Double, max1: Double, min2: Double, max2: Double): Double =
+    math.max(0.0, math.min(max1, max2) - math.max(min1, min2))
+
+  /** θ-range overlap in degrees with seam wraparound (bbox.py:72-96):
+    * normalize all angles mod 360; a range whose max < min crosses the
+    * seam and gets +360 on its max; overlap is then capped at 360.
+    */
+  def thetaOverlap(tMin1: Double, tMax1: Double, tMin2: Double, tMax2: Double): Double = {
+    val (n1, x1) = (pmod(tMin1, 360.0), pmod(tMax1, 360.0))
+    val (n2, x2) = (pmod(tMin2, 360.0), pmod(tMax2, 360.0))
+    val crosses1 = x1 < n1
+    val crosses2 = x2 < n2
+    if (!crosses1 && !crosses2) overlap(n1, x1, n2, x2)
+    else {
+      val ax1 = if (crosses1) x1 + 360.0 else x1
+      val ax2 = if (crosses2) x2 + 360.0 else x2
+      math.min(overlap(n1, ax1, n2, ax2), 360.0)
+    }
+  }
+
+  /** Horizontal seam shift `(x + shift) % W` (SURVEY §2 M12;
+    * heritage-guard/heritage_guard/entities/panorama_photo.py:95-97).
+    */
+  def shiftSeam(x: Double, shift: Double, imageWidth: Double): Double =
+    pmod(x + shift, imageWidth)
+}
+
+/** Greedy seed-first IoU grouping — port of
+  * heritage-guard/heritage_guard/entities/bbox_grouping.py:14-53
+  * (SURVEY.md §2 A5).
+  *
+  * NOT transitive-closure connected components: the reference's loop is
+  * order-dependent (a box absorbed later does not trigger a re-scan of
+  * earlier indices), so groups depend on input order. Ported verbatim:
+  *   1. every box with no positive-IoU neighbor becomes a singleton group;
+  *   2. for each still-ungrouped seed i in index order, scan j in index
+  *      order once, absorbing j when IoU(k, j) ≥ threshold for any current
+  *      member k.
+  *
+  * Runs partition-locally inside `flatMapGroups` over one panorama's
+  * detections — the O(n²) matrix is per-group (tens of boxes), never
+  * global, so this scales with the number of panoramas, not detections².
+  */
+object BBoxGrouping {
+
+  /** @return groups as lists of input indices, in reference emit order. */
+  def group(bboxes: IndexedSeq[BBox], iouThreshold: Double): Vector[Vector[Int]] = {
+    val n = bboxes.length
+    val sim = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (i != j) sim(i)(j) = bboxes(i).iou(bboxes(j))
+        j += 1
+      }
+      i += 1
+    }
+
+    val grouped = Array.fill(n)(false)
+    val groups = Vector.newBuilder[Vector[Int]]
+
+    // Standalone boxes first (bbox_grouping.py:34-37): note the strict
+    // `> 0` test — ANY positive overlap disqualifies, not the threshold.
+    i = 0
+    while (i < n) {
+      if (!(0 until n).exists(j => j != i && sim(i)(j) > 0)) {
+        groups += Vector(i)
+        grouped(i) = true
+      }
+      i += 1
+    }
+
+    // Greedy absorption (bbox_grouping.py:39-52).
+    i = 0
+    while (i < n) {
+      if (!grouped(i)) {
+        val current = scala.collection.mutable.ArrayBuffer(i)
+        grouped(i) = true
+        var j = 0
+        while (j < n) {
+          if (!grouped(j) && current.exists(k => sim(k)(j) >= iouThreshold)) {
+            current += j
+            grouped(j) = true
+          }
+          j += 1
+        }
+        groups += current.toVector
+      }
+      i += 1
+    }
+    groups.result()
+  }
+
+  /** Flat index→group map, the shape the pipeline joins back
+    * (street_level_grouping.py:118-124).
+    */
+  def groupIndex(bboxes: IndexedSeq[BBox], iouThreshold: Double): Map[Int, Int] =
+    group(bboxes, iouThreshold).zipWithIndex
+      .flatMap { case (members, gid) => members.map(_ -> gid) }.toMap
+}
