@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic detection/pose/mesh-cell derivations from the driver
+  * testdata — the domain pipeline's harness inputs. The testdata has no
+  * panorama JSONs, so the domain queries derive reference-shaped rows
+  * from lineitem/part with pure column arithmetic (no randomness, no
+  * UDFs): every value is a closed-form function of the table keys, so
+  * the DuckDB oracle can mirror the derivation where the downstream
+  * operator is SQL-expressible, and sf scaling carries over (600k
+  * detections at sf0.1 — a real grouping workload).
+  */
+object Synthetic {
+
+  val W = 8000.0
+  val H = 4000.0
+
+  /** One detection per lineitem row, grouped into panoramas of ~150
+    * detections each (38 consecutive orderkeys ≈ 150 lineitems): panorama
+    * COUNT scales with sf while detections-per-panorama stays constant,
+    * so the per-group O(n²) grouping kernel is bounded regardless of
+    * scale — the same shape a real corpus has (more photos, not denser
+    * ones). Three deliberate box shapes: normal, wrapped (x2 < x1 after
+    * mod — already-swapped seam style), and >95%-span (triggers the
+    * constructor swap, bbox.py:16-20). Scores in [0,1) with a
+    * deterministic tie structure.
+    */
+  def detections(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val fileId = floor(col("l_orderkey") / 38).cast("long")
+    val giant = col("l_quantity") > 45 // ~10% of rows: >95%-span boxes
+    // Lineitems of one order are jittered copies of an order-keyed base
+    // box, so each order forms a near-duplicate cluster (1-7 boxes) —
+    // detections of the same physical object across overlapping views.
+    val jx = (col("l_linenumber") - 1) * 23.0 + pmod(col("l_partkey") * 3.0, lit(40.0))
+    val jy = (col("l_linenumber") - 1) * 17.0 + pmod(col("l_suppkey") * 5.0, lit(30.0))
+    val x1n = pmod(col("l_orderkey") * 131.0, lit(7600.0)) + jx
+    val x2n = x1n + 150.0 + pmod(col("l_orderkey") * 61.0, lit(350.0))
+    val x1 = when(giant, pmod(col("l_orderkey") * 7.0, lit(100.0)) + jx).otherwise(x1n)
+    val x2 = when(giant, x1 + 7700.0).otherwise(pmod(x2n, lit(W)))
+    val y1 = pmod(col("l_orderkey") * 17.0, lit(3400.0)) + jy
+    val y2 = y1 + 120.0 + pmod(col("l_orderkey") * 37.0, lit(250.0))
+    li.select(
+      concat(lit("pano_"), lpad(fileId.cast("string"), 6, "0"), lit(".jpg")).as("file_name"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("det_idx"),
+      x1.as("x1"), y1.as("y1"), x2.as("x2"), y2.as("y2"),
+      round(pmod(col("l_extendedprice"), lit(997.0)) / 997.0, 6).as("score"),
+      element_at(
+        array(lit(1), lit(2), lit(3), lit(4), lit(7), lit(8), lit(9), lit(10)),
+        (pmod(col("l_partkey"), lit(8)) + 1).cast("int")).as("class"))
+  }
+
+  /** DuckDB mirror of [[detections]] as a CTE body (same ops, same float
+    * order) so downstream SQL-expressible queries keep full oracles.
+    */
+  def detectionsSql: String = {
+    def pm(e: String, m: String) =
+      s"(CASE WHEN (($e) % $m) < 0 THEN (($e) % $m) + $m ELSE (($e) % $m) END)"
+    val jx = s"((l_linenumber - 1) * 23.0 + ${pm("l_partkey * 3.0", "40.0")})"
+    val jy = s"((l_linenumber - 1) * 17.0 + ${pm("l_suppkey * 5.0", "30.0")})"
+    val x1n = s"(${pm("l_orderkey * 131.0", "7600.0")} + $jx)"
+    val x2n = s"($x1n + 150.0 + ${pm("l_orderkey * 61.0", "350.0")})"
+    val x1g = s"(${pm("l_orderkey * 7.0", "100.0")} + $jx)"
+    s"""SELECT
+         'pano_' || lpad(floor(l_orderkey / 38)::BIGINT::VARCHAR, 6, '0') || '.jpg' AS file_name,
+         (l_orderkey * 10 + l_linenumber)::BIGINT AS det_idx,
+         CASE WHEN l_quantity > 45 THEN $x1g ELSE $x1n END AS x1,
+         ${pm("l_orderkey * 17.0", "3400.0")} + $jy AS y1,
+         CASE WHEN l_quantity > 45 THEN (CASE WHEN l_quantity > 45 THEN $x1g ELSE $x1n END) + 7700.0
+              ELSE ${pm(x2n, "8000.0")} END AS x2,
+         (${pm("l_orderkey * 17.0", "3400.0")} + $jy) + 120.0 + ${pm("l_orderkey * 37.0", "250.0")} AS y2,
+         round(${pm("l_extendedprice", "997.0")} / 997.0, 6) AS score,
+         ([1,2,3,4,7,8,9,10])[(${pm("l_partkey", "8")} + 1)::INT] AS class
+       FROM lineitem"""
+  }
+
+  /** One pose row per panorama, FIXTURES.md B3-shaped, key-derived from
+    * the panorama id — covers exactly the panoramas [[detections]] emits
+    * at any sf (distinct-on-derived-key, a small dimension next to the
+    * detection fact table; broadcast at join time).
+    */
+  def poses(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = Tables.lineitem(spark, sfDir)
+      .select(floor(col("l_orderkey") / 38).cast("long").as("id")).distinct()
+    ids.select(
+      concat(lit("pano_"), lpad(col("id").cast("string"), 6, "0"), lit(".jpg")).as("file_name"),
+      (pmod(col("id") * 13.0, lit(7.0)) - 3.0).as("roll"),
+      (pmod(col("id") * 11.0, lit(5.0)) - 2.0).as("pitch"),
+      pmod(col("id") * 37.0, lit(360.0)).as("heading"),
+      (col("id") * 3.5).as("ox"),
+      (col("id") * -2.0).as("oy"),
+      (col("id") + 50.0).as("oz"))
+  }
+
+  /** Mesh-cell features for the wall-plane pipeline (MeshWallExtractror
+    * shape): one cell per part row, normals in 4 azimuth families with
+    * key-derived jitter, centroids clustered by family — so DBSCAN has
+    * real structure to find.
+    */
+  def meshCells(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    val family = pmod(col("p_partkey"), lit(4))
+    val jitter = (pmod(col("p_partkey") * 13.0, lit(100.0)) / 100.0 - 0.5) * 4.0
+    val angleDeg = family * 90.0 + jitter
+    val vertical = pmod(col("p_partkey") * 29.0, lit(100.0)) < 12.0 // ~12% roof-ish cells
+    val angleRad = radians(angleDeg)
+    p.select(
+      col("p_partkey").as("cell_id"),
+      (cos(angleRad) * when(vertical, 0.3).otherwise(1.0)).as("nx"),
+      (sin(angleRad) * when(vertical, 0.3).otherwise(1.0)).as("ny"),
+      when(vertical, 0.95).otherwise(pmod(col("p_partkey") * 3.0, lit(100.0)) / 1000.0).as("nz"),
+      (family * 50.0 + pmod(col("p_partkey") * 7.0, lit(200.0)) / 100.0).as("cx"),
+      (family * -30.0 + pmod(col("p_partkey") * 11.0, lit(150.0)) / 100.0).as("cy"),
+      (pmod(col("p_partkey") * 5.0, lit(300.0)) / 10.0).as("cz"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoFunctions, GeoSql}
+import graft.pipeline.{Detection, StreetLevel, Synthetic, WallPlanes}
+
+/** Domain-parity suite (SURVEY.md §7 phase 3): the reference's street-level
+  * pipeline operators run against detections derived deterministically from
+  * the harness tables. SQL-expressible stages carry full DuckDB oracles;
+  * the order-dependent greedy grouping, the trig-heavy ray cast, and DBSCAN
+  * are rows-only here (libm ulp drift would poison a float hash) and are
+  * instead pinned by the golden specs, which execute the reference's own
+  * Python against the Scala port.
+  */
+object Domain {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── The synthetic detection derivation itself, fully oracled — if
+    // this drifts, every downstream domain query is suspect.
+    QueryDef(
+      "q85_synthetic_detections",
+      Some(s"""
+        SELECT file_name, det_idx, x1, y1, x2, y2, score, class
+        FROM (${Synthetic.detectionsSql})
+        ORDER BY det_idx"""))((spark, dir) =>
+      Synthetic.detections(spark, dir).orderBy(col("det_idx"))),
+
+    // ── U1 as a codegen'd column expression on the J4 self-join shape:
+    // all pairs within a panorama with seam-aware cylindrical IoU over
+    // the pair threshold. The join key (file_name) bounds the O(n²) to
+    // one panorama — the 100 TB plan shuffles by file_name once and
+    // never crosses panoramas.
+    QueryDef(
+      "q81_iou_pairs",
+      Some(s"""
+        WITH det AS (${Synthetic.detectionsSql})
+        SELECT a.file_name AS file_name, a.det_idx AS a_idx, b.det_idx AS b_idx,
+               round(${GeoSql.cylindricalIouExpr("a", "b", 8000.0)}, 9) AS iou
+        FROM det a JOIN det b
+          ON a.file_name = b.file_name AND a.det_idx < b.det_idx
+        WHERE ${GeoSql.cylindricalIouExpr("a", "b", 8000.0)} >= 0.02
+        ORDER BY file_name, a_idx, b_idx"""))( (spark, dir) => {
+      val det = Synthetic.detections(spark, dir)
+      val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
+        col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
+      val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
+        col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
+      val iou = GeoFunctions.cylindricalIou(
+        col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+        col("bx1"), col("by1"), col("bx2"), col("by2"),
+        lit(8000.0), lit(4000.0))
+      a.join(b, col("file_name") === col("fn_b") && col("a_idx") < col("b_idx"))
+        .withColumn("iou_raw", iou)
+        .filter(col("iou_raw") >= 0.02)
+        .select(col("file_name"), col("a_idx"), col("b_idx"),
+          round(col("iou_raw"), 9).as("iou"))
+        .orderBy(col("file_name"), col("a_idx"), col("b_idx"))
+    }),
+
+    // ── A5/U6: the order-dependent greedy grouping inside flatMapGroups.
+    // Not SQL-expressible (rows-only check); semantics pinned by
+    // BBoxSpec's golden fixtures. group_size histogram keeps the output
+    // small and order-insensitive while still covering the kernel.
+    QueryDef("q80_grouped_detections", None)( (spark, dir) => {
+      import spark.implicits._
+      val det = Synthetic.detections(spark, dir)
+        .withColumnRenamed("class", "cls").as[Detection]
+      StreetLevel.groupedDetections(det, iouThreshold = 0.01)
+        .groupBy(col("file_name"), col("group_idx"))
+        .agg(count(lit(1)).as("group_size"), max(col("score")).as("best_score"))
+        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("group_size"))
+    }),
+
+    // ── A4+J1+M10+U2: best-per-group → broadcast pose join → stride
+    // subsample → pixel-to-3D ray. Rows-only (libm trig drift).
+    QueryDef("q82_best_rays", None)( (spark, dir) => {
+      import spark.implicits._
+      val det = Synthetic.detections(spark, dir)
+        .withColumnRenamed("class", "cls").as[Detection]
+      val grouped = StreetLevel.groupedDetections(det, 0.01).toDF()
+      StreetLevel.vertexRays(grouped, Synthetic.poses(spark, dir), spacing = 2)
+        .select(col("file_name"), col("group_idx"), col("v_idx"),
+          round(col("rx"), 6).as("rx"), round(col("ry"), 6).as("ry"),
+          round(col("rz"), 6).as("rz"))
+        .orderBy(col("file_name"), col("group_idx"), col("v_idx"))
+    }),
+
+    // ── F6/M17/M18/A7/A8/A11: wall planes — vertical filter, azimuth,
+    // weighting, z-norm, DBSCAN, per-cluster aggregates. Rows-only
+    // (DBSCAN); kernel pinned by DbscanSpec.
+    QueryDef("q83_wall_planes", None)( (spark, dir) =>
+      WallPlanes.wallPlanes(Synthetic.meshCells(spark, dir))
+        .select(col("cluster"), col("n"),
+          round(col("avg_nx"), 6).as("avg_nx"), round(col("avg_ny"), 6).as("avg_ny"),
+          round(col("avg_cx"), 6).as("avg_cx"), round(col("avg_cy"), 6).as("avg_cy"),
+          round(col("min_x"), 6).as("min_x"), round(col("max_x"), 6).as("max_x"))),
+
+    // ── P3/U5: GeoJSON-style ring → WKT. Integer-snapped coords so the
+    // oracle can build the identical string with SQL concat.
+    QueryDef(
+      "q84_wkt_polygons",
+      Some(s"""
+        WITH det AS (${Synthetic.detectionsSql}),
+        snapped AS (
+          SELECT det_idx, floor(x1)::BIGINT AS ix1, floor(y1)::BIGINT AS iy1,
+                 floor(x2)::BIGINT AS ix2, floor(y2)::BIGINT AS iy2
+          FROM det WHERE score >= 0.05)
+        SELECT det_idx,
+               CASE WHEN ix2 <= ix1 THEN 'POLYGON EMPTY'
+                    ELSE 'POLYGON ((' || ix1 || ' ' || iy1 || ', ' || ix2 || ' ' || iy1 || ', ' ||
+                         ix2 || ' ' || iy2 || ', ' || ix1 || ' ' || iy2 || ', ' ||
+                         ix1 || ' ' || iy1 || '))' END AS wkt
+        FROM snapped ORDER BY det_idx"""))( (spark, dir) => {
+      val wktUdf = udf { (x1: Long, y1: Long, x2: Long, y2: Long) =>
+        if (x2 <= x1) graft.geo.Wkt.empty
+        else graft.geo.Wkt.polygon(Seq(
+          (x1.toDouble, y1.toDouble), (x2.toDouble, y1.toDouble),
+          (x2.toDouble, y2.toDouble), (x1.toDouble, y2.toDouble)))
+      }
+      Synthetic.detections(spark, dir)
+        .filter(col("score") >= 0.05)
+        .select(col("det_idx"),
+          floor(col("x1")).as("ix1"), floor(col("y1")).as("iy1"),
+          floor(col("x2")).as("ix2"), floor(col("y2")).as("iy2"))
+        .select(col("det_idx"), wktUdf(col("ix1"), col("iy1"), col("ix2"), col("iy2")).as("wkt"))
+        .orderBy(col("det_idx"))
+    })
+  )
+}
