@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   lazy val all: Seq[QueryDef] =
-    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Domain.all
+    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+      Domain.all ++ Streaming.all
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.events
+import graft.streaming.EventStreams
+
+/** Streaming-analogue suite (SURVEY.md §2.11, §7 phase 4): the identical
+  * transform functions run here in batch over the events table so DuckDB
+  * can verify the aggregation logic; EventStreamsSpec replays them through
+  * MemoryStream with watermarks and asserts convergence to these answers.
+  */
+object Streaming {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── Tumbling event-time windows (6 h) per event_type.
+    QueryDef(
+      "q60_tumbling_window",
+      Some("""
+        SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 6) AS total
+        FROM events
+        GROUP BY 1, 2 ORDER BY window_start, event_type"""))( (spark, dir) =>
+      EventStreams.tumbling(events(spark, dir))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ── Sliding windows (12 h window, 3 h slide): each event in 4
+    // overlapping buckets; oracle unrolls the slide offsets.
+    QueryDef(
+      "q61_sliding_window",
+      Some("""
+        SELECT strftime(time_bucket(INTERVAL '3 hours', ts) - k * INTERVAL '3 hours',
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n
+        FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+        GROUP BY 1, 2 ORDER BY window_start, event_type"""))( (spark, dir) =>
+      EventStreams.sliding(events(spark, dir))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ── Merging session windows per user, 6 h inactivity gap; oracle is
+    // the classic gaps-and-islands rewrite.
+    QueryDef(
+      "q62_session_window",
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               count(*) AS n_events, round(sum(value), 6) AS total
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start"""))( (spark, dir) =>
+      EventStreams.sessions(events(spark, dir))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // ── Streaming-dedup analogue: first event per (user_id, event_type);
+    // output counts only, so the surviving-row nondeterminism of
+    // dropDuplicates never reaches the hash.
+    QueryDef(
+      "q63_dedup_first",
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type ORDER BY event_type"""))( (spark, dir) =>
+      EventStreams.firstPerUserType(events(spark, dir))
+        .orderBy(col("event_type")))
+  )
+}

