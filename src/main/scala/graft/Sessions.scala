@@ -13,6 +13,11 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Default 64 MB advisory lets AQE coalesce small-but-CPU-heavy
+      // shuffles (greedy-grouping kernels, pair joins over few-MB inputs)
+      // down to one task. 1 MB keeps those parallel; large scans still
+      // coalesce sanely at harness scale.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       // testdata events.ts is parquet TIMESTAMP(NANOS); Spark 4 otherwise
       // refuses the file (PARQUET_TYPE_ILLEGAL). Tables.events converts
       // the long back to TimestampType.

@@ -22,12 +22,13 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Dot product of two float-array columns, accumulated in double in
-    * array order (matches DuckDB list_reduce fold).
+    * array order (matches DuckDB list_reduce fold). Backed by the native
+    * codegen [[VectorDot]] expression; the equivalent
+    * `aggregate(zip_with(...))` fold is interpreted per element and ~30×
+    * slower on pair-join hot paths.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.GraftExpressions.vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -44,9 +44,26 @@ object Synthetic {
     val x2 = when(giant, x1 + 7700.0).otherwise(pmod(x2n, lit(W)))
     val y1 = pmod(col("l_orderkey") * 17.0, lit(3400.0)) + jy
     val y2 = y1 + 120.0 + pmod(col("l_orderkey") * 37.0, lit(250.0))
-    li.select(
+    // Repartition: the single-row-group testdata parquet gives one input
+    // split, and everything downstream of the derivation (O(n²) IoU
+    // joins, grouping kernels, ray UDFs) is CPU-bound — parallelism is
+    // worth one small shuffle. Multi-file production layouts make this a
+    // rebalance no-op.
+    // det_idx: row_number over a TOTAL order within the panorama. The
+    // testdata has duplicate (l_orderkey, l_linenumber) pairs, so a
+    // key-arithmetic id would collide — and with duplicate ids the
+    // order-dependent greedy grouping becomes plan-dependent. Remaining
+    // ties after this order are fully-identical rows (identical derived
+    // boxes), which are interchangeable. The window partitions by
+    // panorama, so the sort is parallel, never global.
+    val detIdx = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(fileId)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"), col("l_quantity"),
+          col("l_discount")))
+    li.repartition(spark.sparkContext.defaultParallelism).select(
       concat(lit("pano_"), lpad(fileId.cast("string"), 6, "0"), lit(".jpg")).as("file_name"),
-      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("det_idx"),
+      detIdx.cast("long").as("det_idx"),
       x1.as("x1"), y1.as("y1"), x2.as("x2"), y2.as("y2"),
       round(pmod(col("l_extendedprice"), lit(997.0)) / 997.0, 6).as("score"),
       element_at(
@@ -67,7 +84,9 @@ object Synthetic {
     val x1g = s"(${pm("l_orderkey * 7.0", "100.0")} + $jx)"
     s"""SELECT
          'pano_' || lpad(floor(l_orderkey / 38)::BIGINT::VARCHAR, 6, '0') || '.jpg' AS file_name,
-         (l_orderkey * 10 + l_linenumber)::BIGINT AS det_idx,
+         row_number() OVER (PARTITION BY floor(l_orderkey / 38)
+           ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                    l_extendedprice, l_quantity, l_discount)::BIGINT AS det_idx,
          CASE WHEN l_quantity > 45 THEN $x1g ELSE $x1n END AS x1,
          ${pm("l_orderkey * 17.0", "3400.0")} + $jy AS y1,
          CASE WHEN l_quantity > 45 THEN (CASE WHEN l_quantity > 45 THEN $x1g ELSE $x1n END) + 7700.0

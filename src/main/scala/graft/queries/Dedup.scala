@@ -63,9 +63,9 @@ object Dedup {
       val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
       val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
       a.join(b, col("a_id") < col("b_id"))
-        .filter(DF.jaccard(col("a_sh"), col("b_sh")) >= 0.5)
-        .select(col("a_id"), col("b_id"),
-          round(DF.jaccard(col("a_sh"), col("b_sh")), 6).as("jac"))
+        .withColumn("jac_raw", DF.jaccard(col("a_sh"), col("b_sh")))
+        .filter(col("jac_raw") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -135,9 +135,9 @@ object Dedup {
       val a = s.select(col("doc_id").as("a_id"), col("sh48").as("a_sh"))
       val b = s.select(col("doc_id").as("b_id"), col("sh48").as("b_sh"))
       a.join(b, col("a_id") < col("b_id"))
-        .filter(DF.hamming(col("a_sh"), col("b_sh")) <= 6)
-        .select(col("a_id"), col("b_id"),
-          DF.hamming(col("a_sh"), col("b_sh")).as("ham"))
+        .withColumn("ham", DF.hamming(col("a_sh"), col("b_sh")))
+        .filter(col("ham") <= 6)
+        .select(col("a_id"), col("b_id"), col("ham"))
         .orderBy(col("a_id"), col("b_id"))
     })
   )

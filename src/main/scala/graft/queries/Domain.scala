@@ -24,8 +24,8 @@ object Domain {
       Some(s"""
         SELECT file_name, det_idx, x1, y1, x2, y2, score, class
         FROM (${Synthetic.detectionsSql})
-        ORDER BY det_idx"""))((spark, dir) =>
-      Synthetic.detections(spark, dir).orderBy(col("det_idx"))),
+        ORDER BY file_name, det_idx"""))((spark, dir) =>
+      Synthetic.detections(spark, dir).orderBy(col("file_name"), col("det_idx"))),
 
     // ── U1 as a codegen'd column expression on the J4 self-join shape:
     // all pairs within a panorama with seam-aware cylindrical IoU over
@@ -35,22 +35,34 @@ object Domain {
     QueryDef(
       "q81_iou_pairs",
       Some(s"""
-        WITH det AS (${Synthetic.detectionsSql})
+        WITH det AS (${Synthetic.detectionsSql}),
+        inv AS (
+          SELECT file_name, det_idx, y1, y2, ${GeoSql.boxInvariantsSelect(8000.0)}
+          FROM det)
         SELECT a.file_name AS file_name, a.det_idx AS a_idx, b.det_idx AS b_idx,
-               round(${GeoSql.cylindricalIouExpr("a", "b", 8000.0)}, 9) AS iou
-        FROM det a JOIN det b
+               round(${GeoSql.iouFromInvariantsExpr("a", "b")}, 9) AS iou
+        FROM inv a JOIN inv b
           ON a.file_name = b.file_name AND a.det_idx < b.det_idx
-        WHERE ${GeoSql.cylindricalIouExpr("a", "b", 8000.0)} >= 0.02
+        WHERE ${GeoSql.iouFromInvariantsExpr("a", "b")} >= 0.02
         ORDER BY file_name, a_idx, b_idx"""))( (spark, dir) => {
+      // Box invariants (seam swap, θ range, area) are per-row — computed
+      // map-side ONCE per detection; the O(n²) join evaluates only the
+      // overlap remainder. At 100 TB the join shuffles on file_name and
+      // each side carries 5 doubles, never the raw boxes.
       val det = Synthetic.detections(spark, dir)
-      val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
-        col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
-      val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
-        col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
-      val iou = GeoFunctions.cylindricalIou(
-        col("ax1"), col("ay1"), col("ax2"), col("ay2"),
-        col("bx1"), col("by1"), col("bx2"), col("by2"),
-        lit(8000.0), lit(4000.0))
+      val (tMin, tMax, area) = GeoFunctions.boxInvariants(
+        col("x1"), col("y1"), col("x2"), col("y2"), lit(8000.0))
+      val inv = det.select(col("file_name"), col("det_idx"), col("y1"), col("y2"),
+        tMin.as("t_min"), tMax.as("t_max"), area.as("area"))
+      val a = inv.select(col("file_name"), col("det_idx").as("a_idx"),
+        col("y1").as("a_y1"), col("y2").as("a_y2"), col("t_min").as("a_t_min"),
+        col("t_max").as("a_t_max"), col("area").as("a_area"))
+      val b = inv.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
+        col("y1").as("b_y1"), col("y2").as("b_y2"), col("t_min").as("b_t_min"),
+        col("t_max").as("b_t_max"), col("area").as("b_area"))
+      val iou = GeoFunctions.iouFromInvariants(
+        col("a_t_min"), col("a_t_max"), col("a_area"), col("a_y1"), col("a_y2"),
+        col("b_t_min"), col("b_t_max"), col("b_area"), col("b_y1"), col("b_y2"))
       a.join(b, col("file_name") === col("fn_b") && col("a_idx") < col("b_idx"))
         .withColumn("iou_raw", iou)
         .filter(col("iou_raw") >= 0.02)
@@ -113,7 +125,7 @@ object Domain {
                     ELSE 'POLYGON ((' || ix1 || ' ' || iy1 || ', ' || ix2 || ' ' || iy1 || ', ' ||
                          ix2 || ' ' || iy2 || ', ' || ix1 || ' ' || iy2 || ', ' ||
                          ix1 || ' ' || iy1 || '))' END AS wkt
-        FROM snapped ORDER BY det_idx"""))( (spark, dir) => {
+        FROM snapped ORDER BY det_idx, wkt"""))( (spark, dir) => {
       val wktUdf = udf { (x1: Long, y1: Long, x2: Long, y2: Long) =>
         if (x2 <= x1) graft.geo.Wkt.empty
         else graft.geo.Wkt.polygon(Seq(
@@ -126,7 +138,7 @@ object Domain {
           floor(col("x1")).as("ix1"), floor(col("y1")).as("iy1"),
           floor(col("x2")).as("ix2"), floor(col("y2")).as("iy2"))
         .select(col("det_idx"), wktUdf(col("ix1"), col("iy1"), col("ix2"), col("iy2")).as("wkt"))
-        .orderBy(col("det_idx"))
+        .orderBy(col("det_idx"), col("wkt"))
     })
   )
 }

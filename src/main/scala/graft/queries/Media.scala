@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal suite: operators that compute FROM the binary column
+  * map-side, verified by DuckDB oracles that mirror the blob-generating
+  * formula analytically (the oracle never sees bytes — matching results
+  * prove the byte plumbing: encode → decode → extract round-trips the
+  * closed form).
+  */
+object Media {
+
+  // Shared oracle fragments mirroring Multimodal.FakeCodec.
+  private val kindSql = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+  private val lenSql = "(64 + doc_id % 128)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── Decode-metadata rollup per kind. Bytes parsed Spark-side; oracle
+    // recomputes the header fields from the id.
+    QueryDef(
+      "q90_media_meta",
+      Some(s"""
+        SELECT $kindSql AS kind, count(*) AS n,
+               CAST(sum($lenSql) AS BIGINT) AS total_payload,
+               round(avg(16 + doc_id % 48), 6) AS avg_width,
+               round(avg(16 + doc_id % 32), 6) AS avg_height
+        FROM documents GROUP BY 1 ORDER BY kind"""))( (spark, dir) =>
+      Multimodal.withMeta(Multimodal.media(spark, dir))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("payload_len")).cast("long").as("total_payload"),
+          round(avg(col("width")), 6).as("avg_width"),
+          round(avg(col("height")), 6).as("avg_height"))
+        .orderBy(col("kind"))),
+
+    // ── Per-blob feature extraction (mean byte + order-dependent rolling
+    // checksum). Oracle folds the generating formula with list_reduce in
+    // exact BIGINT arithmetic.
+    QueryDef(
+      "q91_media_features",
+      Some(s"""
+        SELECT doc_id AS media_id,
+               round(list_aggregate(payload, 'sum') / (len(payload) * 1.0), 6) AS mean_byte,
+               list_reduce(list_prepend(0, payload), (acc, b) -> (acc * 33 + b) % 1000003) AS checksum
+        FROM (
+          SELECT doc_id,
+                 list_transform(generate_series(0, $lenSql - 1),
+                                i -> (doc_id * 31 + i * 7) % 256) AS payload
+          FROM documents)
+        ORDER BY media_id"""))( (spark, dir) =>
+      Multimodal.withFeatures(Multimodal.media(spark, dir))
+        .select(col("media_id"), round(col("mean_byte"), 6).as("mean_byte"),
+          col("checksum"))
+        .orderBy(col("media_id"))),
+
+    // ── Frame sampling: payload as 16-byte frames, every 4th kept,
+    // per-frame byte sums — the mapPartitions video-kernel shape.
+    QueryDef(
+      "q92_frame_samples",
+      Some(s"""
+        SELECT doc_id AS media_id, f AS frame_idx,
+               CAST(sum((doc_id * 31 + (f * 16 + j) * 7) % 256) AS BIGINT) AS frame_sum
+        FROM documents,
+             (SELECT unnest(generate_series(0, 11)) AS f),
+             (SELECT unnest(generate_series(0, 15)) AS j)
+        WHERE f % 4 = 0 AND f < $lenSql // 16
+        GROUP BY 1, 2 ORDER BY media_id, frame_idx"""))( (spark, dir) =>
+      Multimodal.frameSamples(Multimodal.media(spark, dir))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_sum"))
+        .orderBy(col("media_id"), col("frame_idx")))
+  )
+}

@@ -35,6 +35,16 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  /** documents/embeddings feed CPU-heavy per-row kernels (shingling,
+    * minhash, vector folds, codecs). The testdata files are single-row-
+    * group parquet — ONE input split — so without an explicit repartition
+    * every downstream map stage and nested-loop join runs in one task.
+    * The shuffle is a few MB; the parallelism it buys is ×cores. On a
+    * real multi-file 100 TB layout the reader would already produce
+    * thousands of splits and this becomes a no-op-sized rebalance.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
 }
