@@ -9,6 +9,9 @@ object Sessions {
   def builder(cpus: String): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
+      // graft SQL surface: vector_dot, cylindrical_iou, … available to
+      // spark.sql() callers (see org.apache.spark.sql.graft.GraftExtensions).
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

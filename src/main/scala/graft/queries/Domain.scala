@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GeoFunctions, GeoSql}
-import graft.pipeline.{Detection, StreetLevel, Synthetic, WallPlanes}
+import graft.pipeline.{Detection, RayMesh, StreetLevel, Synthetic, WallPlanes}
 
 /** Domain-parity suite (SURVEY.md §7 phase 3): the reference's street-level
   * pipeline operators run against detections derived deterministically from
@@ -109,6 +109,26 @@ object Domain {
           round(col("avg_nx"), 6).as("avg_nx"), round(col("avg_ny"), 6).as("avg_ny"),
           round(col("avg_cx"), 6).as("avg_cx"), round(col("avg_cy"), 6).as("avg_cy"),
           round(col("min_x"), 6).as("min_x"), round(col("max_x"), 6).as("max_x"))),
+
+    // ── M21/U7: ray–mesh first hit over a broadcast BVH. The full
+    // street-level chain: detections → grouping → best-per-group →
+    // pose join → rays → intersect with the synthetic building mesh.
+    // Rows-only (BVH + trig); TriMeshSpec pins the kernel against
+    // brute-force all-triangle intersection.
+    QueryDef("q86_mesh_intersect", None)( (spark, dir) => {
+      import spark.implicits._
+      val det = Synthetic.detections(spark, dir)
+        .withColumnRenamed("class", "cls").as[Detection]
+      val grouped = StreetLevel.groupedDetections(det, 0.01).toDF()
+      val rays = StreetLevel.vertexRays(grouped, Synthetic.poses(spark, dir), spacing = 2)
+        .join(broadcast(Synthetic.poses(spark, dir)), "file_name")
+      RayMesh.firstHits(rays, RayMesh.syntheticBuilding())
+        .groupBy(col("file_name"))
+        .agg(count(lit(1)).as("n_rays"),
+          count(col("hit_x")).as("n_hits"),
+          round(avg(col("hit_z")), 6).as("avg_hit_z"))
+        .orderBy(col("file_name"))
+    }),
 
     // ── P3/U5: GeoJSON-style ring → WKT. Integer-snapped coords so the
     // oracle can build the identical string with SQL concat.

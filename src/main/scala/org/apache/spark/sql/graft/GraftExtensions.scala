@@ -1,0 +1,35 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injector exposing the graft kernels to SQL —
+  * `spark.sql("SELECT vector_dot(a, b) ...")` — so the library surface
+  * is reachable from pure-SQL callers, JDBC gateways, and
+  * `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
+  * without any Scala import.
+  *
+  * Registered functions:
+  *  - vector_dot(arr, arr) → double: native codegen [[VectorDot]].
+  *  - cylindrical_iou(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2, w, h) →
+  *    double: seam-aware IoU (SURVEY §2 M11) as the same codegen-friendly
+  *    column tree the DataFrame API uses.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vector_dot(a, b)")
+        VectorDot(children.head, children(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("cylindrical_iou"),
+      new ExpressionInfo(classOf[CylindricalIou].getName, "cylindrical_iou"),
+      (children: Seq[Expression]) => CylindricalIou(children)))
+  }
+}
