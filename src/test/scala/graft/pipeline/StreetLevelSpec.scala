@@ -45,6 +45,21 @@ class StreetLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Double]("projectedX[m]") == 581234.10)
   }
 
+  test("S5/J2: per-view prediction scan recovers theta and photo stem from the path") {
+    val preds = DetectionReaders.predictionsJson(spark,
+      getClass.getResource("/fixtures/predictions").getPath)
+    assert(preds.count() == 2)
+    val rows = preds.select("theta", "photo_stem").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows == Set((0, "pano_0001"), (90, "pano_0001")))
+    // J3 positional zip: bboxes[i] ↔ labels[i] ↔ scores[i] survive explode.
+    val z = preds.filter(col("theta") === 0)
+      .select(posexplode(arrays_zip(col("bboxes"), col("labels"), col("scores"))))
+      .select(col("pos"), col("col.labels").as("label"), col("col.scores").as("score"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(z == Set((0, 3, 0.91), (1, 1, 0.77)))
+  }
+
   test("grouping kernel: the two overlapping window boxes share a group") {
     val s = spark; import s.implicits._
     val det = DetectionReaders.resultsJson(spark, fixture("results.json"))
