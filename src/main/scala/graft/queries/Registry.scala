@@ -6,7 +6,7 @@ package graft.queries
 object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Domain.all ++ Streaming.all ++ Media.all ++ Temporal.all
+      Domain.all ++ Streaming.all ++ Media.all ++ Temporal.all ++ Stats.all
 
   lazy val byName: Map[String, QueryDef] = {
     val names = all.map(_.name)

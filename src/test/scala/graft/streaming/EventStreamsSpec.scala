@@ -91,6 +91,42 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("stream-stream interval join converges to the batch join") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    // Two streams: clicks and errors from the same users; join errors to
+    // clicks within the preceding hour — watermarks bound both state sides.
+    val clicks = fixture.filter(_.event_type == "click")
+    val errors = Seq(
+      Ev(ts(0, 50), 1, "error", 9.0),  // joins clicks at 00:10 and 00:40
+      Ev(ts(9, 0), 1, "error", 8.0))   // no click within the hour before
+    def joined(c: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) = {
+      val cc = c.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val ee = e.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      cc.join(ee, col("c_user") === col("e_user")
+        && col("c_ts") <= col("e_ts")
+        && col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"))
+    }
+    val memC = MemoryStream[Ev]; val memE = MemoryStream[Ev]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = joined(
+      memC.toDF().withWatermark("ts", "10 minutes"),
+      memE.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    memC.addData(clicks: _*); memE.addData(errors: _*)
+    q.processAllAvailable()
+    memC.addData(Ev(Timestamp.valueOf("2024-03-01 00:00:00"), 99, "flush", 0.0))
+    memE.addData(Ev(Timestamp.valueOf("2024-03-01 00:00:00"), 99, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(3))).filter(_._1 != 99L).toSet
+    val want = joined(clicks.toDF(), errors.toDF()).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(3))).toSet
+    assert(got == want)
+    assert(want.size == 2, "both morning clicks join the 00:50 error; 09:00 error matches none")
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with session_window in batch") {
     val s = spark; import s.implicits._
     val typed = batchDf.select(col("user_id"), col("ts"), col("value"))
