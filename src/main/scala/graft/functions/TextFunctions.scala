@@ -93,13 +93,13 @@ object TextFunctions {
 
   /** Polynomial rolling-hash fingerprint over the lowercased character
     * stream: h = fold(h*31 + codepoint) mod 1e9+7. ASCII-stable across
-    * engines (Spark `ascii` == DuckDB `unicode` on ASCII input).
+    * engines (Spark `ascii` == DuckDB `unicode` on ASCII input). Backed
+    * by the native codegen StringPolyHash expression — the equivalent
+    * split-per-character `aggregate` fold allocates one string per
+    * character per row (TextDedupSpec pins equality).
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      filter(split(lower(text), ""), c => c =!= lit("")),
-      lit(0L),
-      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(HashMod)))
+    org.apache.spark.sql.graft.GraftExpressions.polyHash(lower(text))
 
   /** Distinct n-token shingles joined by single spaces. Guarded for
     * short docs: Spark's `sequence(1, 0)` would count DOWN, so texts with
@@ -113,14 +113,10 @@ object TextFunctions {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
 
   /** Rolling hash of each shingle (maps shingle strings into [0, HashMod)
-    * for MinHash).
+    * for MinHash). Native StringPolyHash per element.
     */
   def shingleHashes(sh: Column): Column =
-    transform(sh, s =>
-      aggregate(
-        filter(split(s, ""), c => c =!= lit("")),
-        lit(0L),
-        (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(HashMod))))
+    transform(sh, s => org.apache.spark.sql.graft.GraftExpressions.polyHash(s))
 }
 
 /** DuckDB-side spellings of the [[TextFunctions]] expressions, generated

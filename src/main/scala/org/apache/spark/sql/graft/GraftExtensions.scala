@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cylindrical_iou"),
       new ExpressionInfo(classOf[CylindricalIou].getName, "cylindrical_iou"),
       (children: Seq[Expression]) => CylindricalIou(children)))
+
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[StringPolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "poly_hash(str)")
+        StringPolyHash(children.head)
+      }))
   }
 }

@@ -78,4 +78,7 @@ object GraftExpressions {
   def vectorDot(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorDot(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def polyHash(s: Column): Column =
+    ExpressionUtils.column(StringPolyHash(ExpressionUtils.expression(s)))
 }

@@ -78,6 +78,23 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == (('a'.toLong * 31) + 'b'.toLong) % TextFunctions.HashMod)
   }
 
+  test("native poly_hash is bitwise-equal to the HOF fold on the real corpus") {
+    def hofHash(c: org.apache.spark.sql.Column) =
+      aggregate(
+        filter(split(c, ""), ch => ch =!= lit("")),
+        lit(0L),
+        (acc, ch) => pmod(acc * 31L + ascii(ch).cast("long"), lit(TextFunctions.HashMod)))
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diffs = docs.select(
+      TextFunctions.fingerprint(col("text")).as("fast"),
+      hofHash(lower(col("text"))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diffs.count() == 0)
+    // And from SQL:
+    val sql = spark.sql("SELECT poly_hash('ab')").head().getLong(0)
+    assert(sql == (('a'.toLong * 31) + 'b'.toLong) % TextFunctions.HashMod)
+  }
+
   test("MinHash: signature entry is the min affine hash; containment monotone") {
     val s = spark; import s.implicits._
     val base = (0 until 20).map(i => s"shingle $i x")
