@@ -66,6 +66,18 @@ object DedupFunctions {
     inter / (size(a) + size(b) - inter)
   }
 
+  /** Set Jaccard over PRE-SORTED distinct string arrays — same value as
+    * [[jaccard]] (integer intersection count feeding the identical
+    * division), but the O(n²) pair join pays a zero-allocation merge
+    * walk instead of a hash-set build per pair. Sort each side once
+    * map-side with `array_sort` before the join.
+    */
+  def jaccardSorted(aSorted: Column, bSorted: Column): Column = {
+    val inter = org.apache.spark.sql.graft.SortedIntersectCount
+      .column(aSorted, bSorted).cast("double")
+    inter / (size(aSorted) + size(bSorted) - inter)
+  }
+
   /** 48-bit SimHash over shingle hashes (deterministic integer math, a
     * per-document kernel — UDF by design; candidate for a codegen
     * Expression later).

@@ -58,12 +58,16 @@ object Dedup {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
         ORDER BY a_id, b_id"""))( (spark, dir) => {
+      // Shingle sets sorted ONCE map-side; the O(n²) join pays a
+      // zero-allocation merge walk per pair (SortedIntersectCount)
+      // instead of array_intersect's per-pair hash-set build.
       val sh = documents(spark, dir)
-        .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
+        .select(col("doc_id"),
+          array_sort(TF.shingles(TF.tokens(col("text")), 3)).as("shingles"))
       val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
       val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("jac_raw", DF.jaccard(col("a_sh"), col("b_sh")))
+        .withColumn("jac_raw", DF.jaccardSorted(col("a_sh"), col("b_sh")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))

@@ -130,6 +130,20 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h13 >= 0 && h13 <= DedupFunctions.SimBits)
   }
 
+  test("jaccardSorted equals jaccard on all corpus pairs (bitwise)") {
+    val sh = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextFunctions.shingles(TextFunctions.tokens(col("text")), 3).as("s"))
+    val a = sh.select(col("doc_id").as("a_id"), col("s").as("a_s"),
+      array_sort(col("s")).as("a_ss"))
+    val b = sh.select(col("doc_id").as("b_id"), col("s").as("b_s"),
+      array_sort(col("s")).as("b_ss"))
+    val diffs = a.join(b, col("a_id") < col("b_id"))
+      .select(DedupFunctions.jaccard(col("a_s"), col("b_s")).as("ref"),
+        DedupFunctions.jaccardSorted(col("a_ss"), col("b_ss")).as("fast"))
+      .filter(col("ref") =!= col("fast"))
+    assert(diffs.count() == 0)
+  }
+
   test("jaccard: identical → 1, disjoint → 0, half-overlap by hand") {
     val s = spark; import s.implicits._
     val df = Seq((Seq("a", "b"), Seq("a", "b")),
