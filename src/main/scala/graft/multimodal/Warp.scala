@@ -1,0 +1,113 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.geo.{Mat3, Projection}
+
+/** Equirectangular→perspective image warp (SURVEY.md §2 M13) — the
+  * `GetPerspective` kernel (Equirec2Perspec.py:74-91) as a Spark
+  * operator: per-view meshgrid of pixel rays through K⁻¹ and the view
+  * rotation, lon/lat → source XY, sample with horizontal wrap.
+  *
+  * The geometry is graft.geo.Projection — the exact functions the golden
+  * suite pins against the reference's executed code. Sampling is
+  * nearest-neighbor (the reference uses OpenCV cubic; interpolation
+  * choice is a kernel detail, the dataflow is the operator). Pixels come
+  * from [[Multimodal.FakeCodec]] grayscale images (no codecs in this
+  * container); a real decoder swaps in at the same seam.
+  *
+  * Scale shape: pure fan-out map — images × thetas with zero shuffle
+  * (the reference's per-photo loop, tpp.py:43-49); K⁻¹ and R are
+  * computed once per (view geometry), not per pixel.
+  */
+object Warp {
+
+  /** Grayscale fake image: header + w·h pixel bytes, pixel(x, y) =
+    * (id·31 + x·7 + y·13) mod 256 — closed form for analytic tests.
+    */
+  def encodeImage(id: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](Multimodal.FakeCodec.HeaderLen + w * h)
+    val header = Multimodal.FakeCodec.encode(id).take(Multimodal.FakeCodec.HeaderLen)
+    System.arraycopy(header, 0, out, 0, header.length)
+    // Overwrite header dims with the true pixel dims.
+    out(5) = (w >> 24).toByte; out(6) = (w >> 16).toByte
+    out(7) = (w >> 8).toByte; out(8) = w.toByte
+    out(9) = (h >> 24).toByte; out(10) = (h >> 16).toByte
+    out(11) = (h >> 8).toByte; out(12) = h.toByte
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out(Multimodal.FakeCodec.HeaderLen + y * w + x) = pixel(id, x, y)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def pixel(id: Long, x: Int, y: Int): Byte = ((id * 31 + x * 7 + y * 13) % 256).toByte
+
+  /** Pure kernel: warp one equirectangular grayscale image to a
+    * perspective view (nearest-neighbor, horizontal wrap / vertical
+    * clamp like BORDER_WRAP on the seam axis).
+    */
+  def warpView(
+      src: Array[Byte], srcW: Int, srcH: Int,
+      fovDeg: Double, thetaDeg: Double, phiDeg: Double,
+      outW: Int, outH: Int): Array[Byte] = {
+    val (_, kInv) = Projection.calibMatrix(outW, outH, fovDeg)
+    val r = Projection.viewRotation(thetaDeg, phiDeg)
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      var x = 0
+      while (x < outW) {
+        val cam = Mat3.apply(kInv, (x.toDouble, y.toDouble, 1.0))
+        val (wx, wy, wz) = Mat3.apply(r, cam)
+        val (lon, lat) = Projection.xyzToLonLat(wx, wy, wz)
+        val (sx, sy) = Projection.lonLatToXY(lon, lat, srcW, srcH)
+        val px = java.lang.Math.floorMod(java.lang.Math.round(sx).toInt, srcW)
+        val py = math.min(srcH - 1, math.max(0, java.lang.Math.round(sy).toInt))
+        out(y * outW + x) = src(py * srcW + px)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The operator: images × theta subdivisions → perspective views.
+    * Input (media_id LONG, bytes BINARY); output one row per (image,
+    * theta) with the warped view bytes and a content checksum.
+    */
+  def perspectiveViews(
+      images: DataFrame,
+      fovDeg: Double, thetas: Seq[Int], phiDeg: Double,
+      outW: Int, outH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("theta", IntegerType),
+      StructField("view", BinaryType), StructField("view_checksum", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idI = images.schema.fieldIndex("media_id")
+    val bI = images.schema.fieldIndex("bytes")
+    images.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(idI)
+        val bytes = row.getAs[Array[Byte]](bI)
+        Multimodal.FakeCodec.decodeMeta(bytes).iterator.flatMap { case (_, w, h, _) =>
+          val pixels = java.util.Arrays.copyOfRange(
+            bytes, Multimodal.FakeCodec.HeaderLen, bytes.length)
+          thetas.iterator.map { theta =>
+            val view = warpView(pixels, w, h, fovDeg, theta, phiDeg, outW, outH)
+            var check = 0L
+            view.foreach(b => check = (check * 33 + (b & 0xff)) % 1000003L)
+            org.apache.spark.sql.Row(id, theta, view, check)
+          }
+        }
+      }
+    }(enc)
+  }
+}

@@ -56,6 +56,24 @@ object Media {
           col("checksum"))
         .orderBy(col("media_id"))),
 
+    // ── M13: equirectangular→perspective warp over fake grayscale
+    // panoramas — images × 4 thetas fan-out, per-view checksum. Rows-only
+    // (trig inside the projection); kernel pinned by WarpSpec against
+    // the golden-tested geometry.
+    QueryDef("q87_perspective_views", None)( (spark, dir) => {
+      val encodeImg = udf((id: Long) =>
+        graft.multimodal.Warp.encodeImage(id, 128, 64))
+      val images = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 0) // 1 in 10 docs "has a panorama"
+        .select(col("doc_id").cast("long").as("media_id"))
+        .withColumn("bytes", encodeImg(col("media_id")))
+      graft.multimodal.Warp
+        .perspectiveViews(images, 60, Seq(0, 90, 180, 270), -10, 48, 48)
+        .select(col("media_id"), col("theta").cast("long").as("theta"),
+          col("view_checksum"))
+        .orderBy(col("media_id"), col("theta"))
+    }),
+
     // ── Frame sampling: payload as 16-byte frames, every 4th kept,
     // per-frame byte sums — the mapPartitions video-kernel shape.
     QueryDef(
