@@ -4,14 +4,14 @@ package graft.queries
   * and `oracleSql` maps from here so the two can never drift apart.
   */
 object Registry {
-  lazy val all: Seq[QueryDef] =
-    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+  lazy val all: Seq[QueryDef] = {
+    val qs = Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Domain.all ++ Streaming.all ++ Media.all ++ Temporal.all ++ Stats.all
-
-  lazy val byName: Map[String, QueryDef] = {
-    val names = all.map(_.name)
+    val names = qs.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
-    all.map(q => q.name -> q).toMap
+    qs
   }
+
+  lazy val byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }
