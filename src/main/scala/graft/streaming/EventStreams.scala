@@ -97,4 +97,50 @@ object EventStreams {
             SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total))
       }
   }
+
+  /** TRUE incremental sessionizer: per-key open-session state carried
+    * across micro-batches, closed sessions emitted when a new event
+    * breaks the gap, and the final open session flushed by
+    * EventTimeTimeout once the watermark passes last + gap. This is the
+    * production stateful-streaming shape: state is one small record per
+    * active key, bounded by the watermark — it never grows with history.
+    * Requires `withWatermark` upstream.
+    */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long = 6 * 3600 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed last + gap: the open session is final.
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total))
+          } else {
+            val sorted = rows.toVector.sortBy(_.ts.getTime)
+            val closed = Vector.newBuilder[SessionState]
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += s
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator.map(s =>
+              SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total))
+          }
+      }
+  }
 }

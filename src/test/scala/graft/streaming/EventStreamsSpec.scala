@@ -127,6 +127,36 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.size == 2, "both morning clicks join the 00:50 error; 09:00 error matches none")
   }
 
+  test("incremental sessionizer carries state across micro-batches and times out via watermark") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sink = s"sink_${System.nanoTime()}"
+    val typed = mem.toDF().withWatermark("ts", "1 minute")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(typed, gapMs = 3600 * 1000L)
+      .toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // Batch 1: two events 20 min apart — one open session.
+    mem.addData(Ev(ts(0, 10), 1, "click", 1.0), Ev(ts(0, 30), 1, "click", 2.0))
+    q.processAllAvailable()
+    // Batch 2: 10:00 — breaks the 1 h gap, closes session A in-stream
+    // AND advances the watermark far past A's end.
+    mem.addData(Ev(ts(10, 0), 1, "click", 4.0))
+    q.processAllAvailable()
+    // Batch 3: far future — watermark passes 11:00, session B times out.
+    mem.addData(Ev(Timestamp.valueOf("2024-03-01 00:00:00"), 99, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 == 1L).toSet
+    assert(got == Set(
+      (1L, ts(0, 10), 2L, 3.0),  // session A: merged across 20-min gap
+      (1L, ts(10, 0), 1L, 4.0))) // session B: flushed by event-time timeout
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with session_window in batch") {
     val s = spark; import s.implicits._
     val typed = batchDf.select(col("user_id"), col("ts"), col("value"))
