@@ -131,6 +131,52 @@ object Similarity {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ── SRP-LSH near-dup: the SCALE path for q44's brute force. 16
+    // sign-random-projection bits per vector (map-side native dots
+    // against deterministic dyadic planes), 4 bands × 4 bits; candidate
+    // pairs share any band key, exact-cosine verify on candidates only.
+    // The oracle mirrors the whole pipeline (same planes, same packing),
+    // so the recall behavior of the banding itself is verified — pairs
+    // here ⊆ q44's pairs by construction.
+    QueryDef(
+      "q53_srp_lsh",
+      Some(s"""
+        $corpusCte,
+        sig AS (SELECT vec_id, v, nrm, ${VS.srpSignatureExpr("v", 16)} AS sig FROM n),
+        bands AS (
+          SELECT vec_id, u.bk.band AS band, u.bk.key AS key
+          FROM sig, (SELECT unnest(${VS.srpBandKeysExpr("sig", 4, 4)}) AS bk) u),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+        SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
+        FROM cand c
+        JOIN sig sa ON sa.vec_id = c.a_id
+        JOIN sig sb ON sb.vec_id = c.b_id
+        WHERE ${cosNN("sa", "sb")} >= 0.45
+        ORDER BY a_id, b_id"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val sig = e.withColumn("sig", VF.srpSignature(col("embedding"), 16, 64))
+      val bands = sig
+        .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 4, 4)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val sa = sig.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an"))
+      val sb = sig.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("bn"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("c", VF.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+        .filter(col("c") >= 0.45)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ── Per-label centroid + intra-cluster cohesion: element-wise mean
     // vector per label (posexplode → groupBy(label, dim) → re-pack), then
     // the average cosine of members to their own centroid. The dim-wise
