@@ -114,6 +114,10 @@ object StreetLevel {
         col("v.x"), col("v.y"), col("roll"), col("pitch"), col("heading"),
         col("ox"), col("oy"), col("oz"), lit(imageWidth), lit(imageHeight)))
       .select(col("file_name"), col("group_idx"), col("score"), col("v_idx"),
-        col("ray._1").as("rx"), col("ray._2").as("ry"), col("ray._3").as("rz"))
+        col("ray._1").as("rx"), col("ray._2").as("ry"), col("ray._3").as("rz"),
+        // Carry the camera origin: the ray–mesh consumer needs (origin,
+        // endpoint) pairs, and re-deriving the origin would mean joining
+        // the pose table a second time downstream.
+        col("ox"), col("oy"), col("oz"))
   }
 }

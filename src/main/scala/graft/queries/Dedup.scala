@@ -44,11 +44,19 @@ object Dedup {
         .orderBy(col("keep_id"))
     }),
 
-    // ── n-gram Jaccard near-dup pairs: O(n²) within the corpus — the
-    // brute-force baseline the LSH variant (q42) must agree with above
-    // the threshold. At 100 TB this shape only survives per-bucket
-    // (which is exactly what q42 does); declared here as the oracle of
-    // record for the planted near-dups.
+    // ── n-gram Jaccard near-dup pairs, EXACT via an inverted index (the
+    // classic all-pairs similarity layout): explode distinct shingles,
+    // self-join on the shingle, count common shingles per pair, derive
+    // Jaccard from |A|,|B|,|A∩B|. Answer-identical to the all-pairs scan
+    // (a pair with zero common shingles has Jaccard 0 < threshold), but
+    // pairs with no overlap are never enumerated — no BNLJ anywhere.
+    // The pair enumeration is Σ df² over shingle frequencies, bounded as
+    // long as no shingle is corpus-stopword-frequent; at 100 TB add a
+    // df-cap filter (drop shingles with df > cap — answer-preserving for
+    // thresholds where rare shingles must dominate) or fall back to q42.
+    // The ORACLE deliberately stays the O(n²) declarative spec — the
+    // obviously-correct definition of the result, independent of this
+    // optimization, so the equality check verifies the index algebra.
     QueryDef(
       "q41_ngram_jaccard",
       Some(s"""
@@ -58,16 +66,18 @@ object Dedup {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
         ORDER BY a_id, b_id"""))( (spark, dir) => {
-      // Shingle sets sorted ONCE map-side; the O(n²) join pays a
-      // zero-allocation merge walk per pair (SortedIntersectCount)
-      // instead of array_intersect's per-pair hash-set build.
+      // shingles() is already distinct, so size() is the set size and the
+      // per-shingle explode enumerates each (doc, shingle) once.
       val sh = documents(spark, dir)
-        .select(col("doc_id"),
-          array_sort(TF.shingles(TF.tokens(col("text")), 3)).as("shingles"))
-      val a = sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh"))
-      val b = sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("jac_raw", DF.jaccardSorted(col("a_sh"), col("b_sh")))
+        .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
+        .select(col("doc_id"), size(col("shingles")).as("sz"),
+          explode(col("shingles")).as("s"))
+      val a = sh.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("s"))
+      val b = sh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("s").as("s_b"))
+      a.join(b, col("s") === col("s_b") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+        .agg(count(lit(1)).cast("double").as("inter"))
+        .withColumn("jac_raw", col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
         .filter(col("jac_raw") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
         .orderBy(col("a_id"), col("b_id"))
@@ -97,8 +107,14 @@ object Dedup {
           JOIN sh sb ON sb.doc_id = c.b_id)
         SELECT a_id, b_id, jac FROM verified
         WHERE jac >= 0.5 ORDER BY a_id, b_id"""))( (spark, dir) => {
+      // The shingle relation feeds three subtrees (signature generation
+      // and both sides of the candidate verify join). Persist it so the
+      // regex tokenization + shingling runs once, not three times — the
+      // plan object is shared, so all three subtrees hit the same
+      // InMemoryRelation. Tiny: one row of shingles per document.
       val sh = documents(spark, dir)
         .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
+        .persist()
       val sig = sh.select(col("doc_id"),
         DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
       val bands = sig
@@ -120,9 +136,14 @@ object Dedup {
     }),
 
     // ── SimHash near-dup pairs: 48-bit signature per doc (one long), all
-    // pairs within hamming ≤ 6. The signature computation is a per-doc
-    // kernel; the pair search here is brute force (500 docs) — at scale
-    // it becomes a band join on signature chunks, same as q42.
+    // pairs within hamming ≤ 6, found via PIGEONHOLE BANDING: split the
+    // 48 bits into 7 bands (7×7+... last band 6 bits); hamming ≤ 6 means
+    // at most 6 bands carry an error, so at least one band matches
+    // exactly — candidates = pairs sharing any band value, recall 1.0 by
+    // construction (not probabilistic like MinHash). Exact hamming
+    // verifies candidates. One equi-join on (band, key) — hash join at
+    // any scale, never a nested loop. Oracle stays the O(n²) declarative
+    // spec, so the banding's completeness is verified by equality.
     QueryDef(
       "q43_simhash",
       Some(s"""
@@ -133,12 +154,27 @@ object Dedup {
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE ${DS.hammingExpr("a.sh48", "b.sh48")} <= 6
         ORDER BY a_id, b_id"""))( (spark, dir) => {
+      val nBands = 7 // > maxHamming(6) ⇒ pigeonhole-complete
+      val bits = 7   // ceil(48 / 7); last band gets the remaining 6 bits
       val s = documents(spark, dir)
         .select(col("doc_id"),
           DF.simhash48(TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 3))).as("sh48"))
-      val a = s.select(col("doc_id").as("a_id"), col("sh48").as("a_sh"))
-      val b = s.select(col("doc_id").as("b_id"), col("sh48").as("b_sh"))
-      a.join(b, col("a_id") < col("b_id"))
+      val bands = s.select(col("doc_id"), col("sh48"),
+        explode(array((0 until nBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh48"), b * bits)
+              .bitwiseAND(lit((1L << bits) - 1)).as("key"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("sh48"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("a.sh48").as("a_sh"),
+          col("b.doc_id").as("b_id"), col("b.sh48").as("b_sh"))
+        .distinct()
+      cand
         .withColumn("ham", DF.hamming(col("a_sh"), col("b_sh")))
         .filter(col("ham") <= 6)
         .select(col("a_id"), col("b_id"), col("ham"))

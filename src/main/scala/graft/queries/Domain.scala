@@ -22,16 +22,27 @@ object Domain {
     * the first consumer pays, the rest read columnar cache.
     */
   private val groupedCache =
-    scala.collection.concurrent.TrieMap.empty[(org.apache.spark.sql.SparkSession, String),
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String),
       org.apache.spark.sql.DataFrame]
 
   private def grouped(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    groupedCache.getOrElseUpdate((spark, dir), {
-      import spark.implicits._
-      val det = Synthetic.detections(spark, dir)
-        .withColumnRenamed("class", "cls").as[Detection]
-      StreetLevel.groupedDetections(det, 0.01).toDF().persist()
-    })
+    // Synchronized compute-if-absent: concurrent first access must not
+    // build (and persist) the plan twice. Entries are evicted when the
+    // owning context ends so a long-lived JVM cycling sessions doesn't
+    // retain stale SparkSession references.
+    groupedCache.synchronized {
+      groupedCache.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            groupedCache.synchronized { groupedCache.filterInPlace((k, _) => k._1 != spark) }
+        })
+        val det = Synthetic.detections(spark, dir)
+          .withColumnRenamed("class", "cls").as[Detection]
+        StreetLevel.groupedDetections(det, 0.01).toDF().persist()
+      })
+    }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -125,8 +136,8 @@ object Domain {
     // Rows-only (BVH + trig); TriMeshSpec pins the kernel against
     // brute-force all-triangle intersection.
     QueryDef("q86_mesh_intersect", None)( (spark, dir) => {
+      // vertexRays carries ox/oy/oz through, so no second pose join here.
       val rays = StreetLevel.vertexRays(grouped(spark, dir), Synthetic.poses(spark, dir), spacing = 2)
-        .join(broadcast(Synthetic.poses(spark, dir)), "file_name")
       RayMesh.firstHits(rays, RayMesh.syntheticBuilding())
         .groupBy(col("file_name"))
         .agg(count(lit(1)).as("n_rays"),

@@ -64,7 +64,7 @@ object Temporal {
       Some("""
         WITH ow AS (
           SELECT o_orderkey, o_custkey,
-                 (TIMESTAMP '2024-01-01' + (datediff('day', DATE '1995-01-01', o_orderdate) % 25) * INTERVAL 1 DAY) AS w_start
+                 (TIMESTAMP '2024-01-01' + (((datediff('day', DATE '1995-01-01', o_orderdate) % 25) + 25) % 25) * INTERVAL 1 DAY) AS w_start
           FROM orders)
         SELECT o.o_orderkey, count(*) AS n_events,
                round(sum(e.value), 6) AS total_value

@@ -126,7 +126,13 @@ object EventStreams {
               val t = e.ts.getTime
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                  // Late (out-of-order) rows can arrive here — Spark does
+                  // not filter watermark-late rows before fMGWS. Clamp so
+                  // the session only ever extends: a late row must never
+                  // move `last` backward (that would re-open the gap and
+                  // could push the timeout at/below the watermark).
+                  open = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += s
                   open = Some(SessionState(t, t, 1, e.value))
@@ -136,7 +142,10 @@ object EventStreams {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // setTimeoutTimestamp throws if the timestamp is not
+              // strictly above the current watermark.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator.map(s =>
               SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.total))

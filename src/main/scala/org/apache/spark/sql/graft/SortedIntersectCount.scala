@@ -20,6 +20,9 @@ object SortedIntersectKernel {
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
       val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      // array_sort places nulls last; a null on either side means no
+      // further non-null matches are possible — stop instead of NPE.
+      if (x == null || y == null) return c
       val cmp = x.compareTo(y)
       if (cmp == 0) {
         c += 1

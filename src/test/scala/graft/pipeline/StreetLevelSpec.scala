@@ -101,8 +101,8 @@ class StreetLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rays.count() == 4 * 5)
     // Each ray endpoint sits on the unit sphere around its origin
     // (length=1 — SURVEY §5.3 invariant).
+    // vertexRays carries its origin columns, no pose re-join needed.
     val offOrigin = rays
-      .join(poses, "file_name")
       .withColumn("d", sqrt(
         pow(col("rx") - col("ox"), 2) + pow(col("ry") - col("oy"), 2) +
           pow(col("rz") - col("oz"), 2)))
