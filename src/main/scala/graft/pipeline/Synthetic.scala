@@ -115,6 +115,48 @@ object Synthetic {
       (col("id") + 50.0).as("oz"))
   }
 
+  /** DuckDB mirror of [[poses]] as a CTE body — same ops, same float
+    * order (all arithmetic is exact: integer-valued doubles below 2^53).
+    */
+  def posesSql: String = {
+    def pm(e: String, m: String) =
+      s"(CASE WHEN (($e) % $m) < 0 THEN (($e) % $m) + $m ELSE (($e) % $m) END)"
+    s"""SELECT
+         'pano_' || lpad(id::VARCHAR, 6, '0') || '.jpg' AS file_name,
+         ${pm("id * 13.0", "7.0")} - 3.0 AS roll,
+         ${pm("id * 11.0", "5.0")} - 2.0 AS pitch,
+         ${pm("id * 37.0", "360.0")} AS heading,
+         id * 3.5 AS ox,
+         id * -2.0 AS oy,
+         id + 50.0 AS oz
+       FROM (SELECT DISTINCT floor(l_orderkey / 38)::BIGINT AS id FROM lineitem)"""
+  }
+
+  /** DuckDB mirror of [[meshCells]] as a CTE body. Spark's `radians` is
+    * Math.toRadians = deg/180*π — spelled explicitly (not DuckDB's
+    * radians()) so the op order matches; sin/cos are libm on both sides
+    * (≈1-ulp drift), so consumers must round outputs.
+    */
+  def meshCellsSql: String = {
+    def pm(e: String, m: String) =
+      s"(CASE WHEN (($e) % $m) < 0 THEN (($e) % $m) + $m ELSE (($e) % $m) END)"
+    val family = pm("p_partkey", "4")
+    val jitter = s"((${pm("p_partkey * 13.0", "100.0")} / 100.0 - 0.5) * 4.0)"
+    val angleRad = s"(($family * 90.0 + $jitter) / 180.0 * pi())"
+    val vertical = s"(${pm("p_partkey * 29.0", "100.0")} < 12.0)"
+    val vScale = s"(CASE WHEN $vertical THEN 0.3 ELSE 1.0 END)"
+    s"""SELECT
+         p_partkey AS cell_id,
+         cos($angleRad) * $vScale AS nx,
+         sin($angleRad) * $vScale AS ny,
+         CASE WHEN $vertical THEN 0.95
+              ELSE ${pm("p_partkey * 3.0", "100.0")} / 1000.0 END AS nz,
+         $family * 50.0 + ${pm("p_partkey * 7.0", "200.0")} / 100.0 AS cx,
+         $family * -30.0 + ${pm("p_partkey * 11.0", "150.0")} / 100.0 AS cy,
+         ${pm("p_partkey * 5.0", "300.0")} / 10.0 AS cz
+       FROM part"""
+  }
+
   /** Mesh-cell features for the wall-plane pipeline (MeshWallExtractror
     * shape): one cell per part row, normals in 4 azimuth families with
     * key-derived jitter, centroids clustered by family — so DBSCAN has

@@ -30,16 +30,16 @@ object WallPlanes {
     * @param tiles  number of spatial tiles for the clustering kernel;
     *               1 reproduces the reference's global fit.
     */
-  def wallPlanes(
+  /** The SQL-expressible prologue (F6 vertical filter + M17 azimuth + M18
+    * weighting + StandardScaler z-norm) — shared by [[wallPlanes]] and the
+    * q93 partial oracle, so the oracled query runs the exact code path
+    * the DBSCAN stage consumes.
+    */
+  def scaledFeatures(
       cells: DataFrame,
       verticalThreshold: Double = 0.1,
       angleWeight: Double = 10000.0,
-      centroidWeight: Double = 0.001,
-      eps: Double = 0.03,
-      minSamples: Int = 20,
-      tiles: Int = 1): DataFrame = {
-    import cells.sparkSession.implicits._
-
+      centroidWeight: Double = 0.001): DataFrame = {
     // F6 vertical filter + M17 azimuth + M18 weighting, all pushed-down
     // column arithmetic (MeshWallExtractror.py:43-59).
     val vertical = cells.filter(abs(col("nz")) < verticalThreshold)
@@ -56,10 +56,23 @@ object WallPlanes {
       avg("w1").as("m1"), coalesce(stddev_pop("w1"), lit(1.0)).as("s1"),
       avg("w2").as("m2"), coalesce(stddev_pop("w2"), lit(1.0)).as("s2"))
     def nz(s: org.apache.spark.sql.Column) = when(s === 0.0, 1.0).otherwise(s)
-    val scaled = feat.crossJoin(broadcast(stats))
+    feat.crossJoin(broadcast(stats))
       .withColumn("f0", (col("w0") - col("m0")) / nz(col("s0")))
       .withColumn("f1", (col("w1") - col("m1")) / nz(col("s1")))
       .withColumn("f2", (col("w2") - col("m2")) / nz(col("s2")))
+  }
+
+  def wallPlanes(
+      cells: DataFrame,
+      verticalThreshold: Double = 0.1,
+      angleWeight: Double = 10000.0,
+      centroidWeight: Double = 0.001,
+      eps: Double = 0.03,
+      minSamples: Int = 20,
+      tiles: Int = 1): DataFrame = {
+    import cells.sparkSession.implicits._
+
+    val scaled = scaledFeatures(cells, verticalThreshold, angleWeight, centroidWeight)
       .withColumn("tile", pmod(col("cell_id"), lit(tiles.toLong)))
       .select(col("tile").cast("long"), col("cell_id").cast("long"),
         col("nx"), col("ny"), col("nz"), col("cx"), col("cy"), col("cz"),

@@ -74,24 +74,22 @@ object Domain {
           ON a.file_name = b.file_name AND a.det_idx < b.det_idx
         WHERE ${GeoSql.iouFromInvariantsExpr("a", "b")} >= 0.02
         ORDER BY file_name, a_idx, b_idx"""))( (spark, dir) => {
-      // Box invariants (seam swap, θ range, area) are per-row — computed
-      // map-side ONCE per detection; the O(n²) join evaluates only the
-      // overlap remainder. At 100 TB the join shuffles on file_name and
-      // each side carries 5 doubles, never the raw boxes.
+      // Native codegen kernel (one static call) rather than the expanded
+      // Column tree: Catalyst pushes the >= 0.02 filter into the join
+      // condition AND re-derives the round() projection, duplicating the
+      // expression; the expanded tree blew whole-stage codegen past the
+      // JVM method limit and fell back to interpreted eval (11 s → 193 s
+      // at sf0.1 under honest materialization). The kernel computes the
+      // invariants per pair — ~40 extra flops against a 17× win. At
+      // 100 TB the join still shuffles on file_name once.
       val det = Synthetic.detections(spark, dir)
-      val (tMin, tMax, area) = GeoFunctions.boxInvariants(
-        col("x1"), col("y1"), col("x2"), col("y2"), lit(8000.0))
-      val inv = det.select(col("file_name"), col("det_idx"), col("y1"), col("y2"),
-        tMin.as("t_min"), tMax.as("t_max"), area.as("area"))
-      val a = inv.select(col("file_name"), col("det_idx").as("a_idx"),
-        col("y1").as("a_y1"), col("y2").as("a_y2"), col("t_min").as("a_t_min"),
-        col("t_max").as("a_t_max"), col("area").as("a_area"))
-      val b = inv.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
-        col("y1").as("b_y1"), col("y2").as("b_y2"), col("t_min").as("b_t_min"),
-        col("t_max").as("b_t_max"), col("area").as("b_area"))
-      val iou = GeoFunctions.iouFromInvariants(
-        col("a_t_min"), col("a_t_max"), col("a_area"), col("a_y1"), col("a_y2"),
-        col("b_t_min"), col("b_t_max"), col("b_area"), col("b_y1"), col("b_y2"))
+      val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
+        col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
+      val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
+        col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
+      val iou = org.apache.spark.sql.graft.CylindricalIou.column(
+        col("ax1"), col("ay1"), col("ax2"), col("ay2"),
+        col("bx1"), col("by1"), col("bx2"), col("by2"), lit(8000.0), lit(4000.0))
       a.join(b, col("file_name") === col("fn_b") && col("a_idx") < col("b_idx"))
         .withColumn("iou_raw", iou)
         .filter(col("iou_raw") >= 0.02)

@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   lazy val all: Seq[QueryDef] = {
     val qs = Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      Domain.all ++ Streaming.all ++ Media.all ++ Temporal.all ++ Stats.all
+      Domain.all ++ DomainOracles.all ++ Streaming.all ++ Media.all ++ Temporal.all ++
+      Stats.all
     val names = qs.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")

@@ -94,3 +94,19 @@ case class CylindricalIou(children: Seq[Expression])
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): CylindricalIou = copy(children = newChildren)
 }
+
+object CylindricalIou {
+  /** DataFrame-API bridge. Prefer this over the equivalent Column tree on
+    * pair joins: Catalyst duplicates a pushed-down filter expression into
+    * both the join condition and the output projection, and the expanded
+    * IoU tree is large enough that the duplicated whole-stage code can
+    * blow past the JVM method limit and silently fall back to interpreted
+    * evaluation (measured: 11 s → 193 s on q81 at sf0.1). The native
+    * expression generates one static kernel call, so duplication is free.
+    */
+  def column(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    require(cols.length == 10, "cylindrical_iou(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2, w, h)")
+    org.apache.spark.sql.classic.ExpressionUtils.column(
+      CylindricalIou(cols.map(org.apache.spark.sql.classic.ExpressionUtils.expression)))
+  }
+}
