@@ -16,6 +16,14 @@ final case class CellRow(
     cx: Double, cy: Double, cz: Double,
     f0: Double, f1: Double, f2: Double)
 
+/** One replicated point entering a tile run: `grid` is the 1-D feature
+  * cell, `owned` marks the run that owns the point (vs an eps-margin
+  * copy), `core` the EXACT global core flag (phase 2 only).
+  */
+final case class FPoint(cell_id: Long, f0: Double, f1: Double, f2: Double)
+final case class FRepl(grid: Long, owned: Boolean, p: FPoint)
+final case class FReplC(grid: Long, owned: Boolean, p: FPoint, core: Boolean)
+
 /** Wall-plane extraction (SURVEY.md §2 F6/M17/M18/A7/A8/A11) — Spark port
   * of heritage-guard/heritage_guard/helpers/MeshWallExtractror.py:34-89.
   *
@@ -79,19 +87,36 @@ object WallPlanes {
         col("f0"), col("f1"), col("f2"))
       .as[CellRow]
 
-    // A11: DBSCAN per tile. Cells sorted by id for deterministic labels;
-    // tile id is folded into the cluster id so labels stay globally unique.
-    val labeled = scaled.groupByKey(_.tile).flatMapGroups { (tile, rows) =>
-      val cs = rows.toIndexedSeq.sortBy(_.cell_id)
-      val labels = Dbscan.fit(cs.map(c => Array(c.f0, c.f1, c.f2)), eps, minSamples)
-      cs.iterator.zip(labels.iterator).map { case (c, l) =>
-        (c.cell_id, c.nx, c.ny, c.nz, c.cx, c.cy, c.cz,
-          if (l == Dbscan.Noise) -1L else tile + l.toLong * tiles)
+    // A11: DBSCAN. tiles=1 reproduces the reference's global sklearn fit
+    // (one kernel task — the reference's own decimated-mesh scale);
+    // tiles>1 runs the margin-merge tiled path, which TilingSpec proves
+    // label-identical on this pipeline's data.
+    val labeled =
+      if (tiles <= 1) {
+        scaled.groupByKey(_ => 0L).flatMapGroups { (_, rows) =>
+          val cs = rows.toIndexedSeq.sortBy(_.cell_id)
+          val labels = Dbscan.fit(cs.map(c => Array(c.f0, c.f1, c.f2)), eps, minSamples)
+          cs.iterator.zip(labels.iterator).map { case (c, l) =>
+            (c.cell_id, c.nx, c.ny, c.nz, c.cx, c.cy, c.cz,
+              if (l == Dbscan.Noise) -1L else l.toLong)
+          }
+        }.toDF("cell_id", "nx", "ny", "nz", "cx", "cy", "cz", "cluster")
+      } else {
+        val clusters = tiledClusters(
+          scaled.toDF().select(col("cell_id"), col("f0"), col("f1"), col("f2")),
+          eps, minSamples, tiles)
+        scaled.toDF()
+          .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
+            col("cx"), col("cy"), col("cz"))
+          .join(clusters, "cell_id")
       }
-    }.toDF("cell_id", "nx", "ny", "nz", "cx", "cy", "cz", "cluster")
 
     // F8 noise drop + A7 per-cluster means + A8 bounds
     // (MeshWallExtractror.py:75-89).
+    runAggregates(labeled)
+  }
+
+  private def runAggregates(labeled: DataFrame): DataFrame =
     labeled.filter(col("cluster") =!= -1L)
       .groupBy(col("cluster"))
       .agg(
@@ -102,5 +127,165 @@ object WallPlanes {
         min("cy").as("min_y"), max("cy").as("max_y"),
         min("cz").as("min_z"), max("cz").as("max_z"))
       .orderBy(col("cluster"))
+
+  // ── Tiled DBSCAN (the 100 TB path) ──────────────────────────────────
+  //
+  // MR-DBSCAN-style margin merge over a 1-D feature grid on f0 (the
+  // z-scored azimuth — the dominant, well-spread coordinate):
+  //
+  //   Phase 1: replicate each point to its grid cell plus any adjacent
+  //     cell within eps of the boundary; per cell, count eps-neighbors of
+  //     OWNED points only. Because every neighbor of an owned point is in
+  //     the cell+margin (cell width ≥ eps), the core flag is EXACT — not
+  //     an approximation.
+  //   Phase 2: re-replicate with exact core flags attached; per cell,
+  //     union-find the local core-core eps-graph. Every global core-core
+  //     edge is witnessed in at least one run (an edge endpoint's margin
+  //     contains the other), so the global core components are exactly
+  //     the transitive closure of local components sharing a core point.
+  //   Merge: distributed reduction to (a) bridge edges — core points seen
+  //     in ≥2 runs — and (b) per-local-component min core id; only those
+  //     (O(#components), not O(#points)) are collected for a driver
+  //     union-find. Global ids are ranked by each merged component's
+  //     minimum core cell_id, which reproduces the global kernel's
+  //     seed-scan numbering for separated clusters.
+  //   Border points take the cluster of their minimum-cell_id core
+  //     neighbor (deterministic; identical to the global kernel whenever
+  //     a border point touches a single cluster — ambiguous borders are
+  //     order-dependent even in sklearn).
+  //
+  // Cost: two partition-local O(n_cell²) passes + two small shuffles —
+  // the quadratic kernel is bounded per cell at any corpus size.
+
+  private def grids(f0: Double, cellW: Double, eps: Double): Seq[Long] = {
+    val c = math.floor(f0 / cellW).toLong
+    var cs = List(c)
+    if (f0 - c * cellW <= eps) cs ::= c - 1
+    if ((c + 1) * cellW - f0 <= eps) cs ::= c + 1
+    cs
+  }
+
+  private def d2(a: FPoint, b: FPoint): Double = {
+    val d0 = a.f0 - b.f0; val d1 = a.f1 - b.f1; val d2 = a.f2 - b.f2
+    d0 * d0 + d1 * d1 + d2 * d2
+  }
+
+  /** @param points (cell_id, f0, f1, f2)
+    * @return (cell_id, cluster) with cluster = -1 for noise.
+    */
+  def tiledClusters(points: DataFrame, eps: Double, minSamples: Int, tiles: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val eps2 = eps * eps
+    // Features are z-scored, so ~4σ spans the data; the cell must be at
+    // least eps wide or a neighbor could sit two cells away.
+    val cellW = math.max(eps, 4.0 / tiles)
+
+    val pts = points.select(col("cell_id").cast("long"),
+      col("f0"), col("f1"), col("f2")).as[FPoint]
+
+    // Phase 1: exact core flags.
+    val coreFlags = pts
+      .flatMap(p => grids(p.f0, cellW, eps).map(g =>
+        FRepl(g, g == math.floor(p.f0 / cellW).toLong, p)))
+      .groupByKey(_.grid)
+      .flatMapGroups { (_, it) =>
+        val all = it.toArray
+        all.iterator.filter(_.owned).map { r =>
+          var n = 0
+          all.foreach(o => if (d2(r.p, o.p) <= eps2) n += 1)
+          (r.p.cell_id, n >= minSamples)
+        }
+      }.toDF("cell_id", "core")
+
+    // Phase 2: local components over cores; emit owned labels + bridges.
+    val replC = pts.toDF().join(coreFlags, "cell_id")
+      .as[(Long, Double, Double, Double, Boolean)]
+      .flatMap { case (id, f0, f1, f2, core) =>
+        val p = FPoint(id, f0, f1, f2)
+        grids(f0, cellW, eps).map(g =>
+          FReplC(g, g == math.floor(f0 / cellW).toLong, p, core))
+      }
+    // Per cell: (kind, point_id, comp_key) rows. kind 0 = core membership
+    // (bridge source, all cores), kind 1 = owned point's label ref.
+    val emitted = replC.groupByKey(_.grid).flatMapGroups { (g, it) =>
+      val all = it.toArray.sortBy(_.p.cell_id)
+      val cores = all.filter(_.core)
+      val parent = Array.tabulate(cores.length)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      var i = 0
+      while (i < cores.length) {
+        var j = i + 1
+        while (j < cores.length) {
+          if (d2(cores(i).p, cores(j).p) <= eps2) {
+            val (ri, rj) = (find(i), find(j))
+            if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val comp = Array.tabulate(cores.length)(i => s"$g:${find(i)}")
+      val coreRows = cores.iterator.zipWithIndex.map { case (c, i) =>
+        (0, c.p.cell_id, comp(i))
+      }
+      val ownedRows = all.iterator.filter(_.owned).flatMap { r =>
+        if (r.core) {
+          val i = cores.indexWhere(_.p.cell_id == r.p.cell_id)
+          Iterator.single((1, r.p.cell_id, comp(i)))
+        } else {
+          // Border: minimum-id core neighbor decides; noise emits null.
+          var best = -1
+          var i = 0
+          while (i < cores.length && best == -1) {
+            if (d2(cores(i).p, r.p) <= eps2) best = i
+            i += 1
+          }
+          Iterator.single((1, r.p.cell_id, if (best == -1) null else comp(best)))
+        }
+      }
+      coreRows ++ ownedRows
+    }.toDF("kind", "point_id", "comp_key").persist()
+
+    // Distributed reduction to the tiny merge inputs.
+    val coreRows = emitted.filter(col("kind") === 0)
+    val bridgePairs = coreRows
+      .groupBy(col("point_id")).agg(collect_set(col("comp_key")).as("ks"))
+      .filter(size(col("ks")) > 1)
+      .select(explode(expr(
+        "transform(sequence(2, size(ks)), i -> struct(ks[0] as a, ks[i-1] as b))")).as("e"))
+      .select(col("e.a"), col("e.b")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val compMins = coreRows
+      .groupBy(col("comp_key")).agg(min(col("point_id")).as("min_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // Driver union-find over local components (O(#components)).
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(k: String): String = {
+      var r = k
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = k
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    compMins.foreach { case (k, _) => parent.getOrElseUpdate(k, k) }
+    bridgePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    val rootMin = compMins.groupBy { case (k, _) => find(k) }
+      .map { case (root, ms) => root -> ms.map(_._2).min }
+    // Seed-scan numbering: rank merged components by min core cell_id.
+    val rootId = rootMin.toSeq.sortBy(_._2).zipWithIndex
+      .map { case ((root, _), i) => root -> i.toLong }.toMap
+    val compToGlobal = compMins.map { case (k, _) => k -> rootId(find(k)) }.toSeq
+
+    val mapDf = spark.createDataFrame(compToGlobal).toDF("comp_key", "cluster")
+    val out = emitted.filter(col("kind") === 1)
+      .join(broadcast(mapDf), Seq("comp_key"), "left")
+      .select(col("point_id").as("cell_id"),
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+    out
   }
 }

@@ -120,9 +120,12 @@ object Domain {
 
     // ── F6/M17/M18/A7/A8/A11: wall planes — vertical filter, azimuth,
     // weighting, z-norm, DBSCAN, per-cluster aggregates. Rows-only
-    // (DBSCAN); kernel pinned by DbscanSpec.
+    // (DBSCAN); kernel pinned by DbscanSpec; the prologue is oracled by
+    // q93. tiles=8 runs the margin-merge tiled path (multi-task DBSCAN —
+    // the 100 TB shape), label-identical to the global fit per
+    // WallPlanesTilingSpec.
     QueryDef("q83_wall_planes", None)( (spark, dir) =>
-      WallPlanes.wallPlanes(Synthetic.meshCells(spark, dir))
+      WallPlanes.wallPlanes(Synthetic.meshCells(spark, dir), tiles = 8)
         .select(col("cluster"), col("n"),
           round(col("avg_nx"), 6).as("avg_nx"), round(col("avg_ny"), 6).as("avg_ny"),
           round(col("avg_cx"), 6).as("avg_cx"), round(col("avg_cy"), 6).as("avg_cy"),
