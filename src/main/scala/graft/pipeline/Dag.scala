@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal scheduled-job surface (north-star "Spark DataFrame
+  * transformations with scheduled jobs") — the reference's Dagster asset
+  * DAG (heritage-guard/heritage_guard/hg/__init__.py:9-16: assets wired
+  * by name, materialized in dependency order with IO-manager persistence)
+  * re-expressed as a topological materializer over parquet handoffs
+  * (SURVEY.md §2 S12/K1 loop).
+  *
+  * Semantics:
+  *  - stages declare upstream dependencies by NAME; materialization is in
+  *    topological order, cycle-checked up front;
+  *  - each stage's output is persisted to `<workDir>/<name>.parquet` and
+  *    downstream stages read the PERSISTED table (not the live plan) —
+  *    the inter-job handoff a scheduler needs for retries/backfills,
+  *    and the stage boundary where lineage gets cut so one failed job
+  *    re-runs alone;
+  *  - an existing output is reused unless `refresh` (incremental
+  *    scheduling: a daily tick re-materializes only stale stages).
+  *
+  * Scale: the runner moves NO data through the driver — each stage is a
+  * distributed write + scan; the driver holds only the name→path map.
+  */
+object Dag {
+
+  /** @param build (session, upstream name → materialized DataFrame). */
+  final case class Stage(
+      name: String,
+      deps: Seq[String],
+      build: (SparkSession, Map[String, DataFrame]) => DataFrame)
+
+  final case class StageRun(name: String, rows: Long, millis: Long, skipped: Boolean)
+
+  /** Topological order with deterministic tie-breaking (declaration
+    * order); throws on cycles and unknown deps.
+    */
+  def topoSort(stages: Seq[Stage]): Seq[Stage] = {
+    val byName = stages.map(s => s.name -> s).toMap
+    require(byName.size == stages.size,
+      s"duplicate stage names: ${stages.map(_.name).diff(byName.keys.toSeq).mkString(",")}")
+    stages.foreach(s => s.deps.foreach(d =>
+      require(byName.contains(d), s"stage ${s.name}: unknown dependency $d")))
+    val done = scala.collection.mutable.LinkedHashSet.empty[String]
+    val inFlight = scala.collection.mutable.Set.empty[String]
+    def visit(s: Stage): Unit = {
+      if (!done.contains(s.name)) {
+        require(inFlight.add(s.name), s"dependency cycle through ${s.name}")
+        s.deps.foreach(d => visit(byName(d)))
+        inFlight.remove(s.name)
+        done.add(s.name)
+      }
+    }
+    stages.foreach(visit)
+    done.toSeq.map(byName)
+  }
+
+  /** Materialize the DAG; returns per-stage run reports in execution
+    * order.
+    */
+  def materialize(
+      spark: SparkSession,
+      stages: Seq[Stage],
+      workDir: String,
+      refresh: Boolean = true): Seq[StageRun] = {
+    val fs = new java.io.File(workDir)
+    fs.mkdirs()
+    topoSort(stages).map { s =>
+      val path = s"$workDir/${s.name}.parquet"
+      val t0 = System.nanoTime()
+      val exists = new java.io.File(path).exists()
+      val skipped = exists && !refresh
+      if (!skipped) {
+        val upstream = s.deps.map(d =>
+          d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
+        s.build(spark, upstream).write.mode("overwrite").parquet(path)
+      }
+      val rows = spark.read.parquet(path).count()
+      StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped)
+    }
+  }
+
+  /** The reference's street-level pipeline as a DAG: synthetic inputs →
+    * greedy grouping → per-vertex rays → mesh hits → per-panorama summary
+    * (street_level_grouping.py's asset chain end-to-end).
+    */
+  def streetLevelDag(sfDir: String): Seq[Stage] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      Stage("detections", Nil, (s, _) => Synthetic.detections(s, sfDir)),
+      Stage("poses", Nil, (s, _) => Synthetic.poses(s, sfDir)),
+      Stage("grouped", Seq("detections"), (s, up) => {
+        import s.implicits._
+        StreetLevel.groupedDetections(
+          up("detections").withColumnRenamed("class", "cls").as[Detection], 0.01).toDF()
+      }),
+      Stage("rays", Seq("grouped", "poses"), (s, up) =>
+        StreetLevel.vertexRays(up("grouped"), up("poses"), spacing = 2)),
+      Stage("hits", Seq("rays"), (s, up) =>
+        RayMesh.firstHits(up("rays"), RayMesh.syntheticBuilding())),
+      Stage("summary", Seq("hits"), (s, up) =>
+        up("hits").groupBy(col("file_name"))
+          .agg(count(lit(1)).as("n_rays"), count(col("hit_x")).as("n_hits"))
+          .orderBy(col("file_name"))))
+  }
+}
