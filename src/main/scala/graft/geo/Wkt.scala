@@ -205,4 +205,27 @@ object Rle {
   /** decode + firstContour, the composed shape the pipeline consumes. */
   def maskToPolygon(countsStr: String, height: Int, width: Int): Option[Vector[(Int, Int)]] =
     firstContour(decode(countsStr, height, width))
+
+  /** Inverse of [[parseCounts]] — pycocotools `rleToString` (K-side RLE
+    * encode; also the fixture generator for the S10 scan queries): 5-bit
+    * groups with a 0x20 continuation bit, runs at index ≥ 3 delta-coded
+    * against index − 2.
+    */
+  def encodeCounts(runs: Array[Int]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < runs.length) {
+      var x: Long = if (i > 2) runs(i).toLong - runs(i - 2) else runs(i).toLong
+      var more = true
+      while (more) {
+        var c = x & 0x1f
+        x >>= 5
+        more = if ((c & 0x10) != 0) x != -1 else x != 0
+        if (more) c |= 0x20
+        sb += (c + 48).toChar
+      }
+      i += 1
+    }
+    sb.toString
+  }
 }

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.geo.Projection
+import graft.multimodal.{Multimodal, Warp}
 
 /** Multimodal suite: operators that compute FROM the binary column
   * map-side, verified by DuckDB oracles that mirror the blob-generating
@@ -71,6 +72,65 @@ object Media {
         .perspectiveViews(images, 60, Seq(0, 90, 180, 270), -10, 48, 48)
         .select(col("media_id"), col("theta").cast("long").as("theta"),
           col("view_checksum"))
+        .orderBy(col("media_id"), col("theta"))
+    }),
+
+    // ── Partial oracle for q87: the equirect→perspective warp geometry
+    // through the REAL Warp.warpView kernel, verified as exact integer
+    // pixel sums. The per-view constants (K⁻¹ and the Rodrigues view
+    // rotation) are computed ONCE by the same Scala code and inlined as
+    // full-precision literals (Double.toString round-trips), so the SQL
+    // mirror pays only per-pixel atan2/asin/sqrt to libm; pixel indices
+    // come from round() — a half-pixel flip needs the true position
+    // within ~1e-14 of a .5 boundary. Pixel values and sums are integers:
+    // no float tolerance anywhere in the output.
+    QueryDef(
+      "q75_view_sums",
+      Some {
+        val (_, kInv) = Projection.calibMatrix(48, 48, 60)
+        def l(d: Double) = s"($d)"
+        val rots = Seq(0, 90, 180, 270).map { t =>
+          val r = Projection.viewRotation(t, -10)
+          s"($t, ${r.map(_.toString).mkString(", ")})"
+        }.mkString(",\n          ")
+        val camX = s"(${l(kInv(0))}*(x::DOUBLE) + ${l(kInv(1))}*(y::DOUBLE) + ${l(kInv(2))}*(1.0))"
+        val camY = s"(${l(kInv(3))}*(x::DOUBLE) + ${l(kInv(4))}*(y::DOUBLE) + ${l(kInv(5))}*(1.0))"
+        val camZ = s"(${l(kInv(6))}*(x::DOUBLE) + ${l(kInv(7))}*(y::DOUBLE) + ${l(kInv(8))}*(1.0))"
+        s"""
+        WITH imgs AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0),
+        rot AS (SELECT * FROM (VALUES
+          $rots
+        ) r(th, r00, r01, r02, r10, r11, r12, r20, r21, r22)),
+        px AS (SELECT unnest(generate_series(0, 47)) AS x),
+        py AS (SELECT unnest(generate_series(0, 47)) AS y),
+        cam AS (SELECT media_id, th, x, y,
+                       r00*$camX + r01*$camY + r02*$camZ AS wx,
+                       r10*$camX + r11*$camY + r12*$camZ AS wy,
+                       r20*$camX + r21*$camY + r22*$camZ AS wz
+                FROM imgs, rot, px, py),
+        ll AS (SELECT *, sqrt(wx*wx + wy*wy + wz*wz) AS n FROM cam),
+        src AS (SELECT media_id, th, x, y,
+                       (atan2(wx/n, wz/n) / (2.0*pi()) + 0.5) * 127.0 AS sx,
+                       (asin(wy/n) / pi() + 0.5) * 63.0 AS sy
+                FROM ll),
+        pix AS (SELECT media_id, th,
+                       (media_id * 31 + (floor(sx + 0.5)::BIGINT % 128) * 7 +
+                        least(63, greatest(0, floor(sy + 0.5)::BIGINT)) * 13) % 256 AS v
+                FROM src)
+        SELECT media_id, th::INT AS theta, sum(v)::BIGINT AS view_sum
+        FROM pix GROUP BY media_id, th ORDER BY media_id, theta"""
+      })( (spark, dir) => {
+      val encodeImg = udf((id: Long) =>
+        Warp.encodeImage(id, 128, 64))
+      val viewSum = udf { (view: Array[Byte]) =>
+        var s = 0L; view.foreach(b => s += (b & 0xff)); s
+      }
+      val images = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .withColumn("bytes", encodeImg(col("media_id")))
+      Warp.perspectiveViews(images, 60, Seq(0, 90, 180, 270), -10, 48, 48)
+        .select(col("media_id"), col("theta"), viewSum(col("view")).as("view_sum"))
         .orderBy(col("media_id"), col("theta"))
     }),
 
