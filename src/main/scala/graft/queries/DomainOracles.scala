@@ -59,12 +59,26 @@ object DomainOracles {
 
   /** The real greedy kernel run on the isolated slice (every box becomes
     * a stage-1 standalone group, so group_idx is SQL-predictable).
+    * Shared by q88/q89/q94 — persisted once per (session, sfDir) so the
+    * O(n²) partner join and the kernel run once, not three times (same
+    * materialized-intermediate pattern as Domain.grouped).
     */
-  private def isolatedGrouped(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val iso = isolated(spark, dir).withColumnRenamed("class", "cls").as[Detection]
-    StreetLevel.groupedDetections(iso, 0.01).toDF()
-  }
+  private val isoCache =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+
+  private def isolatedGrouped(spark: SparkSession, dir: String): DataFrame =
+    isoCache.synchronized {
+      isoCache.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            isoCache.synchronized { isoCache.filterInPlace((k, _) => k._1 != spark) }
+        })
+        val iso = isolated(spark, dir).withColumnRenamed("class", "cls").as[Detection]
+        StreetLevel.groupedDetections(iso, 0.01).toDF().persist()
+      })
+    }
 
   // ── Shared oracle CTE: det → invariants → partnered → isolated ───────
 
