@@ -60,6 +60,26 @@ object Streaming {
       EventStreams.sessions(events(spark, dir))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // ── Stream-stream interval join analogue (errors ← same-user clicks
+    // within the preceding hour): the identical intervalJoin transform
+    // EventStreamsSpec replays through two MemoryStreams with watermarks.
+    QueryDef(
+      "q64_interval_join",
+      Some("""
+        SELECT c.event_id AS click_id, e.event_id AS error_id
+        FROM events c JOIN events e
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click' AND e.event_type = 'error'
+         AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL '1 hour'
+        ORDER BY click_id, error_id"""))( (spark, dir) => {
+      val ev = events(spark, dir)
+      EventStreams.intervalJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "error"), "1 HOUR")
+        .select(col("event_id").as("click_id"), col("r_event_id").as("error_id"))
+        .orderBy(col("click_id"), col("error_id"))
+    }),
+
     // ── Streaming-dedup analogue: first event per (user_id, event_type);
     // output counts only, so the surviving-row nondeterminism of
     // dropDuplicates never reaches the hash.

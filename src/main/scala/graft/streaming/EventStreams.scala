@@ -61,6 +61,22 @@ object EventStreams {
       .dropDuplicates("user_id", "event_type")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
 
+  /** Stream-stream interval join: each right event matched to same-user
+    * left events within the preceding `window` (e.g. errors to the clicks
+    * that led up to them). Right columns come back `r_`-prefixed. In
+    * streaming, put a watermark on BOTH inputs first — the range
+    * condition then bounds both state stores (Spark evicts rows once the
+    * watermark passes the interval). Scale shape: an equi-join on
+    * user_id with the range as a post-filter — a hash join at any size,
+    * never a nested loop.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, window: String): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+    left.join(r, col("user_id") === col("r_user_id")
+      && col("ts") <= col("r_ts")
+      && col("ts") >= col("r_ts") - expr(s"INTERVAL $window"))
+  }
+
   // ── Custom stateful sessionization (flatMapGroupsWithState) ─────────
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -100,13 +100,11 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val errors = Seq(
       Ev(ts(0, 50), 1, "error", 9.0),  // joins clicks at 00:10 and 00:40
       Ev(ts(9, 0), 1, "error", 8.0))   // no click within the hour before
-    def joined(c: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) = {
-      val cc = c.select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-      val ee = e.select(col("user_id").as("e_user"), col("ts").as("e_ts"))
-      cc.join(ee, col("c_user") === col("e_user")
-        && col("c_ts") <= col("e_ts")
-        && col("c_ts") >= col("e_ts") - expr("INTERVAL 1 HOUR"))
-    }
+    // The SAME shared transform the declared q64 runs in batch.
+    def joined(c: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
+      EventStreams.intervalJoin(c, e, "1 HOUR")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("r_user_id").as("e_user"), col("r_ts").as("e_ts"))
     val memC = MemoryStream[Ev]; val memE = MemoryStream[Ev]
     val sink = s"sink_${System.nanoTime()}"
     val q = joined(
