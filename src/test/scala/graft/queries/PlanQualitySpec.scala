@@ -60,6 +60,41 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucketed range join must be an equi join")
   }
 
+  test("q41: inverted-index dedup is an equi join — no nested loop anywhere") {
+    val p = planOf("q41_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "pair enumeration must come from the shingle equi-join")
+  }
+
+  test("q43: simhash banding joins on (band, key) — no nested loop") {
+    val p = planOf("q43_simhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q64: interval join is an equi join on user_id with a range post-filter") {
+    val p = planOf("q64_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("user_id"))
+  }
+
+  test("q96: six quality checks collapse into one aggregate pass over one scan") {
+    val p = planOf("q96_dq_rowchecks")
+    // One partial+final pair, one parquet scan — not a scan per check.
+    assert("Scan parquet".r.findAllIn(p).size == 1, "single scan")
+    assert("HashAggregate".r.findAllIn(p).size == 2, "one partial+final aggregate")
+  }
+
+  test("q81: the native IoU kernel survives into the plan (no expanded tree)") {
+    // Regression guard for the codegen blowup: the expanded Column-tree
+    // IoU, duplicated by filter pushdown into join condition + projection,
+    // exceeded the JVM method limit and fell back to interpreted eval
+    // (11 s → 193 s at sf0.1). The plan must carry the single
+    // cylindricaliou kernel call, not the inlined CASE WHEN algebra.
+    val p = planOf("q81_iou_pairs")
+    assert(p.contains("cylindricaliou("), "native kernel expression present")
+    assert(!p.contains("least(greatest(0.0"), "no expanded theta-overlap tree")
+  }
+
   test("binaryFile projection without content prunes the bytes") {
     val df = graft.sources.DetectionReaders
       .binaryImages(spark, "/root/repo/src/test/resources/fixtures")
