@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.geo.TriMesh
 
@@ -41,31 +40,27 @@ object RayMesh {
 
   /** Intersect rays (ox,oy,oz)→(rx,ry,rz) with the broadcast mesh;
     * direction = endpoint − origin (see TriMesh scaladoc on the
-    * reference's direction accident). Appends nullable hit_x/y/z/t.
+    * reference's direction accident). Appends nullable hit_x/y/z.
+    *
+    * Shape: a scalar UDF over the six coordinate doubles, evaluated
+    * inside whole-stage codegen — the previous mapPartitions+RowEncoder
+    * version serialized EVERY column of every ray through a Row round
+    * trip; this boxes six doubles and one small result struct, and
+    * passthrough columns never leave Tungsten rows.
     */
   def firstHits(rays: DataFrame, mesh: TriMesh): DataFrame = {
     val spark = rays.sparkSession
     val bc = spark.sparkContext.broadcast(mesh)
-    val schema = StructType(rays.schema.fields ++ Seq(
-      StructField("hit_x", DoubleType), StructField("hit_y", DoubleType),
-      StructField("hit_z", DoubleType)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    val oxI = rays.schema.fieldIndex("ox"); val oyI = rays.schema.fieldIndex("oy")
-    val ozI = rays.schema.fieldIndex("oz")
-    val rxI = rays.schema.fieldIndex("rx"); val ryI = rays.schema.fieldIndex("ry")
-    val rzI = rays.schema.fieldIndex("rz")
-    rays.mapPartitions { rows =>
-      val m = bc.value
-      rows.map { r =>
-        val ox = r.getDouble(oxI); val oy = r.getDouble(oyI); val oz = r.getDouble(ozI)
-        val hit = m.firstHit(ox, oy, oz,
-          r.getDouble(rxI) - ox, r.getDouble(ryI) - oy, r.getDouble(rzI) - oz)
-        val extra = hit match {
-          case Some((px, py, pz, _)) => Seq[Any](px, py, pz)
-          case None => Seq[Any](null, null, null)
-        }
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ extra)
-      }
-    }(enc)
+    val hit = udf { (ox: Double, oy: Double, oz: Double, rx: Double, ry: Double, rz: Double) =>
+      bc.value.firstHit(ox, oy, oz, rx - ox, ry - oy, rz - oz)
+        .map { case (px, py, pz, _) => (px, py, pz) }
+    }
+    rays
+      .withColumn("_hit", hit(col("ox"), col("oy"), col("oz"),
+        col("rx"), col("ry"), col("rz")))
+      .withColumn("hit_x", col("_hit._1"))
+      .withColumn("hit_y", col("_hit._2"))
+      .withColumn("hit_z", col("_hit._3"))
+      .drop("_hit")
   }
 }
