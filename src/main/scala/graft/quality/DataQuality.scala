@@ -65,10 +65,14 @@ object DataQuality {
       checks.zipWithIndex.map { case (c, i) => c.violations.cast("long").as(s"_v$i") }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val out = checks.zipWithIndex.map { case (c, i) =>
-      struct(lit(c.name).as("check"), col(s"_v$i").as("violations"),
+      // Empty input: zero violations vacuously pass (ratio defined as 0).
+      val v = coalesce(col(s"_v$i"), lit(0L))
+      val ratio = when(col("_total") === 0L, 0.0)
+        .otherwise(v.cast("double") / col("_total"))
+      struct(lit(c.name).as("check"), v.as("violations"),
         col("_total").as("total"),
-        round(col(s"_v$i").cast("double") / col("_total"), 6).as("metric"),
-        (col(s"_v$i").cast("double") / col("_total") <= c.maxRatio).as("pass"))
+        round(ratio, 6).as("metric"),
+        (ratio <= c.maxRatio).as("pass"))
     }
     row.select(explode(array(out: _*)).as("r")).select(col("r.*"))
   }
@@ -77,13 +81,15 @@ object DataQuality {
   def uniqueness(df: DataFrame, columns: Seq[String], maxRatio: Double = 0.0): DataFrame = {
     val total = count(lit(1))
     val distinctK = count_distinct(struct(columns.map(col): _*))
-    df.agg(total.as("_total"), distinctK.as("_distinct"))
-      .select(
-        lit(s"unique:${columns.mkString(",")}").as("check"),
-        (col("_total") - col("_distinct")).cast("long").as("violations"),
-        col("_total").as("total"),
-        round((col("_total") - col("_distinct")).cast("double") / col("_total"), 6).as("metric"),
-        ((col("_total") - col("_distinct")).cast("double") / col("_total") <= maxRatio).as("pass"))
+    val agg = df.agg(total.as("_total"), distinctK.as("_distinct"))
+    val ratio = when(col("_total") === 0L, 0.0)
+      .otherwise((col("_total") - col("_distinct")).cast("double") / col("_total"))
+    agg.select(
+      lit(s"unique:${columns.mkString(",")}").as("check"),
+      (col("_total") - col("_distinct")).cast("long").as("violations"),
+      col("_total").as("total"),
+      round(ratio, 6).as("metric"),
+      (ratio <= maxRatio).as("pass"))
   }
 
   /** Referential integrity: every child key must exist in the parent.
@@ -100,12 +106,14 @@ object DataQuality {
     child.select(col(childKey))
       .join(keys, Seq(childKey), "left")
       .agg(count(lit(1)).as("_total"),
-        sum(when(col("_present").isNull, 1L).otherwise(0L)).as("_orphans"))
+        coalesce(sum(when(col("_present").isNull, 1L).otherwise(0L)), lit(0L)).as("_orphans"))
       .select(
         lit(checkName).as("check"),
         col("_orphans").cast("long").as("violations"),
         col("_total").as("total"),
-        round(col("_orphans").cast("double") / col("_total"), 6).as("metric"),
-        (col("_orphans").cast("double") / col("_total") <= maxRatio).as("pass"))
+        round(when(col("_total") === 0L, 0.0)
+          .otherwise(col("_orphans").cast("double") / col("_total")), 6).as("metric"),
+        (when(col("_total") === 0L, 0.0)
+          .otherwise(col("_orphans").cast("double") / col("_total")) <= maxRatio).as("pass"))
   }
 }

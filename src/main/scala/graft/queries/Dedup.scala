@@ -67,11 +67,14 @@ object Dedup {
         WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
         ORDER BY a_id, b_id"""))( (spark, dir) => {
       // shingles() is already distinct, so size() is the set size and the
-      // per-shingle explode enumerates each (doc, shingle) once.
+      // per-shingle explode enumerates each (doc, shingle) once. Persist:
+      // both sides of the self-join read the postings once instead of
+      // re-running tokenization+shingling per side.
       val sh = documents(spark, dir)
         .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
         .select(col("doc_id"), size(col("shingles")).as("sz"),
           explode(col("shingles")).as("s"))
+        .persist()
       val a = sh.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("s"))
       val b = sh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("s").as("s_b"))
       a.join(b, col("s") === col("s_b") && col("a_id") < col("b_id"))
@@ -167,6 +170,9 @@ object Dedup {
         }: _*)).as("bk"))
         .select(col("doc_id"), col("sh48"),
           col("bk.band").as("band"), col("bk.key").as("key"))
+        // Both join sides read the signatures once (the simhash fold per
+        // document is the expensive part, not the band explode).
+        .persist()
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key")

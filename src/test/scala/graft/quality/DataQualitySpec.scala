@@ -52,6 +52,18 @@ class DataQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(1) == 2L && !r.getBoolean(4)) // 5 and null are orphans
   }
 
+  test("empty input passes vacuously instead of returning null metrics") {
+    val ss = spark; import ss.implicits._
+    val empty = Seq.empty[(java.lang.Double, String)].toDF("qty", "flag")
+    val r = DataQuality.run(empty, Seq(DataQuality.NotNull("qty"))).collect().head
+    assert(r.getLong(1) == 0L && r.getDouble(3) == 0.0 && r.getBoolean(4))
+    val u = DataQuality.uniqueness(empty, Seq("qty")).collect().head
+    assert(u.getLong(1) == 0L && u.getBoolean(4))
+    val f = DataQuality.referentialIntegrity(
+      empty, "qty", Seq(1.0).toDF("pk"), "pk", "fk:empty").collect().head
+    assert(f.getLong(1) == 0L && f.getBoolean(4))
+  }
+
   test("the lineitem PK uniqueness check fires on the real testdata defect") {
     val r = DataQuality.uniqueness(
       graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001"),
