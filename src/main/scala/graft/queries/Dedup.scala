@@ -67,14 +67,21 @@ object Dedup {
         WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
         ORDER BY a_id, b_id"""))( (spark, dir) => {
       // shingles() is already distinct, so size() is the set size and the
-      // per-shingle explode enumerates each (doc, shingle) once. Persist:
-      // both sides of the self-join read the postings once instead of
-      // re-running tokenization+shingling per side.
-      val sh = documents(spark, dir)
-        .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
-        .select(col("doc_id"), size(col("shingles")).as("sz"),
-          explode(col("shingles")).as("s"))
+      // per-shingle explode enumerates each (doc, shingle) once.
+      // PERSIST BEFORE THE EXPLODE: feeding the shingle construction
+      // straight into Generate re-evaluates the expensive expression
+      // (measured 7.1 s for the exploded build vs 0.7 s cache build +
+      // 0.4 s explode-from-cache at sf0.1) — Catalyst inlines multiply-
+      // referenced aliases into the generator. Both join sides then
+      // explode from the columnar cache.
+      // (sz computed FROM the cache: size()+array-passthrough in one
+      // projection would inline and build the shingle array twice.)
+      val sets = documents(spark, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
         .persist()
+      val sh = sets.select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("s"))
       val a = sh.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("s"))
       val b = sh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("s").as("s_b"))
       a.join(b, col("s") === col("s_b") && col("a_id") < col("b_id"))
@@ -116,7 +123,8 @@ object Dedup {
       // plan object is shared, so all three subtrees hit the same
       // InMemoryRelation. Tiny: one row of shingles per document.
       val sh = documents(spark, dir)
-        .select(col("doc_id"), TF.shingles(TF.tokens(col("text")), 3).as("shingles"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
         .persist()
       val sig = sh.select(col("doc_id"),
         DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
@@ -159,9 +167,14 @@ object Dedup {
         ORDER BY a_id, b_id"""))( (spark, dir) => {
       val nBands = 7 // > maxHamming(6) ⇒ pigeonhole-complete
       val bits = 7   // ceil(48 / 7); last band gets the remaining 6 bits
+      // Persist the signatures BEFORE the band explode (see q41: Generate
+      // re-evaluates expensive generator inputs) — the simhash fold per
+      // document runs once; the band shifts are cheap from cache.
       val s = documents(spark, dir)
-        .select(col("doc_id"),
-          DF.simhash48(TF.shingleHashes(TF.shingles(TF.tokens(col("text")), 3))).as("sh48"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
+        .select(col("doc_id"), DF.simhash48(TF.shingleHashes(col("shingles"))).as("sh48"))
+        .persist()
       val bands = s.select(col("doc_id"), col("sh48"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
@@ -170,9 +183,6 @@ object Dedup {
         }: _*)).as("bk"))
         .select(col("doc_id"), col("sh48"),
           col("bk.band").as("band"), col("bk.key").as("key"))
-        // Both join sides read the signatures once (the simhash fold per
-        // document is the expensive part, not the band explode).
-        .persist()
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key")
