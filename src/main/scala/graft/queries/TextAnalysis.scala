@@ -27,12 +27,15 @@ object TextAnalysis {
                round(${TS.avgWordLenExpr("toks")}, 6) AS avg_word_len,
                n_chars
         FROM t ORDER BY doc_id"""))( (spark, dir) => {
-      val toks = TF.tokens(col("text"))
+      // toks staged in its own projection: a multiply-referenced
+      // non-cheap alias is not collapsed, so tokenization runs once per
+      // row instead of once per output expression.
       documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          TF.tokenCount(toks).as("n_tokens"),
-          TF.bpeTokenCount(toks).as("n_bpe"),
-          round(TF.avgWordLen(toks), 6).as("avg_word_len"),
+          TF.tokenCount(col("toks")).as("n_tokens"),
+          TF.bpeTokenCount(col("toks")).as("n_bpe"),
+          round(TF.avgWordLen(col("toks")), 6).as("avg_word_len"),
           col("n_chars"))
         .orderBy(col("doc_id"))
     }),
@@ -47,12 +50,12 @@ object TextAnalysis {
                round(${TS.punctRatioExpr("text")}, 6) AS punct_ratio,
                round(${TS.qualityExpr("text", "toks")}, 6) AS quality
         FROM t ORDER BY doc_id"""))( (spark, dir) => {
-      val toks = TF.tokens(col("text"))
       documents(spark, dir)
+        .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          round(TF.stopwordRatio(toks), 6).as("stopword_ratio"),
+          round(TF.stopwordRatio(col("toks")), 6).as("stopword_ratio"),
           round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TF.qualityScore(col("text"), toks), 6).as("quality"))
+          round(TF.qualityScore(col("text"), col("toks")), 6).as("quality"))
         .orderBy(col("doc_id"))
     }),
 
@@ -65,9 +68,9 @@ object TextAnalysis {
         WITH t AS (SELECT lang, ${TS.toksExpr("text")} AS toks FROM documents)
         SELECT lang AS labeled, ${TS.langIdExpr("toks")} AS detected, count(*) AS n
         FROM t GROUP BY 1, 2 ORDER BY labeled, detected"""))( (spark, dir) => {
-      val toks = TF.tokens(col("text"))
       documents(spark, dir)
-        .select(col("lang").as("labeled"), TF.langId(toks).as("detected"))
+        .select(col("lang"), TF.tokens(col("text")).as("toks"))
+        .select(col("lang").as("labeled"), TF.langId(col("toks")).as("detected"))
         .groupBy(col("labeled"), col("detected"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("labeled"), col("detected"))
@@ -93,8 +96,12 @@ object TextAnalysis {
         WITH t AS (SELECT unnest(${TS.toksExpr("text")}) AS term FROM documents)
         SELECT term, count(*) AS n FROM t
         GROUP BY term ORDER BY n DESC, term LIMIT 30"""))( (spark, dir) => {
+      // Persist before the explode: Generate re-evaluates expensive
+      // generator inputs (see Dedup q41), making explode(tokens(text))
+      // quadratic in document length otherwise.
       documents(spark, dir)
-        .select(explode(TF.tokens(col("text"))).as("term"))
+        .select(TF.tokens(col("text")).as("toks")).persist()
+        .select(explode(col("toks")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(30)
@@ -118,8 +125,12 @@ object TextAnalysis {
         SELECT doc_id, term AS top_term, w
         FROM scored WHERE rn = 1 ORDER BY doc_id"""))( (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // Token arrays persisted pre-explode (see q34); the exploded terms
+      // relation is consumed three times (tf, df, n_docs) and re-explodes
+      // cheaply from the cache each time.
       val toks = documents(spark, dir)
-        .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks")).persist()
+        .select(col("doc_id"), explode(col("toks")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
