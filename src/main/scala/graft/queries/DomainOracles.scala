@@ -148,18 +148,26 @@ object DomainOracles {
     // through the REAL rayUdf, on the isolated slice where best-per-group
     // is the identity. The oracle spells the identical float ops in SQL
     // (ProjectionSql); only libm trig drifts, absorbed by round(·, 6).
+    // Output is the ray DIRECTION (endpoint − origin): the endpoint
+    // itself carries the origin's float magnitude, so a 1-ulp
+    // representation flip there is ~1.5e-11 — enough to straddle a
+    // round-6 boundary once per ~10⁷ values (observed at sf0.1). The
+    // subtraction is exact (Sterbenz: both operands within 2× of ox), so
+    // directions re-shrink the drift to the ~1e-15 trig level.
     QueryDef(
       "q89_isolated_rays",
       Some(s"""
         $isoCte,
         ${ringAndRaysCte("iso")}
         SELECT file_name, group_idx, v_idx::INT AS v_idx,
-               round(rx, 6) AS rx, round(ry, 6) AS ry, round(rz, 6) AS rz
+               round((rx) - (ox), 6) AS dx, round((ry) - (oy), 6) AS dy,
+               round((rz) - (oz), 6) AS dz
         FROM rays ORDER BY file_name, group_idx, v_idx"""))( (spark, dir) =>
       StreetLevel.vertexRays(isolatedGrouped(spark, dir), Synthetic.poses(spark, dir), spacing = 2)
         .select(col("file_name"), col("group_idx"), col("v_idx"),
-          round(col("rx"), 6).as("rx"), round(col("ry"), 6).as("ry"),
-          round(col("rz"), 6).as("rz"))
+          round(col("rx") - col("ox"), 6).as("dx"),
+          round(col("ry") - col("oy"), 6).as("dy"),
+          round(col("rz") - col("oz"), 6).as("dz"))
         .orderBy(col("file_name"), col("group_idx"), col("v_idx"))),
 
     // ── Large-surface oracle for the pixel→ray operator itself: run
@@ -175,14 +183,17 @@ object DomainOracles {
         base AS (SELECT file_name, (det_idx - 1)::INT AS group_idx, x1, y1, x2, y2 FROM det),
         ${ringAndRaysCte("base")}
         SELECT file_name, group_idx, v_idx::INT AS v_idx,
-               round(rx, 6) AS rx, round(ry, 6) AS ry, round(rz, 6) AS rz
+               round((rx) - (ox), 6) AS dx, round((ry) - (oy), 6) AS dy,
+               round((rz) - (oz), 6) AS dz
         FROM rays ORDER BY file_name, group_idx, v_idx"""))( (spark, dir) => {
+      // Direction output, not endpoint — see q89's rounding-margin note.
       val det = Synthetic.detections(spark, dir)
         .withColumn("group_idx", (col("det_idx") - 1).cast("int"))
       StreetLevel.vertexRays(det, Synthetic.poses(spark, dir), spacing = 2)
         .select(col("file_name"), col("group_idx"), col("v_idx"),
-          round(col("rx"), 6).as("rx"), round(col("ry"), 6).as("ry"),
-          round(col("rz"), 6).as("rz"))
+          round(col("rx") - col("ox"), 6).as("dx"),
+          round(col("ry") - col("oy"), 6).as("dy"),
+          round(col("rz") - col("oz"), 6).as("dz"))
         .orderBy(col("file_name"), col("group_idx"), col("v_idx"))
     }),
 

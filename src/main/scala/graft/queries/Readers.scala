@@ -20,12 +20,17 @@ import graft.sources.DetectionReaders
   */
 object Readers {
 
-  /** Per-sf fixture dir; regenerated (overwritten) on every build so the
-    * scan always reads current content.
+  /** Per-sf fixture dir, CLEARED and regenerated on every build — a
+    * directory scan (q71) must never pick up files a previous generator
+    * version left behind.
     */
   private def fixtureDir(sfDir: String, sub: String): String = {
     val d = Paths.get("/tmp/graft_fixtures",
       sfDir.replaceAll("[^a-zA-Z0-9.]", "_"), sub)
+    if (Files.exists(d)) {
+      val files = Files.list(d)
+      try files.forEach(p => Files.deleteIfExists(p)) finally files.close()
+    }
     Files.createDirectories(d)
     d.toString
   }
