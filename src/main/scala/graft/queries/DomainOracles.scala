@@ -50,8 +50,12 @@ object DomainOracles {
     val iou = org.apache.spark.sql.graft.CylindricalIou.column(
       col("ax1"), col("ay1"), col("ax2"), col("ay2"),
       col("bx1"), col("by1"), col("bx2"), col("by2"), lit(W), lit(4000.0))
+    // IoU > 0 requires y-overlap > 0 — the two-compare precondition
+    // prunes most pairs before the kernel call (answer-preserving;
+    // mirrors q81's pre-filter).
     val partnered = a.join(b,
-        col("file_name") === col("fn_b") && col("a_idx") =!= col("b_idx") && iou > 0.0)
+        col("file_name") === col("fn_b") && col("a_idx") =!= col("b_idx")
+          && col("ay1") < col("by2") && col("by1") < col("ay2") && iou > 0.0)
       .select(col("file_name"), col("a_idx").as("det_idx"))
       .distinct()
     det.join(partnered, Seq("file_name", "det_idx"), "left_anti")
