@@ -71,6 +71,14 @@ object Synthetic {
         (pmod(col("l_partkey"), lit(8)) + 1).cast("int")).as("class"))
   }
 
+  /** [[detections]] persisted once per (session, sfDir) — the derivation
+    * (a 600k-row window at sf0.1) feeds a dozen declared queries and both
+    * sides of the pair joins; every consumer after the first reads the
+    * columnar cache.
+    */
+  def detectionsCached(spark: SparkSession, sfDir: String): DataFrame =
+    SessionCache.getOrPersist(spark, s"detections:$sfDir")(detections(spark, sfDir))
+
   /** DuckDB mirror of [[detections]] as a CTE body (same ops, same float
     * order) so downstream SQL-expressible queries keep full oracles.
     */

@@ -21,27 +21,12 @@ object Domain {
     * real pipeline uses for a reused stage; Spark's lazy persist means
     * the first consumer pays, the rest read columnar cache.
     */
-  private val groupedCache =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String),
-      org.apache.spark.sql.DataFrame]
-
   private def grouped(spark: org.apache.spark.sql.SparkSession, dir: String) =
-    // Synchronized compute-if-absent: concurrent first access must not
-    // build (and persist) the plan twice. Entries are evicted when the
-    // owning context ends so a long-lived JVM cycling sessions doesn't
-    // retain stale SparkSession references.
-    groupedCache.synchronized {
-      groupedCache.getOrElseUpdate((spark, dir), {
-        import spark.implicits._
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            groupedCache.synchronized { groupedCache.filterInPlace((k, _) => k._1 != spark) }
-        })
-        val det = Synthetic.detections(spark, dir)
-          .withColumnRenamed("class", "cls").as[Detection]
-        StreetLevel.groupedDetections(det, 0.01).toDF().persist()
-      })
+    graft.pipeline.SessionCache.getOrPersist(spark, s"grouped:$dir") {
+      import spark.implicits._
+      val det = Synthetic.detectionsCached(spark, dir)
+        .withColumnRenamed("class", "cls").as[Detection]
+      StreetLevel.groupedDetections(det, 0.01).toDF()
     }
 
   val all: Seq[QueryDef] = Seq(
@@ -54,7 +39,7 @@ object Domain {
         SELECT file_name, det_idx, x1, y1, x2, y2, score, class
         FROM (${Synthetic.detectionsSql})
         ORDER BY file_name, det_idx"""))((spark, dir) =>
-      Synthetic.detections(spark, dir).orderBy(col("file_name"), col("det_idx"))),
+      Synthetic.detectionsCached(spark, dir).orderBy(col("file_name"), col("det_idx"))),
 
     // ── U1 as a codegen'd column expression on the J4 self-join shape:
     // all pairs within a panorama with seam-aware cylindrical IoU over
@@ -82,7 +67,7 @@ object Domain {
       // at sf0.1 under honest materialization). The kernel computes the
       // invariants per pair — ~40 extra flops against a 17× win. At
       // 100 TB the join still shuffles on file_name once.
-      val det = Synthetic.detections(spark, dir)
+      val det = Synthetic.detectionsCached(spark, dir)
       val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
         col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
       val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
@@ -175,7 +160,7 @@ object Domain {
           (x1.toDouble, y1.toDouble), (x2.toDouble, y1.toDouble),
           (x2.toDouble, y2.toDouble), (x1.toDouble, y2.toDouble)))
       }
-      Synthetic.detections(spark, dir)
+      Synthetic.detectionsCached(spark, dir)
         .filter(col("score") >= 0.05)
         .select(col("det_idx"),
           floor(col("x1")).as("ix1"), floor(col("y1")).as("iy1"),

@@ -40,7 +40,7 @@ object DomainOracles {
     * downstream is differentially tested against this definition.
     */
   private def isolated(spark: SparkSession, dir: String): DataFrame = {
-    val det = Synthetic.detections(spark, dir)
+    val det = Synthetic.detectionsCached(spark, dir)
     val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
       col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
     val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
@@ -67,21 +67,11 @@ object DomainOracles {
     * O(n²) partner join and the kernel run once, not three times (same
     * materialized-intermediate pattern as Domain.grouped).
     */
-  private val isoCache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
-
   private def isolatedGrouped(spark: SparkSession, dir: String): DataFrame =
-    isoCache.synchronized {
-      isoCache.getOrElseUpdate((spark, dir), {
-        import spark.implicits._
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            isoCache.synchronized { isoCache.filterInPlace((k, _) => k._1 != spark) }
-        })
-        val iso = isolated(spark, dir).withColumnRenamed("class", "cls").as[Detection]
-        StreetLevel.groupedDetections(iso, 0.01).toDF().persist()
-      })
+    graft.pipeline.SessionCache.getOrPersist(spark, s"isolatedGrouped:$dir") {
+      import spark.implicits._
+      val iso = isolated(spark, dir).withColumnRenamed("class", "cls").as[Detection]
+      StreetLevel.groupedDetections(iso, 0.01).toDF()
     }
 
   // ── Shared oracle CTE: det → invariants → partnered → isolated ───────
@@ -191,7 +181,7 @@ object DomainOracles {
                round((rz) - (oz), 6) AS dz
         FROM rays ORDER BY file_name, group_idx, v_idx"""))( (spark, dir) => {
       // Direction output, not endpoint — see q89's rounding-margin note.
-      val det = Synthetic.detections(spark, dir)
+      val det = Synthetic.detectionsCached(spark, dir)
         .withColumn("group_idx", (col("det_idx") - 1).cast("int"))
       StreetLevel.vertexRays(det, Synthetic.poses(spark, dir), spacing = 2)
         .select(col("file_name"), col("group_idx"), col("v_idx"),
