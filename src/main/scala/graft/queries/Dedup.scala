@@ -20,6 +20,20 @@ object Dedup {
                  list_transform(shingles, s -> ${TS.stringHashExpr("s")}) AS hs
           FROM sh)"""
 
+  /** (doc_id, shingles) persisted once per (session, sfDir) and shared
+    * by q41/q42/q43: the relation must be cached BEFORE any explode —
+    * Generate re-evaluates expensive generator inputs (measured 7.1 s
+    * exploded-from-computation vs 0.7 s cache build + 0.4 s explode-from-
+    * cache at sf0.1) — and tokens materialize in their own projection so
+    * the regex split runs once per row, not per consumer expression.
+    */
+  private def shingleSets(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"shingleSets:$dir") {
+      documents(spark, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: a simulated re-crawl (the corpus unioned with an
@@ -67,21 +81,13 @@ object Dedup {
         WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
         ORDER BY a_id, b_id"""))( (spark, dir) => {
       // shingles() is already distinct, so size() is the set size and the
-      // per-shingle explode enumerates each (doc, shingle) once.
-      // PERSIST BEFORE THE EXPLODE: feeding the shingle construction
-      // straight into Generate re-evaluates the expensive expression
-      // (measured 7.1 s for the exploded build vs 0.7 s cache build +
-      // 0.4 s explode-from-cache at sf0.1) — Catalyst inlines multiply-
-      // referenced aliases into the generator. Both join sides then
-      // explode from the columnar cache.
-      // (sz computed FROM the cache: size()+array-passthrough in one
-      // projection would inline and build the shingle array twice.)
-      val sets = documents(spark, dir)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
-        .persist()
-      val sh = sets.select(col("doc_id"), size(col("shingles")).as("sz"),
-        explode(col("shingles")).as("s"))
+      // per-shingle explode enumerates each (doc, shingle) once; both
+      // join sides explode from the shared shingleSets cache (sz also
+      // computed from the cache — size()+array-passthrough in one
+      // projection would inline and build the array twice).
+      val sh = shingleSets(spark, dir)
+        .select(col("doc_id"), size(col("shingles")).as("sz"),
+          explode(col("shingles")).as("s"))
       val a = sh.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("s"))
       val b = sh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("s").as("s_b"))
       a.join(b, col("s") === col("s_b") && col("a_id") < col("b_id"))
@@ -117,15 +123,11 @@ object Dedup {
           JOIN sh sb ON sb.doc_id = c.b_id)
         SELECT a_id, b_id, jac FROM verified
         WHERE jac >= 0.5 ORDER BY a_id, b_id"""))( (spark, dir) => {
-      // The shingle relation feeds three subtrees (signature generation
-      // and both sides of the candidate verify join). Persist it so the
-      // regex tokenization + shingling runs once, not three times — the
-      // plan object is shared, so all three subtrees hit the same
-      // InMemoryRelation. Tiny: one row of shingles per document.
-      val sh = documents(spark, dir)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
-        .persist()
+      // The shared shingleSets cache feeds three subtrees here
+      // (signature generation and both sides of the candidate verify
+      // join) — tokenization+shingling run once per session, not per
+      // subtree or per query.
+      val sh = shingleSets(spark, dir)
       val sig = sh.select(col("doc_id"),
         DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
       val bands = sig
@@ -167,14 +169,13 @@ object Dedup {
         ORDER BY a_id, b_id"""))( (spark, dir) => {
       val nBands = 7 // > maxHamming(6) ⇒ pigeonhole-complete
       val bits = 7   // ceil(48 / 7); last band gets the remaining 6 bits
-      // Persist the signatures BEFORE the band explode (see q41: Generate
-      // re-evaluates expensive generator inputs) — the simhash fold per
-      // document runs once; the band shifts are cheap from cache.
-      val s = documents(spark, dir)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
-        .select(col("doc_id"), DF.simhash48(TF.shingleHashes(col("shingles"))).as("sh48"))
-        .persist()
+      // Signatures persisted BEFORE the band explode (Generate
+      // re-evaluates expensive generator inputs); built from the shared
+      // shingleSets cache.
+      val s = graft.pipeline.SessionCache.getOrPersist(spark, s"simhash:$dir") {
+        shingleSets(spark, dir)
+          .select(col("doc_id"), DF.simhash48(TF.shingleHashes(col("shingles"))).as("sh48"))
+      }
       val bands = s.select(col("doc_id"), col("sh48"),
         explode(array((0 until nBands).map { b =>
           struct(lit(b).as("band"),
