@@ -107,6 +107,56 @@ object TextAnalysis {
         .limit(30)
     }),
 
+    // ── Normalization: the standard corpus-prep cleanup pass (lowercase,
+    // strip punctuation, collapse whitespace) as pure codegen'd column
+    // ops — map-only at any scale. Output keeps a digest + length so the
+    // row stays small while the full normalized string is still pinned.
+    QueryDef(
+      "q76_normalize_text",
+      Some(s"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:''"()-]', '', 'g'),
+                                     '\\s+', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT doc_id, length(norm)::BIGINT AS n_chars_norm,
+               ${TS.fingerprintExpr("norm")} AS norm_fp
+        FROM n ORDER BY doc_id"""))( (spark, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[.,!?;:'\"()-]", ""), "\\s+", " "))
+      documents(spark, dir)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"), length(col("norm")).cast("long").as("n_chars_norm"),
+          TF.fingerprint(col("norm")).as("norm_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Intra-document repetition ratio (the corpus-filtering signal for
+    // template/boilerplate spam): 1 − distinct_3grams / total_3grams.
+    // total = max(len(toks) − 2, 0); distinct = the shingle-set size.
+    QueryDef(
+      "q77_repetition",
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${TS.toksExpr("text")} AS toks FROM documents),
+        s AS (SELECT doc_id,
+                     greatest(len(toks) - 2, 0) AS total,
+                     len(${TS.shinglesExpr("toks", 3)}) AS dst
+              FROM t)
+        SELECT doc_id,
+               CASE WHEN total = 0 THEN 0.0
+                    ELSE round(1.0 - dst::DOUBLE / total, 6) END AS rep_ratio
+        FROM s ORDER BY doc_id"""))( (spark, dir) =>
+      documents(spark, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          greatest(size(col("toks")) - 2, lit(0)).as("total"),
+          size(TF.shingles(col("toks"), 3)).as("dst"))
+        .select(col("doc_id"),
+          when(col("total") === 0, 0.0)
+            .otherwise(round(lit(1.0) - col("dst").cast("double") / col("total"), 6))
+            .as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
     // ── TF-IDF: per-document top term by tf·idf weight — two-pass agg
     // (doc-frequency broadcast back onto the term explosion).
     QueryDef(
