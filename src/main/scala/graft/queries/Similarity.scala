@@ -107,6 +107,57 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ── IVF with nprobe=2: the recall/cost dial real IVF serving needs.
+    // Corpus vectors stay in their single nearest-anchor cell; each QUERY
+    // probes its 2 nearest cells and scores their union. Recall strictly
+    // improves over q51's nprobe=1 at 2× the scan cost — and the oracle
+    // mirrors the whole pipeline, so that tradeoff is itself verified.
+    QueryDef(
+      "q54_ivf_nprobe",
+      Some(s"""
+        $corpusCte,
+        anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n WHERE vec_id % 50 = 0),
+        ranked AS (
+          SELECT c.vec_id, c.label, c.v, c.nrm, a.a_id,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY (${VS.dotExpr("c.v", "a.av")} / (c.nrm * a.anrm)) DESC, a.a_id) AS arnk
+          FROM n c, anchors a),
+        cells AS (SELECT vec_id, label, v, nrm, a_id AS cell FROM ranked WHERE arnk = 1),
+        probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, a_id AS cell
+                   FROM ranked WHERE arnk <= 2 AND vec_id < 5)
+        SELECT q_id, neighbor_id, rnk, cos FROM (
+          SELECT p.q_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.q_id
+                                    ORDER BY (${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm)) DESC, c.vec_id) AS rnk,
+                 round(${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm), 6) AS cos
+          FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id)
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val anchors = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("anrm"))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy((VF.dot(col("embedding"), col("av")) / (col("nrm") * col("anrm"))).desc,
+          col("a_id"))
+      val ranked = e.crossJoin(broadcast(anchors))
+        .withColumn("arnk", row_number().over(aw))
+      val cells = ranked.filter(col("arnk") === 1)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("a_id").as("cell"))
+      val probes = ranked.filter(col("arnk") <= 2 && col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("a_id").as("cell"))
+      val scored = cells.join(broadcast(probes),
+          cells("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"),
+          round(col("c"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // ── Embedding-cosine near-dup pairs (completes the dedup family):
     // all pairs with cosine ≥ 0.45 (testdata max is ~0.513, next-below-
     // threshold ~0.449 — margin >1e-3 against the bitwise-matched fold).
