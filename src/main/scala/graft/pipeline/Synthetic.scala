@@ -119,7 +119,10 @@ object Synthetic {
       (pmod(col("id") * 11.0, lit(5.0)) - 2.0).as("pitch"),
       pmod(col("id") * 37.0, lit(360.0)).as("heading"),
       (col("id") * 3.5).as("ox"),
-      (col("id") * -2.0).as("oy"),
+      // `+ 0.0` normalizes the signed zero at id = 0: Spark's 0 * -2.0 is
+      // IEEE -0.0 while DuckDB emits +0.0, and the driver hash is
+      // bit-sensitive (round-2 q70 red). IEEE: -0.0 + 0.0 = +0.0 on both.
+      (col("id") * -2.0 + 0.0).as("oy"),
       (col("id") + 50.0).as("oz"))
   }
 
@@ -135,7 +138,7 @@ object Synthetic {
          ${pm("id * 11.0", "5.0")} - 2.0 AS pitch,
          ${pm("id * 37.0", "360.0")} AS heading,
          id * 3.5 AS ox,
-         id * -2.0 AS oy,
+         id * -2.0 + 0.0 AS oy,
          id + 50.0 AS oz
        FROM (SELECT DISTINCT floor(l_orderkey / 38)::BIGINT AS id FROM lineitem)"""
   }

@@ -1,7 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NearestCells
 import graft.functions.{VectorFunctions => VF, VectorSql => VS}
 import graft.sources.Tables._
 
@@ -22,6 +24,17 @@ object Similarity {
 
   private def cosNN(a: String, b: String) =
     s"(${VS.dotExpr(a + ".v", b + ".v")} / ($a.nrm * $b.nrm))"
+
+  /** IVF anchor set (every 50th vector), collected to the driver with its
+    * Spark-computed norms so the NearestCells kernel scores with the
+    * exact bits the oracle's ranked CTE uses. The collect is the anchor
+    * relation only — at 100 TB this is the kmeans-centroid read, not a
+    * corpus scan bottleneck (the filter prunes at the scan).
+    */
+  private def collectAnchors(e: DataFrame): Seq[(Long, Seq[Float], Double)] =
+    e.filter(col("vec_id") % 50 === 0)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -58,10 +71,14 @@ object Similarity {
 
     // ── IVF-style pruned KNN: anchors (every 50th vector) partition the
     // corpus into nearest-anchor cells; a query scores only its own cell
-    // (nprobe=1). The cell assignment is a broadcast-argmax map pass, so
-    // at scale the corpus can be written bucketed-by-cell and each query
-    // reads ~1/n_cells of the data. Recall < 1 by design — the oracle
-    // mirrors the same pipeline, so the tradeoff itself is verified.
+    // (nprobe=1). The anchor set is collected to the driver (the IVF
+    // centroid set is always driver-held — a few thousand × dim floats)
+    // and cell assignment is ONE codegen'd map-side projection
+    // ([[org.apache.spark.sql.graft.NearestCells]]): the corpus embedding
+    // column never enters a shuffle. At scale the corpus can be written
+    // bucketed-by-cell and each query reads ~1/n_cells of the data.
+    // Recall < 1 by design — the oracle mirrors the same pipeline, so the
+    // tradeoff itself is verified.
     QueryDef(
       "q51_ivf_knn",
       Some(s"""
@@ -84,15 +101,9 @@ object Similarity {
         WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val anchors = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("anrm"))
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy((VF.dot(col("embedding"), col("av")) / (col("nrm") * col("anrm"))).desc,
-          col("a_id"))
-      val cells = e.crossJoin(broadcast(anchors))
-        .withColumn("arnk", row_number().over(aw))
-        .filter(col("arnk") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("a_id").as("cell"))
+      val anchors = collectAnchors(e)
+      val cells = e.withColumn("cell",
+        element_at(NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
       val q = cells.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
           col("nrm").as("qn"), col("cell").as("qcell"))
@@ -108,10 +119,12 @@ object Similarity {
     }),
 
     // ── IVF with nprobe=2: the recall/cost dial real IVF serving needs.
-    // Corpus vectors stay in their single nearest-anchor cell; each QUERY
-    // probes its 2 nearest cells and scores their union. Recall strictly
-    // improves over q51's nprobe=1 at 2× the scan cost — and the oracle
-    // mirrors the whole pipeline, so that tradeoff is itself verified.
+    // Corpus vectors stay in their single nearest-anchor cell (the same
+    // map-side NearestCells projection as q51, k=1); each QUERY probes
+    // its 2 nearest cells (NearestCells k=2 on the already-filtered tiny
+    // query batch) and scores their union. Recall strictly improves over
+    // q51's nprobe=1 at 2× the scan cost — and the oracle mirrors the
+    // whole pipeline, so that tradeoff is itself verified.
     QueryDef(
       "q54_ivf_nprobe",
       Some(s"""
@@ -134,20 +147,14 @@ object Similarity {
         WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val anchors = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("anrm"))
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy((VF.dot(col("embedding"), col("av")) / (col("nrm") * col("anrm"))).desc,
-          col("a_id"))
-      val ranked = e.crossJoin(broadcast(anchors))
-        .withColumn("arnk", row_number().over(aw))
-      val cells = ranked.filter(col("arnk") === 1)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("a_id").as("cell"))
-      val probes = ranked.filter(col("arnk") <= 2 && col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("nrm").as("qn"), col("a_id").as("cell"))
+      val anchors = collectAnchors(e)
+      val cells = e.withColumn("cell",
+        element_at(NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+          explode(NearestCells.column(col("embedding"), col("nrm"), anchors, 2)).as("qcell"))
       val scored = cells.join(broadcast(probes),
-          cells("cell") === probes("cell") && col("vec_id") =!= col("q_id"))
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))

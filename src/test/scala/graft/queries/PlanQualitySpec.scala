@@ -48,6 +48,36 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q50_knn_brute").contains("WindowGroupLimit"))
   }
 
+  test("q51/q54: no shuffle exchange carries the embedding column") {
+    // The IVF cell assignment must be a map-side NearestCells projection
+    // (anchors driver-held): the round-2 crossJoin(broadcast)+window shape
+    // shuffled corpus×n_anchors rows with the arrays aboard. Only the
+    // scored (q_id, neighbor_id, cos) triple may enter an exchange; the
+    // tiny broadcast build side is exempt (it IS the query batch).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq("q51_ivf_knn", "q54_ivf_nprobe")) {
+      val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan // pre-AQE: exchanges visible
+        case p => p
+      }
+      val shuffled = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(shuffled.nonEmpty, s"$q: expected the final top-k shuffle")
+      // Round-robin fan-out of the single-row-group test parquet (the
+      // Tables reader's split-parallelism repartition) is exempt: at
+      // scale the scan has real splits and it disappears. What must never
+      // happen is a KEYED exchange (hash/range) moving the arrays — the
+      // round-2 crossJoin+window shape.
+      import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+      for (e <- shuffled if e.outputPartitioning.isInstanceOf[HashPartitioning]
+             || e.outputPartitioning.isInstanceOf[RangePartitioning])
+        assert(!e.child.schema.fieldNames.exists(f => f == "embedding" || f.endsWith("v")),
+          s"$q: keyed exchange carries vector column: ${e.child.schema.fieldNames.mkString(",")}")
+      assert(plan.toString.contains("nearestcells") || plan.toString.contains("NearestCells"),
+        s"$q: map-side NearestCells kernel present")
+    }
+  }
+
   test("q81: pair join is keyed on file_name, not a cross product") {
     val p = planOf("q81_iou_pairs")
     assert(!p.contains("CartesianProduct"), "no cartesian product")
