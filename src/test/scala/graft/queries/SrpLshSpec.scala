@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+
+/** q53's scale claim is candidate PRUNING: the banded signature join must
+  * admit a small fraction of the O(n²) pair space before the exact-cosine
+  * verify, and its survivors must be a subset of the brute-force q44
+  * answer. Asserted on the real sf0.01 corpus.
+  */
+class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = graft.Sessions.builder("4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("all 64 SRP planes are distinct (no periodic repeats)") {
+    val planes = (0 until 64).map(p => VectorFunctions.srpPlane(p, 64))
+    assert(planes.distinct.length == 64)
+  }
+
+  test("candidate ratio is a small fraction of the O(n²) pair space") {
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    val pairs = n * (n - 1) / 2
+    val cands = Similarity.srpCandidates(spark, dir).count()
+    info(s"corpus n=$n, pairs=$pairs, candidates=$cands (${cands * 100.0 / pairs}%)")
+    assert(cands > 0, "banding must produce candidates on this corpus")
+    assert(cands.toDouble / pairs < 0.10,
+      s"collision-counted banding admits <10% of pairs at this weak-similarity corpus: $cands/$pairs")
+  }
+
+  test("q53 output is a subset of brute-force q44 at the same threshold") {
+    def pairs(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = pairs("q53_srp_lsh")
+    val brute = pairs("q44_embedding_neardup")
+    assert(lsh.nonEmpty, "q53 must find at least one pair at sf0.01")
+    assert(lsh.subsetOf(brute), s"LSH pairs not in brute-force answer: ${lsh -- brute}")
+  }
+
+  test("signature relation is computed and persisted once per (session, dir)") {
+    val a = Similarity.srpSignatures(spark, dir)
+    val b = Similarity.srpSignatures(spark, dir)
+    assert(a eq b, "SessionCache must return the same persisted relation")
+    assert(a.storageLevel.useMemory, "signature relation must be persisted")
+  }
+
+  test("dimension mismatch fails loudly instead of signing a truncated vector") {
+    val s = spark; import s.implicits._
+    val df = Seq(Tuple1(Seq(1f, 2f, 3f))).toDF("embedding")
+    val ex = intercept[Exception] {
+      df.select(VectorFunctions.srpSignature(col("embedding"), 8, 64)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
