@@ -273,10 +273,12 @@ object Similarity {
         .orderBy(col("a_id"), col("b_id"))),
 
     // ── Per-label centroid + intra-cluster cohesion: element-wise mean
-    // vector per label (posexplode → groupBy(label, dim) → re-pack), then
-    // the average cosine of members to their own centroid. The dim-wise
-    // partial-agg shape is the scalable way to average vectors (no
-    // collect, map-side combine on (label, dim)).
+    // vector per label via the native VectorAvg aggregate (one map-side-
+    // combined pass; the buffer is [count, sums…], so one (dim+1)-double
+    // buffer shuffles per label×partition — no posexplode, no (label,dim)
+    // shuffle, no collect_list re-pack), then the average cosine of
+    // members to their own centroid. The oracle keeps the declarative
+    // dim-wise avg spec.
     QueryDef(
       "q52_label_centroid",
       Some(s"""
@@ -296,11 +298,8 @@ object Similarity {
         FROM embeddings e JOIN cent c ON e.label = c.label
         GROUP BY e.label ORDER BY e.label"""))( (spark, dir) => {
       val e = embeddings(spark, dir)
-      val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim")).agg(avg(col("x").cast("double")).as("a"))
-        .groupBy(col("label"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("a")))),
-          s => s.getField("a")).as("cv"))
+      val cent = e.groupBy(col("label"))
+        .agg(org.apache.spark.sql.graft.VectorAvg.column(col("embedding")).as("cv"))
       e.join(broadcast(cent), "label")
         .withColumn("c", VF.cosine(col("embedding"), col("cv")))
         .groupBy(col("label"))
