@@ -6,8 +6,9 @@ import graft.sources.Tables._
 
 /** Distribution statistics: exact percentiles, stddev/variance, cube
   * grouping — aggregation-surface depth beyond SURVEY §2.6 (additive).
-  * approx_count_distinct / sketches are deliberately NOT oracled (the
-  * HLL estimate differs by engine); the exact forms are.
+  * Sketch ESTIMATES are engine-specific and can't be value-compared, so
+  * q39 oracles their error-band guarantees instead (see its comment);
+  * the exact forms (q36) are oracled value-for-value.
   */
 object Stats {
 
@@ -59,6 +60,55 @@ object Stats {
           coalesce(col("l_linestatus"), lit("<all>")).as("status"),
           col("g_flag"), col("g_status"), col("n"), col("qty"))
         .orderBy(col("flag"), col("status"), col("g_flag"), col("g_status"))),
+
+    // ── Approximate-sketch scale path, fully oracled via tolerance
+    // bands: q36's exact `percentile` buffers every value per group — the
+    // 100 TB path is the mergeable sketch (GK quantile summaries /
+    // HLL++), whose estimates are engine-specific and can't be compared
+    // value-for-value. So the query emits the GUARANTEE, not the
+    // estimate: for each group × metric, whether the sketch result lands
+    // inside its published error band, judged against exact ranks/counts
+    // computed alongside. The oracle asserts `true` for every row — a
+    // broken sketch hash-fails, a working one matches. (The exact
+    // rank/ndv sides exist only to referee the sketch; production reads
+    // the approx columns alone.)
+    //
+    // approx_percentile(accuracy=10000): rank error ≤ n/10000; checked
+    // two-sided with 2× margin (+2 for rank-definition slack) against the
+    // duplicate-aware rank interval [cnt_lt+1, cnt_le].
+    // approx_count_distinct(rsd=0.05): |est − exact| ≤ 3σ = 15%.
+    QueryDef(
+      "q39_approx_sketches",
+      Some("""
+        SELECT l_returnflag, m.metric, true AS within_bound
+        FROM (SELECT DISTINCT l_returnflag FROM lineitem) flags,
+             (SELECT unnest(['ndv', 'p50', 'p90']) AS metric) m
+        ORDER BY l_returnflag, metric"""))( (spark, dir) => {
+      val li = lineitem(spark, dir)
+      val accuracy = 10000
+      val ap = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)),
+          lit(accuracy)).as("ap"), count(lit(1)).as("n"))
+      val pq = ap.select(col("l_returnflag"), col("n"),
+          posexplode(col("ap")).as(Seq("qi", "av")))
+        .withColumn("q", element_at(array(lit(0.5), lit(0.9)), col("qi") + 1))
+      val tol = col("n") * 2.0 / accuracy + lit(2.0)
+      val pcheck = li.join(broadcast(pq), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("q"), col("av"), col("n"))
+        .agg(
+          sum(when(col("l_extendedprice") < col("av"), 1L).otherwise(0L)).as("cnt_lt"),
+          sum(when(col("l_extendedprice") <= col("av"), 1L).otherwise(0L)).as("cnt_le"))
+        .select(col("l_returnflag"),
+          concat(lit("p"), (col("q") * 100).cast("int").cast("string")).as("metric"),
+          (col("q") * col("n") >= col("cnt_lt") + 1 - tol
+            && col("q") * col("n") <= col("cnt_le") + tol).as("within_bound"))
+      val ndv = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("acd"),
+          countDistinct(col("l_partkey")).as("ed"))
+        .select(col("l_returnflag"), lit("ndv").as("metric"),
+          (abs(col("acd") - col("ed")) <= col("ed") * 0.15).as("within_bound"))
+      pcheck.unionByName(ndv).orderBy(col("l_returnflag"), col("metric"))
+    }),
 
     // ── Histogram via width bucketing — the fixed-bin sketch shape that
     // scales as a single map-side pass + tiny shuffle.
