@@ -34,6 +34,46 @@ object Dedup {
         .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
     }
 
+  /** q41's index-join pipeline with the Σdf² guard implemented: shingles
+    * with document frequency above `dfCap` are dropped from the inverted
+    * index (HAVING df ≤ cap), bounding pair enumeration at corpus scale
+    * where a stopword-frequent shingle would otherwise dominate Σdf².
+    *
+    * Answer behavior: with the production cap (10000, far above this
+    * corpus's max df of ~25) the filter is a structural no-op and the
+    * output is the exact Jaccard answer the O(n²) oracle defines. With a
+    * biting cap, pairs are found only through their RARE shared shingles
+    * and the intersection count excludes dropped shingles — the pair SET
+    * at the 0.5 threshold is preserved as long as qualifying pairs share
+    * rare shingles (true for near-duplicates, whose shingles are ~df-2;
+    * DedupDfCapSpec pins this empirically at a cap that provably drops
+    * shingles on the real corpus).
+    *
+    * shingles() is already distinct, so size() is the set size and the
+    * per-shingle explode enumerates each (doc, shingle) once; both join
+    * sides explode from the shared shingleSets cache (sz also computed
+    * from the cache — size()+array-passthrough in one projection would
+    * inline and build the array twice).
+    */
+  private[queries] def ngramJaccardPairs(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dfCap: Int) = {
+    val sh = shingleSets(spark, dir)
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("s"))
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select(col("s"))
+    val idx = sh.join(rare, "s")
+    val a = idx.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("s"))
+    val b = idx.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("s").as("s_b"))
+    a.join(b, col("s") === col("s_b") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .withColumn("jac_raw", col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
+      .filter(col("jac_raw") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: a simulated re-crawl (the corpus unioned with an
@@ -64,10 +104,9 @@ object Dedup {
     // Jaccard from |A|,|B|,|A∩B|. Answer-identical to the all-pairs scan
     // (a pair with zero common shingles has Jaccard 0 < threshold), but
     // pairs with no overlap are never enumerated — no BNLJ anywhere.
-    // The pair enumeration is Σ df² over shingle frequencies, bounded as
-    // long as no shingle is corpus-stopword-frequent; at 100 TB add a
-    // df-cap filter (drop shingles with df > cap — answer-preserving for
-    // thresholds where rare shingles must dominate) or fall back to q42.
+    // The pair enumeration is Σ df² over shingle frequencies; the index
+    // build caps df (see [[ngramJaccardPairs]]) so a corpus-stopword
+    // shingle can't explode it at 100 TB.
     // The ORACLE deliberately stays the O(n²) declarative spec — the
     // obviously-correct definition of the result, independent of this
     // optimization, so the equality check verifies the index algebra.
@@ -79,25 +118,8 @@ object Dedup {
                round(${DS.jaccardExpr("a.shingles", "b.shingles")}, 6) AS jac
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
-        ORDER BY a_id, b_id"""))( (spark, dir) => {
-      // shingles() is already distinct, so size() is the set size and the
-      // per-shingle explode enumerates each (doc, shingle) once; both
-      // join sides explode from the shared shingleSets cache (sz also
-      // computed from the cache — size()+array-passthrough in one
-      // projection would inline and build the array twice).
-      val sh = shingleSets(spark, dir)
-        .select(col("doc_id"), size(col("shingles")).as("sz"),
-          explode(col("shingles")).as("s"))
-      val a = sh.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("s"))
-      val b = sh.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("s").as("s_b"))
-      a.join(b, col("s") === col("s_b") && col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
-        .agg(count(lit(1)).cast("double").as("inter"))
-        .withColumn("jac_raw", col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
-        .filter(col("jac_raw") >= 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
-        .orderBy(col("a_id"), col("b_id"))
-    }),
+        ORDER BY a_id, b_id"""))( (spark, dir) =>
+      ngramJaccardPairs(spark, dir, dfCap = 10000)),
 
     // ── MinHash + LSH: shingle→minhash→band→bucket-join→verify. The
     // scale path: candidate generation shuffles only (band, key) pairs;

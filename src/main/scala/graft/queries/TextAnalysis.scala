@@ -14,6 +14,18 @@ import graft.sources.Tables._
   */
 object TextAnalysis {
 
+  /** (doc_id, toks) with the tokenizer applied once, persisted per
+    * (session, sfDir) via SessionCache — q34 and q35 both explode it,
+    * and the previous per-invocation inline `.persist()` leaked one
+    * cache entry per call with no eviction.
+    */
+  private def tokenArrays(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"toks:$dir") {
+      documents(spark, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Token counting: whitespace tokens + BPE-ish subword units.
@@ -96,11 +108,11 @@ object TextAnalysis {
         WITH t AS (SELECT unnest(${TS.toksExpr("text")}) AS term FROM documents)
         SELECT term, count(*) AS n FROM t
         GROUP BY term ORDER BY n DESC, term LIMIT 30"""))( (spark, dir) => {
-      // Persist before the explode: Generate re-evaluates expensive
-      // generator inputs (see Dedup q41), making explode(tokens(text))
-      // quadratic in document length otherwise.
-      documents(spark, dir)
-        .select(TF.tokens(col("text")).as("toks")).persist()
+      // Cached pre-explode (shared with q35 via SessionCache — one
+      // entry, evicted with the session): Generate re-evaluates
+      // expensive generator inputs (see Dedup q41), making
+      // explode(tokens(text)) quadratic in document length otherwise.
+      tokenArrays(spark, dir)
         .select(explode(col("toks")).as("term"))
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
@@ -175,11 +187,10 @@ object TextAnalysis {
         SELECT doc_id, term AS top_term, w
         FROM scored WHERE rn = 1 ORDER BY doc_id"""))( (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // Token arrays persisted pre-explode (see q34); the exploded terms
-      // relation is consumed three times (tf, df, n_docs) and re-explodes
-      // cheaply from the cache each time.
-      val toks = documents(spark, dir)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks")).persist()
+      // Token arrays cached pre-explode (SessionCache entry shared with
+      // q34); the exploded terms relation is consumed three times (tf,
+      // df, n_docs) and re-explodes cheaply from the cache each time.
+      val toks = tokenArrays(spark, dir)
         .select(col("doc_id"), explode(col("toks")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))

@@ -26,10 +26,12 @@ object SortedIntersectKernel {
       val cmp = x.compareTo(y)
       if (cmp == 0) {
         c += 1
-        // Skip equal runs on both sides (set semantics).
+        // Skip equal runs on both sides (set semantics). The run-skip
+        // must also tolerate nulls (sorted nulls are terminal): a null
+        // ends the run, and the outer walk then returns on it.
         val v = x
-        do i += 1 while (i < n && a.getUTF8String(i).compareTo(v) == 0)
-        do j += 1 while (j < m && b.getUTF8String(j).compareTo(v) == 0)
+        do i += 1 while (i < n && { val t = a.getUTF8String(i); t != null && t.compareTo(v) == 0 })
+        do j += 1 while (j < m && { val t = b.getUTF8String(j); t != null && t.compareTo(v) == 0 })
       } else if (cmp < 0) i += 1
       else j += 1
     }

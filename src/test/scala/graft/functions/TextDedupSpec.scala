@@ -144,6 +144,19 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diffs.count() == 0)
   }
 
+  test("sorted-intersect kernel tolerates null elements (sorted nulls are terminal)") {
+    val s = spark; import s.implicits._
+    // array_sort places nulls last; the merge walk (including the
+    // equal-run skip) must stop at the first null instead of NPE'ing.
+    val df = Seq(
+      (Seq[String]("a", "b", null), Seq[String]("a", "c", null)),
+      (Seq[String]("a", "a", null), Seq[String]("a", null, null)),
+      (Seq[String](null), Seq[String]("a"))).toDF("x", "y")
+    val r = df.select(org.apache.spark.sql.graft.SortedIntersectCount
+        .column(col("x"), col("y"))).collect().map(_.getInt(0))
+    assert(r.toSeq == Seq(1, 1, 0))
+  }
+
   test("jaccard: identical → 1, disjoint → 0, half-overlap by hand") {
     val s = spark; import s.implicits._
     val df = Seq((Seq("a", "b"), Seq("a", "b")),
