@@ -60,9 +60,17 @@ object Dedup {
     val sh = shingleSets(spark, dir)
       .select(col("doc_id"), size(col("shingles")).as("sz"),
         explode(col("shingles")).as("s"))
-    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap).select(col("s"))
-    val idx = sh.join(rare, "s")
+    // df rides the shuffle the pair join needs anyway: count(*) over
+    // (partition by s) on each join side filters heavy shingles with NO
+    // extra exchange (shingles are distinct within a doc, so the count
+    // IS df; the window's hash partitioning + sort on s is exactly what
+    // the sort-merge join consumes next). A separate groupBy+join df
+    // pass measured ~1.5 s slower at sf0.1. Skewed (stopword) shingle
+    // groups buffer one group at a time in WindowExec and spill — and
+    // are precisely the groups the filter then drops.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("s"))
+    val idx = sh.withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= dfCap)
     val a = idx.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("s"))
     val b = idx.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("s").as("s_b"))
     a.join(b, col("s") === col("s_b") && col("a_id") < col("b_id"))

@@ -75,13 +75,23 @@ object Domain {
       val iou = org.apache.spark.sql.graft.CylindricalIou.column(
         col("ax1"), col("ay1"), col("ax2"), col("ay2"),
         col("bx1"), col("by1"), col("bx2"), col("by2"), lit(8000.0), lit(4000.0))
-      // Exact pre-filter ahead of the kernel: IoU ≥ t > 0 requires
-      // y-overlap > 0, i.e. a_y1 < b_y2 ∧ b_y1 < a_y2 (boxes have
-      // positive height). Two compares prune most of the 90M pairs
-      // before the ~40-flop kernel call — answer-preserving, so the
-      // oracle is untouched.
+      // Exact pre-filters ahead of the kernel — answer-preserving, so
+      // the oracle is untouched:
+      // (1) IoU ≥ t > 0 requires y-overlap > 0: a_y1 < b_y2 ∧ b_y1 < a_y2
+      //     (boxes have positive height).
+      // (2) θ-interval precondition for PLAIN pairs: when neither box
+      //     wraps the seam (x1 ≤ x2, span ≤ 0.95·W — the kernel's swap
+      //     rule, mirrored bitwise via the same 0.95·W product), both
+      //     arcs live inside [0, W) and circle intersection reduces to
+      //     linear interval intersection; the x→θ map is monotone, so
+      //     ax1 ≥ bx2 ⟹ θ-overlap = 0. Wrapped/giant boxes (a few %)
+      //     skip the precondition and go straight to the kernel.
+      val seamSpan = lit(8000.0 * 0.95)
+      val plainA = col("ax2") >= col("ax1") && (col("ax2") - col("ax1")) <= seamSpan
+      val plainB = col("bx2") >= col("bx1") && (col("bx2") - col("bx1")) <= seamSpan
       a.join(b, col("file_name") === col("fn_b") && col("a_idx") < col("b_idx")
-          && col("ay1") < col("by2") && col("by1") < col("ay2"))
+          && col("ay1") < col("by2") && col("by1") < col("ay2")
+          && (!plainA || !plainB || (col("ax1") < col("bx2") && col("bx1") < col("ax2"))))
         .withColumn("iou_raw", iou)
         .filter(col("iou_raw") >= 0.02)
         .select(col("file_name"), col("a_idx"), col("b_idx"),
