@@ -68,10 +68,22 @@ object Domain {
       // invariants per pair — ~40 extra flops against a 17× win. At
       // 100 TB the join still shuffles on file_name once.
       val det = Synthetic.detectionsCached(spark, dir)
+      // y-band bucketing refines the join key from file_name to
+      // (file_name, band): each box explodes to the ≤2 512-px bands its
+      // y-span covers, and a pair is kept only in the CANONICAL band —
+      // the one containing max(ay1, by1), which any y-overlapping pair
+      // provably co-covers (overlap start lies inside both y-spans), so
+      // each qualifying pair survives exactly once. Σ n_band² per
+      // panorama is ~3× smaller than n² — the pair-enumeration loop, not
+      // the kernel, dominates this join.
+      val bandOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        y => floor(y / 512.0).cast("long")
       val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
-        col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
+          col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
+        .withColumn("band", explode(sequence(bandOf(col("ay1")), bandOf(col("ay2")))))
       val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
-        col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
+          col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
+        .withColumn("band_b", explode(sequence(bandOf(col("by1")), bandOf(col("by2")))))
       val iou = org.apache.spark.sql.graft.CylindricalIou.column(
         col("ax1"), col("ay1"), col("ax2"), col("ay2"),
         col("bx1"), col("by1"), col("bx2"), col("by2"), lit(8000.0), lit(4000.0))
@@ -89,7 +101,9 @@ object Domain {
       val seamSpan = lit(8000.0 * 0.95)
       val plainA = col("ax2") >= col("ax1") && (col("ax2") - col("ax1")) <= seamSpan
       val plainB = col("bx2") >= col("bx1") && (col("bx2") - col("bx1")) <= seamSpan
-      a.join(b, col("file_name") === col("fn_b") && col("a_idx") < col("b_idx")
+      a.join(b, col("file_name") === col("fn_b") && col("band") === col("band_b")
+          && col("band") === bandOf(greatest(col("ay1"), col("by1")))
+          && col("a_idx") < col("b_idx")
           && col("ay1") < col("by2") && col("by1") < col("ay2")
           && (!plainA || !plainB || (col("ax1") < col("bx2") && col("bx1") < col("ax2"))))
         .withColumn("iou_raw", iou)
