@@ -31,10 +31,13 @@ final case class BBox(
   val thetaMin: Double = xMin / imageWidth * 360.0
   val thetaMax: Double = xMax / imageWidth * 360.0
 
-  /** Python-style modulo (sign of divisor) — bbox.py:31-33. */
-  def width: Double = BBox.pmod(xMax - xMin, imageWidth)
+  /** Python-style modulo (sign of divisor) — bbox.py:31-33. Hoisted to
+    * vals: `area` is read once per IoU call and the grouping kernel makes
+    * O(n²) of those per panorama — same bits, computed once per box.
+    */
+  val width: Double = BBox.pmod(xMax - xMin, imageWidth)
   def height: Double = yMax - yMin
-  def area: Double = width * height
+  val area: Double = width * height
 
   def crossesSeam: Boolean = xMax < xMin
 
@@ -128,11 +131,16 @@ object BBoxGrouping {
   def group(bboxes: IndexedSeq[BBox], iouThreshold: Double): Vector[Vector[Int]] = {
     val n = bboxes.length
     val sim = Array.ofDim[Double](n, n)
+    // IoU is exactly symmetric (θ-overlap, y-overlap, and union are all
+    // order-invariant), so compute the upper triangle and mirror — the
+    // same doubles the full matrix would hold, at half the kernel calls.
     var i = 0
     while (i < n) {
-      var j = 0
+      var j = i + 1
       while (j < n) {
-        if (i != j) sim(i)(j) = bboxes(i).iou(bboxes(j))
+        val v = bboxes(i).iou(bboxes(j))
+        sim(i)(j) = v
+        sim(j)(i) = v
         j += 1
       }
       i += 1
