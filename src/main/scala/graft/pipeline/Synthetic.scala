@@ -44,11 +44,11 @@ object Synthetic {
     val x2 = when(giant, x1 + 7700.0).otherwise(pmod(x2n, lit(W)))
     val y1 = pmod(col("l_orderkey") * 17.0, lit(3400.0)) + jy
     val y2 = y1 + 120.0 + pmod(col("l_orderkey") * 37.0, lit(250.0))
-    // Repartition: the single-row-group testdata parquet gives one input
-    // split, and everything downstream of the derivation (O(n²) IoU
-    // joins, grouping kernels, ray UDFs) is CPU-bound — parallelism is
-    // worth one small shuffle. Multi-file production layouts make this a
-    // rebalance no-op.
+    // No explicit repartition here: det_idx's window shuffles by
+    // panorama immediately, so the derivation's CPU work (and everything
+    // downstream) already runs at the window's parallelism — a round-
+    // robin exchange ahead of it would be a wasted full shuffle of
+    // lineitem (and at production scale would SHRINK a many-split scan).
     // det_idx: row_number over a TOTAL order within the panorama. The
     // testdata has duplicate (l_orderkey, l_linenumber) pairs, so a
     // key-arithmetic id would collide — and with duplicate ids the
@@ -61,7 +61,7 @@ object Synthetic {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_extendedprice"), col("l_quantity"),
           col("l_discount")))
-    li.repartition(spark.sparkContext.defaultParallelism).select(
+    li.select(
       concat(lit("pano_"), lpad(fileId.cast("string"), 6, "0"), lit(".jpg")).as("file_name"),
       detIdx.cast("long").as("det_idx"),
       x1.as("x1"), y1.as("y1"), x2.as("x2"), y2.as("y2"),

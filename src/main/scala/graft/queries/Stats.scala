@@ -27,14 +27,21 @@ object Stats {
                round(stddev_samp(l_extendedprice), 4) AS sd,
                round(var_samp(l_extendedprice), 4) AS var
         FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))( (spark, dir) =>
+      // One percentile aggregate with an array of targets: three separate
+      // percentile() calls each buffer the whole group's values — the
+      // array form sorts one buffer and reads three ranks from it.
       lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-          round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"),
+          percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
           round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
           round(var_samp(col("l_extendedprice")), 4).as("var"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).as("p50"),
+          round(element_at(col("ps"), 2), 4).as("p90"),
+          round(element_at(col("ps"), 3), 4).as("p99"),
+          col("sd"), col("var"))
         .orderBy(col("l_returnflag"))),
 
     // ── CUBE over two dimensions (rollup exists as q26): all 4 grouping

@@ -39,12 +39,20 @@ object Tables {
     * minhash, vector folds, codecs). The testdata files are single-row-
     * group parquet — ONE input split — so without an explicit repartition
     * every downstream map stage and nested-loop join runs in one task.
-    * The shuffle is a few MB; the parallelism it buys is ×cores. On a
-    * real multi-file 100 TB layout the reader would already produce
-    * thousands of splits and this becomes a no-op-sized rebalance.
+    * The shuffle is a few MB; the parallelism it buys is ×cores.
+    *
+    * CONDITIONAL: a real multi-file 100 TB layout already produces
+    * thousands of scan splits, and an unconditional repartition(cores)
+    * would then shuffle the whole corpus to SHRINK its parallelism. The
+    * fan-out only fires when the scan has fewer partitions than cores —
+    * on production layouts it is a true no-op (no shuffle at all).
     */
+  private[graft] def fanOut(df: DataFrame, s: SparkSession): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
   def documents(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents").repartition(s.sparkContext.defaultParallelism)
+    fanOut(table(s, d, "documents"), s)
   def embeddings(s: SparkSession, d: String): DataFrame =
-    table(s, d, "embeddings").repartition(s.sparkContext.defaultParallelism)
+    fanOut(table(s, d, "embeddings"), s)
 }
