@@ -117,6 +117,76 @@ object Stats {
       pcheck.unionByName(ndv).orderBy(col("l_returnflag"), col("metric"))
     }),
 
+    // ── Pivot: long→wide reshape (groupBy().pivot() with explicit value
+    // list — the explicit list matters at scale: without it Spark runs a
+    // distinct-values job first AND the output schema becomes data-
+    // dependent). Oracle spells the same thing as conditional aggregation.
+    QueryDef(
+      "q46_pivot",
+      Some("""
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,
+               round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty,
+               count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n,
+               count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))( (spark, dir) =>
+      lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          count(col("l_quantity")).as("n"))
+        .select(col("l_returnflag"),
+          col("F_qty").as("f_qty"), col("O_qty").as("o_qty"),
+          col("F_n").as("f_n"), col("O_n").as("o_n"))
+        .orderBy(col("l_returnflag"))),
+
+    // ── Unpivot: wide→long reshape via the typed unpivot API (stack
+    // shape) — map-only at any scale. Oracle as UNION ALL of the columns.
+    QueryDef(
+      "q47_unpivot",
+      Some("""
+        WITH wide AS (
+          SELECT l_returnflag,
+                 round(sum(l_quantity), 2) AS qty,
+                 round(sum(l_extendedprice), 2) AS price
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'price', price FROM wide
+        ORDER BY l_returnflag, metric"""))( (spark, dir) =>
+      lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"),
+          round(sum(col("l_extendedprice")), 2).as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))),
+
+    // ── Explicit GROUPING SETS (beyond q26 rollup / q37 cube): an
+    // arbitrary, non-hierarchical set list with GROUPING() flags.
+    QueryDef(
+      "q48_grouping_sets",
+      Some("""
+        SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               grouping(l_returnflag)::BIGINT AS g_flag,
+               grouping(l_linestatus)::BIGINT AS g_status,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status, g_flag, g_status"""))( (spark, dir) => {
+      lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+      spark.sql("""
+        SELECT coalesce(l_returnflag, '<all>') AS flag,
+               coalesce(l_linestatus, '<all>') AS status,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY flag, status, g_flag, g_status""")
+    }),
+
     // ── Histogram via width bucketing — the fixed-bin sketch shape that
     // scales as a single map-side pass + tiny shuffle.
     QueryDef(
