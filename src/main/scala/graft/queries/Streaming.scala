@@ -89,6 +89,21 @@ object Streaming {
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type ORDER BY event_type"""))( (spark, dir) =>
       EventStreams.firstPerUserType(events(spark, dir))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // ── Stream-static enrichment join: events against the broadcast
+    // customer dimension, rolled up per market segment — the canonical
+    // enrich-then-aggregate production stream. Identical transform
+    // replayed through MemoryStream in EventStreamsSpec; the stream side
+    // never shuffles for the join (broadcast per micro-batch).
+    QueryDef(
+      "q65_stream_static",
+      Some("""
+        SELECT c_mktsegment, count(*) AS n, round(sum(value), 6) AS total
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment"""))( (spark, dir) =>
+      EventStreams.enrichedSegmentRollup(
+          events(spark, dir), graft.sources.Tables.customer(spark, dir))
+        .orderBy(col("c_mktsegment")))
   )
 }

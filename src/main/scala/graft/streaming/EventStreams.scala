@@ -77,6 +77,18 @@ object EventStreams {
       && col("ts") >= col("r_ts") - expr(s"INTERVAL $window"))
   }
 
+  /** Stream-static enrichment: the events stream joined to a broadcast
+    * customer dimension — THE most common production streaming shape
+    * (enrich-then-aggregate). The static side is planned as a broadcast
+    * per micro-batch, so the stream never shuffles for the join; the
+    * same transform runs identically in batch (q65's oracle) and under
+    * readStream (EventStreamsSpec replays it through MemoryStream).
+    */
+  def enrichedSegmentRollup(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
+
   // ── Custom stateful sessionization (flatMapGroupsWithState) ─────────
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -155,6 +155,33 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, ts(10, 0), 1L, 4.0))) // session B: flushed by event-time timeout
   }
 
+  test("stream-static enrichment join converges to the batch rollup") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    // Static dimension: 3 customers covering the fixture's user ids;
+    // user 3 has no dim row (inner join drops it) — the enrichment must
+    // broadcast the static side per micro-batch, never shuffle the
+    // stream.
+    val customers = Seq(
+      (1L, "BUILDING"), (2L, "MACHINERY"), (99L, "FLUSH"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Ev]
+    val sink = s"sink_${System.nanoTime()}"
+    val q = EventStreams.enrichedSegmentRollup(mem.toDF(), customers)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    mem.addData(fixture: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = EventStreams.enrichedSegmentRollup(batchDf, customers).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+    assert(got.exists(_._1 == "BUILDING") && !got.exists(_._1 == "FLUSH"),
+      "inner join keeps only matched segments")
+  }
+
   test("flatMapGroupsWithState sessionizer agrees with session_window in batch") {
     val s = spark; import s.implicits._
     val typed = batchDf.select(col("user_id"), col("ts"), col("value"))
