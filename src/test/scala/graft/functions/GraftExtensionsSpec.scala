@@ -27,6 +27,28 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v == 32.0)
   }
 
+  test("sorted_intersect_count is callable from SQL (null-safe)") {
+    val v = spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n")
+      .head().getInt(0)
+    assert(v == 2)
+    val withNull = spark.sql(
+      "SELECT sorted_intersect_count(array('a', CAST(NULL AS STRING)), array('a')) AS n")
+      .head().getInt(0)
+    assert(withNull == 1)
+  }
+
+  test("vector_avg aggregate is callable from SQL") {
+    val rows = spark.sql(
+      """SELECT k, vector_avg(v) AS cv FROM VALUES
+        |  (0, array(CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT))),
+        |  (0, array(CAST(3.0 AS FLOAT), CAST(5.0 AS FLOAT))),
+        |  (1, array(CAST(7.0 AS FLOAT), CAST(9.0 AS FLOAT))) AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+    assert(rows.toSeq == Seq(0 -> Seq(2.0, 4.0), 1 -> Seq(7.0, 9.0)))
+  }
+
   test("cylindrical_iou from SQL equals the pure-Scala kernel") {
     val v = spark.sql(
       """SELECT cylindrical_iou(100.0D, 200.0D, 300.0D, 400.0D,
