@@ -226,6 +226,68 @@ object Dedup {
         .filter(col("ham") <= 6)
         .select(col("a_id"), col("b_id"), col("ham"))
         .orderBy(col("a_id"), col("b_id"))
-    })
+    }),
+
+    // ── Dedup-cluster resolution: the pair queries (q41-q44) emit edges;
+    // a production dedup pipeline needs COMPONENTS — every document
+    // labeled with the min doc_id of its near-dup cluster, so one
+    // canonical doc per cluster survives. Implemented as iterative
+    // min-label propagation over the symmetric edge relation (the
+    // standard large-scale CC shape: each round is one join + one
+    // map-side-combined min-agg, converging in O(component diameter)
+    // rounds — no vertex ever collects its whole component). The ORACLE
+    // is a DuckDB recursive-CTE transitive closure over the same
+    // declarative pair spec — the obviously-correct definition,
+    // independent of the propagation algorithm.
+    QueryDef(
+      "q55_dedup_clusters",
+      // RECURSIVE must follow WITH directly and then covers every CTE in
+      // the list, so the shared shingle CTE is spliced in after it.
+      Some(s"""
+        WITH RECURSIVE ${shinglesSqlCte.trim.stripPrefix("WITH")},
+        edges AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5),
+        sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+                UNION SELECT b_id, a_id FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src ORDER BY doc_id"""))( (spark, dir) =>
+      graft.pipeline.SessionCache.getOrPersist(spark, s"dedupClusters:$dir") {
+        val edges = ngramJaccardPairs(spark, dir, dfCap = 10000)
+          .select(col("a_id"), col("b_id"))
+        val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .persist()
+        var labels = sym.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("label")).persist()
+        var changed = 1L
+        while (changed > 0) {
+          val neigh = sym.join(labels, col("dst") === col("id"))
+            .groupBy(col("src")).agg(min(col("label")).as("nl"))
+          val next = labels.join(neigh, col("id") === col("src"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("nl"), col("label"))).as("next_label"),
+              col("label").as("prev_label"))
+            .persist()
+          // count() materializes this round's labels (so persists
+          // truncate the growing lineage) AND is the convergence test.
+          changed = next.filter(col("next_label") < col("prev_label")).count()
+          val old = labels
+          labels = next.select(col("id"), col("next_label").as("label")).persist()
+          old.unpersist(); next.unpersist()
+        }
+        val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy(col("doc_id"))
+        // Loop intermediates are released; the final labels relation is
+        // materialized, and the SessionCache entry owns the result's
+        // lifecycle from here.
+        sym.unpersist()
+        out
+      }.orderBy(col("doc_id")))
   )
 }
