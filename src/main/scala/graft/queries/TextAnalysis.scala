@@ -119,6 +119,36 @@ object TextAnalysis {
         .limit(30)
     }),
 
+    // ── Deterministic train/val/test split: hash the stable document id
+    // (NOT random() — splits must be reproducible across runs, engines,
+    // and reshards; the same doc always lands in the same split). 80/10/
+    // 10 by pmod(poly_hash(id), 10); map-only per row, one tiny shuffle
+    // for the per-split stats. The hash is the polynomial fold already
+    // bitwise-mirrored in DuckDB (q42's minhash family), so the oracle
+    // reproduces the assignment exactly.
+    QueryDef(
+      "q56_hash_split",
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id, n_chars,
+                 ${TS.stringHashExpr("doc_id::VARCHAR")} % 10 AS b
+          FROM documents)
+        SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM h GROUP BY 1 ORDER BY split"""))( (spark, dir) => {
+      val b = pmod(org.apache.spark.sql.graft.GraftExpressions
+        .polyHash(col("doc_id").cast("string")), lit(10L))
+      documents(spark, dir)
+        .select(
+          when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"),
+          col("doc_id"), col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    }),
+
     // ── Normalization: the standard corpus-prep cleanup pass (lowercase,
     // strip punctuation, collapse whitespace) as pure codegen'd column
     // ops — map-only at any scale. Output keeps a digest + length so the
