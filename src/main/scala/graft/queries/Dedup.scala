@@ -55,6 +55,16 @@ object Dedup {
     * from the cache — size()+array-passthrough in one projection would
     * inline and build the array twice).
     */
+  /** The production-cap pair relation, persisted once per (session,
+    * sfDir): q41 declares it (ordered) and q55's component resolution
+    * consumes it as its edge list — without the cache each would pay the
+    * index join separately.
+    */
+  private[queries] def jacPairs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"jacPairs:$dir") {
+      ngramJaccardPairs(spark, dir, dfCap = 10000)
+    }
+
   private[queries] def ngramJaccardPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String, dfCap: Int) = {
     val sh = shingleSets(spark, dir)
@@ -79,7 +89,6 @@ object Dedup {
       .withColumn("jac_raw", col("inter") / (col("a_sz") + col("b_sz") - col("inter")))
       .filter(col("jac_raw") >= 0.5)
       .select(col("a_id"), col("b_id"), round(col("jac_raw"), 6).as("jac"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -127,7 +136,7 @@ object Dedup {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5
         ORDER BY a_id, b_id"""))( (spark, dir) =>
-      ngramJaccardPairs(spark, dir, dfCap = 10000)),
+      jacPairs(spark, dir).orderBy(col("a_id"), col("b_id"))),
 
     // ── MinHash + LSH: shingle→minhash→band→bucket-join→verify. The
     // scale path: candidate generation shuffles only (band, key) pairs;
@@ -258,8 +267,7 @@ object Dedup {
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id"""))( (spark, dir) =>
       graft.pipeline.SessionCache.getOrPersist(spark, s"dedupClusters:$dir") {
-        val edges = ngramJaccardPairs(spark, dir, dfCap = 10000)
-          .select(col("a_id"), col("b_id"))
+        val edges = jacPairs(spark, dir).select(col("a_id"), col("b_id"))
         val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
           .persist()
@@ -274,11 +282,16 @@ object Dedup {
               least(col("label"), coalesce(col("nl"), col("label"))).as("next_label"),
               col("label").as("prev_label"))
             .persist()
-          // count() materializes this round's labels (so persists
+          // count() materializes this round's full relation (so persists
           // truncate the growing lineage) AND is the convergence test.
           changed = next.filter(col("next_label") < col("prev_label")).count()
           val old = labels
           labels = next.select(col("id"), col("next_label").as("label")).persist()
+          // Materialize the new labels FROM next's cache before dropping
+          // it — unpersisting first would force every later action to
+          // recompute the whole iteration chain from the source (measured
+          // 25 s vs 3 s at sf0.1).
+          labels.count()
           old.unpersist(); next.unpersist()
         }
         val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
