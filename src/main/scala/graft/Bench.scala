@@ -31,7 +31,12 @@ object Bench {
       // projections and drop final sorts) without paying file-write I/O.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Post-timer: drop SessionCache entries whose last consumer (in
+      // this sorted order) just ran — bounds live storage over the sweep.
+      graft.queries.Registry.byName(name).releases
+        .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir"))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

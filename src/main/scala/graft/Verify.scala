@@ -12,7 +12,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Optional trailing args restrict the dump to named queries — the
     // local fast loop (tools/check_subset.py); the driver passes none.
-    SparkEntry.queries
+    // Sorted by name so QueryDef release points (declared against this
+    // order) fire after an entry's true last consumer.
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -20,6 +22,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      graft.queries.Registry.byName(name).releases
+        .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir"))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -79,15 +79,48 @@ object Multimodal {
       .select(col("doc_id").cast("long").as("media_id"))
       .withColumn("bytes", encodeUdf(col("media_id")))
 
+  /** [[media]] persisted once per (session, sfDir): q90/q91/q92 each
+    * consume the same blobs, and per-query re-encoding paid the UDF cost
+    * three times — UDF-heavy queries were the noisiest cluster in the
+    * round-3 bench. Released after its last consumer (q92).
+    */
+  def mediaCached(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"media:$sfDir")(media(spark, sfDir))
+
+  /** The codec seam: bytes → (kind, width, height, payload_len), None on
+    * undecodable input (corrupt blob ⇒ null row, filtered like F9).
+    * Everything downstream of the seam — schema, UDF signature, null
+    * handling, partition behavior — is codec-agnostic.
+    */
+  type MetaDecoder = Array[Byte] => Option[(String, Int, Int, Int)]
+
+  /** The deterministic in-container decoder (see [[FakeCodec]]). */
+  val fakeDecoder: MetaDecoder = bytes =>
+    FakeCodec.decodeMeta(bytes).map { case (k, w, h, len) =>
+      (if (k == 0) "image" else if (k == 1) "audio" else "video", w, h, len)
+    }
+
+  /** A REAL codec on the same seam: javax.imageio (JPEG/PNG/GIF/BMP from
+    * the stock JDK — no native libs). Not used by any declared query
+    * (oracles stay analytic over FakeCodec's closed form); MultimodalSpec
+    * drives real JPEG bytes through it to prove the seam holds for an
+    * actual decoder, not just the fake. payload_len is the full encoded
+    * size — a real pipeline's "bytes decoded" accounting.
+    */
+  val imageIoDecoder: MetaDecoder = bytes => {
+    if (bytes == null) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some(("image", img.getWidth, img.getHeight, bytes.length))
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Decode: bytes → typed metadata struct. Null-safe (bad magic → null
     * fields). The only place that reads the header.
     */
-  def withMeta(mediaDf: DataFrame): DataFrame = {
-    val metaUdf = udf { (bytes: Array[Byte]) =>
-      FakeCodec.decodeMeta(bytes).map { case (k, w, h, len) =>
-        (if (k == 0) "image" else if (k == 1) "audio" else "video", w, h, len)
-      }
-    }
+  def withMeta(mediaDf: DataFrame, decoder: MetaDecoder = fakeDecoder): DataFrame = {
+    val metaUdf = udf { (bytes: Array[Byte]) => decoder(bytes) }
     mediaDf.withColumn("meta", metaUdf(col("bytes")))
       .select(col("*"), col("meta._1").as("kind"), col("meta._2").as("width"),
         col("meta._3").as("height"), col("meta._4").as("payload_len"))

@@ -91,8 +91,8 @@ object WallPlanes {
     // (one kernel task — the reference's own decimated-mesh scale);
     // tiles>1 runs the margin-merge tiled path, which TilingSpec proves
     // label-identical on this pipeline's data.
-    val labeled =
-      if (tiles <= 1) {
+    if (tiles <= 1) {
+      val labeled =
         scaled.groupByKey(_ => 0L).flatMapGroups { (_, rows) =>
           val cs = rows.toIndexedSeq.sortBy(_.cell_id)
           val labels = Dbscan.fit(cs.map(c => Array(c.f0, c.f1, c.f2)), eps, minSamples)
@@ -101,19 +101,29 @@ object WallPlanes {
               if (l == Dbscan.Noise) -1L else l.toLong)
           }
         }.toDF("cell_id", "nx", "ny", "nz", "cx", "cy", "cz", "cluster")
-      } else {
-        val clusters = tiledClusters(
-          scaled.toDF().select(col("cell_id"), col("f0"), col("f1"), col("f2")),
-          eps, minSamples, tiles)
-        scaled.toDF()
-          .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
-            col("cx"), col("cy"), col("cz"))
-          .join(clusters, "cell_id")
-      }
-
-    // F8 noise drop + A7 per-cluster means + A8 bounds
-    // (MeshWallExtractror.py:75-89).
-    runAggregates(labeled)
+      // F8 noise drop + A7 per-cluster means + A8 bounds
+      // (MeshWallExtractror.py:75-89).
+      runAggregates(labeled)
+    } else {
+      val spark = cells.sparkSession
+      val clusters = tiledClusters(
+        scaled.toDF().select(col("cell_id"), col("f0"), col("f1"), col("f2")),
+        eps, minSamples, tiles)
+      val labeled = scaled.toDF()
+        .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
+          col("cx"), col("cy"), col("cz"))
+        .join(clusters, "cell_id")
+      // The per-cluster aggregate is O(#planes) — driver-tiny by problem
+      // construction (the reference collects the FULL point set for its
+      // global sklearn fit; this collects only the final plane rows).
+      // Materializing it eagerly lets the tiled path release every cache
+      // it created: no storage outlives the call.
+      val agg = runAggregates(labeled)
+      val rows = agg.collect().toIndexedSeq
+      clusters.unpersist(blocking = false)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), agg.schema)
+    }
   }
 
   private def runAggregates(labeled: DataFrame): DataFrame =
@@ -171,7 +181,10 @@ object WallPlanes {
   }
 
   /** @param points (cell_id, f0, f1, f2)
-    * @return (cell_id, cluster) with cluster = -1 for noise.
+    * @return (cell_id, cluster) with cluster = -1 for noise. The returned
+    *         relation is PERSISTED and MATERIALIZED (every intermediate
+    *         cache this call created has already been released); the
+    *         caller owns the final `unpersist()`.
     */
   def tiledClusters(points: DataFrame, eps: Double, minSamples: Int, tiles: Int): DataFrame = {
     val spark = points.sparkSession
@@ -286,6 +299,13 @@ object WallPlanes {
       .join(broadcast(mapDf), Seq("comp_key"), "left")
       .select(col("point_id").as("cell_id"),
         coalesce(col("cluster"), lit(-1L)).as("cluster"))
+      .persist()
+    // Materialize the labels FROM emitted's cache before dropping it —
+    // unpersist-first would force the whole two-phase kernel chain to
+    // recompute on the caller's first action (the q55 lesson). After
+    // this, the only live storage is the returned relation.
+    out.count()
+    emitted.unpersist(blocking = false)
     out
   }
 }

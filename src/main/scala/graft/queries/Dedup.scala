@@ -205,7 +205,8 @@ object Dedup {
                ${DS.hammingExpr("a.sh48", "b.sh48")} AS ham
         FROM s a JOIN s b ON a.doc_id < b.doc_id
         WHERE ${DS.hammingExpr("a.sh48", "b.sh48")} <= 6
-        ORDER BY a_id, b_id"""))( (spark, dir) => {
+        ORDER BY a_id, b_id"""),
+      releases = Seq("simhash"))( (spark, dir) => {
       val nBands = 7 // > maxHamming(6) ⇒ pigeonhole-complete
       val bits = 7   // ceil(48 / 7); last band gets the remaining 6 bits
       // Signatures persisted BEFORE the band explode (Generate
@@ -265,42 +266,98 @@ object Dedup {
           UNION
           SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src ORDER BY doc_id"""))( (spark, dir) =>
+        FROM reach GROUP BY src ORDER BY doc_id"""),
+      // Last consumer (sorted order) of the whole shingle→pair→component
+      // chain: everything upstream releases with it.
+      releases = Seq("shingleSets", "jacPairs", "dedupClusters"))( (spark, dir) =>
       graft.pipeline.SessionCache.getOrPersist(spark, s"dedupClusters:$dir") {
         val edges = jacPairs(spark, dir).select(col("a_id"), col("b_id"))
         val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
           .persist()
-        var labels = sym.select(col("src").as("id")).distinct()
-          .select(col("id"), col("id").as("label")).persist()
-        var changed = 1L
-        while (changed > 0) {
-          val neigh = sym.join(labels, col("dst") === col("id"))
-            .groupBy(col("src")).agg(min(col("label")).as("nl"))
-          val next = labels.join(neigh, col("id") === col("src"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("nl"), col("label"))).as("next_label"),
-              col("label").as("prev_label"))
-            .persist()
-          // count() materializes this round's full relation (so persists
-          // truncate the growing lineage) AND is the convergence test.
-          changed = next.filter(col("next_label") < col("prev_label")).count()
-          val old = labels
-          labels = next.select(col("id"), col("next_label").as("label")).persist()
-          // Materialize the new labels FROM next's cache before dropping
-          // it — unpersisting first would force every later action to
-          // recompute the whole iteration chain from the source (measured
-          // 25 s vs 3 s at sf0.1).
-          labels.count()
-          old.unpersist(); next.unpersist()
-        }
+        val (labels, _) = minLabelPropagation(sym)
         val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-          .orderBy(col("doc_id"))
-        // Loop intermediates are released; the final labels relation is
-        // materialized, and the SessionCache entry owns the result's
-        // lifecycle from here.
-        sym.unpersist()
+          .persist()
+        // Materialize the result FROM the loop's cache, then release
+        // every intermediate: after this block the entry itself is the
+        // only live storage (and q55's `releases` drops it in turn).
+        // getOrPersist's persist() on the already-persisted relation is
+        // a no-op, so no double storage.
+        out.count()
+        labels.unpersist(blocking = false)
+        sym.unpersist(blocking = false)
         out
       }.orderBy(col("doc_id")))
   )
+
+  /** Iterative min-label propagation with POINTER JUMPING over a
+    * symmetric edge relation (src, dst) → ((id, label), rounds).
+    *
+    * Each round takes the min over neighbors' labels (the classic
+    * one-hop large-scale CC step: one join + one map-side-combined
+    * min-agg) and then SHORTCUTS by following the winning label one more
+    * hop — label(label(id)) — so label information doubles its reach per
+    * round (large-star/small-star style): O(log diameter) rounds on
+    * chain-shaped clusters instead of O(diameter). Correctness is
+    * unchanged: a label is always the id of a node in the same component
+    * and per-node labels decrease monotonically, so the fixpoint (no
+    * neighbor offers a smaller label) is constant per component = the
+    * component min. No vertex ever collects its whole component.
+    *
+    * The returned labels relation is persisted and materialized; the
+    * caller owns its unpersist. `rounds` is exposed for the convergence
+    * spec.
+    */
+  private[queries] def minLabelPropagation(
+      sym: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Int) = {
+    val spark = sym.sparkSession
+    // An iterative loop must truncate the LOGICAL plan each round, not
+    // just cache the data: every round references the previous labels
+    // relation three times (neighbor agg, the left join, the pointer
+    // jump), so carrying plans forward grows the tree ~3^rounds — the
+    // analyzer/plan-rendering work OOMs long before the data does.
+    // Round-trip through a persisted RDD[Row]: the rebuilt DataFrame is
+    // a LEAF plan over materialized rows (constant-size plans at any
+    // round count) and each round's blocks release deterministically.
+    def asLeaf(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = asLeaf(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val neigh = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val prop = labels.join(neigh, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("lbl"),
+          col("label").as("prev_label"))
+      // Pointer jump: the winning label is itself a node id — adopt ITS
+      // current label too (≤ lbl by the monotone invariant).
+      val next = prop.join(
+          labels.select(col("id").as("jid"), col("label").as("jl")),
+          col("lbl") === col("jid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("jl"), col("lbl"))).as("next_label"),
+          col("prev_label"))
+      val (nextDf, nextRdd) = asLeaf(next)
+      // The count materializes this round's rows AND is the convergence
+      // test; only after it may the previous round's blocks drop
+      // (unpersist-first would recompute the whole chain — the measured
+      // 25 s vs 3 s lesson).
+      changed = nextDf.filter(col("next_label") < col("prev_label")).count()
+      rounds += 1
+      labelsRdd.unpersist(blocking = false)
+      labels = nextDf.select(col("id"), col("next_label").as("label"))
+      labelsRdd = nextRdd
+    }
+    val out = labels.persist()
+    out.count()
+    labelsRdd.unpersist(blocking = false)
+    (out, rounds)
+  }
 }

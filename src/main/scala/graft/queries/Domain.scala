@@ -76,6 +76,11 @@ object Domain {
       // each qualifying pair survives exactly once. Σ n_band² per
       // panorama is ~3× smaller than n² — the pair-enumeration loop, not
       // the kernel, dominates this join.
+      // Band height: 512 px is the measured knee. Boxes average ~244 px
+      // tall (max 369), so halving to 256 raises replication 1.47→1.95
+      // bands/box and GROWS enumerated pairs (44.6M → 47.7M at sf0.1;
+      // 128 px → 57.8M). Finer bands only pay when bands stay ≳2× the
+      // typical box height.
       val bandOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         y => floor(y / 512.0).cast("long")
       val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
@@ -151,7 +156,7 @@ object Domain {
     // pose join → rays → intersect with the synthetic building mesh.
     // Rows-only (BVH + trig); TriMeshSpec pins the kernel against
     // brute-force all-triangle intersection.
-    QueryDef("q86_mesh_intersect", None)( (spark, dir) => {
+    QueryDef("q86_mesh_intersect", None, releases = Seq("grouped"))( (spark, dir) => {
       // vertexRays carries ox/oy/oz through, so no second pose join here.
       val rays = StreetLevel.vertexRays(grouped(spark, dir), Synthetic.poses(spark, dir), spacing = 2)
       RayMesh.firstHits(rays, RayMesh.syntheticBuilding())

@@ -194,7 +194,9 @@ object DomainOracles {
         SELECT file_name, group_idx, v_idx::INT AS v_idx,
                round((rx) - (ox), 6) AS dx, round((ry) - (oy), 6) AS dy,
                round((rz) - (oz), 6) AS dz
-        FROM rays ORDER BY file_name, group_idx, v_idx"""))( (spark, dir) => {
+        FROM rays ORDER BY file_name, group_idx, v_idx"""),
+      // Last consumer (sorted order) of the raw detections cache.
+      releases = Seq("detections"))( (spark, dir) => {
       // Direction output, not endpoint — see q89's rounding-margin note.
       val det = Synthetic.detectionsCached(spark, dir)
         .withColumn("group_idx", (col("det_idx") - 1).cast("int"))
@@ -280,7 +282,8 @@ object DomainOracles {
         FROM rays r LEFT JOIN hit h
           ON r.file_name = h.file_name AND r.group_idx = h.group_idx
          AND r.v_idx = h.v_idx
-        ORDER BY r.file_name, r.group_idx, r.v_idx"""))( (spark, dir) => {
+        ORDER BY r.file_name, r.group_idx, r.v_idx"""),
+      releases = Seq("isolatedGrouped"))( (spark, dir) => {
       val rays = StreetLevel.vertexRays(
         isolatedGrouped(spark, dir), Synthetic.poses(spark, dir), spacing = 2)
       RayMesh.firstHits(rays, RayMesh.syntheticBuilding())

@@ -203,8 +203,23 @@ object Similarity {
     // ── Embedding-cosine near-dup pairs (completes the dedup family):
     // all pairs with cosine ≥ 0.45 (testdata max is ~0.513, next-below-
     // threshold ~0.449 — margin >1e-3 against the bitwise-matched fold).
-    // Brute force here; the scale path is q51's cell join or a
-    // sign-random-projection band join (q43's shape on vectors).
+    //
+    // This is the RECALL-1.0 exact baseline, so the plan must be an
+    // exact all-pairs — but not the BNLJ-with-arrays-aboard shape (which
+    // broadcasts a whole corpus side and nests interpreted per-pair
+    // expression eval). Instead: BLOCK-PARTITIONED all-pairs. Each
+    // vector lands in block id%B and is shuffled once to each of its B
+    // unordered block-pairs {p,q}; one task per block-pair runs a tight
+    // primitive kernel (same fold order as [[VectorDot]], so results are
+    // bitwise identical to the Column form and the oracle). Replication
+    // is exactly B× (tunable: pick B so 2n/B vectors fit one task's
+    // memory and B(B+1)/2 ≳ the cluster's task slots), work is evenly
+    // spread, and no corpus-sized broadcast exists. The O(n²) compute is
+    // the honest price of exactness — the SUBLINEAR path at a real dedup
+    // threshold is q53's SRP-LSH. (SRP candidates can NOT serve here:
+    // at this weak threshold cos≈0.45 ⇒ per-bit agreement only ~0.66,
+    // and the measured ≥2-of-8-band recall is 26/144 threshold pairs —
+    // any LSH-candidate plan would simply be wrong vs the exact oracle.)
     QueryDef(
       "q44_embedding_neardup",
       Some(s"""
@@ -213,13 +228,53 @@ object Similarity {
         FROM n a JOIN n b ON a.vec_id < b.vec_id
         WHERE ${cosNN("a", "b")} >= 0.45
         ORDER BY a_id, b_id"""))( (spark, dir) => {
+      import spark.implicits._
+      val nBlocks = 8
+      val thresh = 0.45
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("bn"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("c", VF.dot(col("av"), col("bv")) / (col("an") * col("bn")))
-        .filter(col("c") >= 0.45)
+        .as[(Long, Array[Float], Double)]
+      // Replicate each vector to its B unordered block-pairs, keyed
+      // canonically p*B+q (p ≤ q); o == b contributes the diagonal pair
+      // exactly once.
+      val repl = e.flatMap { case (id, v, nrm) =>
+        val b = (id % nBlocks).toInt
+        (0 until nBlocks).iterator.map { o =>
+          val p = math.min(b, o); val q = math.max(b, o)
+          (p * nBlocks + q, b, id, v, nrm)
+        }
+      }
+      val pairs = repl.groupByKey(_._1).flatMapGroups { (key, it) =>
+        val p = key / nBlocks; val q = key % nBlocks
+        val rows = it.toArray
+        // Bitwise-identical to VectorDot's fold: sequential float→double
+        // widening, double accumulation, then /(na*nb) — one multiply,
+        // one divide, same order as the Column expression it replaces.
+        def cosOf(va: Array[Float], na: Double, vb: Array[Float], nb: Double): Double = {
+          val n = math.min(va.length, vb.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += va(i).toDouble * vb(i).toDouble; i += 1 }
+          acc / (na * nb)
+        }
+        def emit(x: (Int, Int, Long, Array[Float], Double),
+                 y: (Int, Int, Long, Array[Float], Double)): Option[(Long, Long, Double)] = {
+          val c = cosOf(x._4, x._5, y._4, y._5)
+          if (c >= thresh) {
+            Some(if (x._3 < y._3) (x._3, y._3, c) else (y._3, x._3, c))
+          } else None
+        }
+        if (p == q) {
+          // Intra-block: each unordered pair once (i < j).
+          rows.indices.iterator.flatMap { i =>
+            (i + 1 until rows.length).iterator.flatMap(j => emit(rows(i), rows(j)))
+          }
+        } else {
+          val ps = rows.filter(_._2 == p); val qs = rows.filter(_._2 == q)
+          ps.iterator.flatMap(x => qs.iterator.flatMap(y => emit(x, y)))
+        }
+      }
+      pairs.toDF("a_id", "b_id", "c")
         .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos"))
         .orderBy(col("a_id"), col("b_id"))
     }),
@@ -261,7 +316,8 @@ object Similarity {
         JOIN sig sa ON sa.vec_id = c.a_id
         JOIN sig sb ON sb.vec_id = c.b_id
         WHERE ${cosNN("sa", "sb")} >= 0.45
-        ORDER BY a_id, b_id"""))( (spark, dir) =>
+        ORDER BY a_id, b_id"""),
+      releases = Seq("srpsig"))( (spark, dir) =>
       srpCandidates(spark, dir)
         .join(srpSignatures(spark, dir)
           .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an")), "a_id")

@@ -215,7 +215,8 @@ object TextAnalysis {
                    ORDER BY round(tf * ln(n_docs / df), 6) DESC, term) AS rn
           FROM tf JOIN df USING (term) CROSS JOIN nd)
         SELECT doc_id, term AS top_term, w
-        FROM scored WHERE rn = 1 ORDER BY doc_id"""))( (spark, dir) => {
+        FROM scored WHERE rn = 1 ORDER BY doc_id"""),
+      releases = Seq("toks"))( (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       // Token arrays cached pre-explode (SessionCache entry shared with
       // q34); the exploded terms relation is consumed three times (tf,

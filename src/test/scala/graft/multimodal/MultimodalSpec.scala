@@ -68,6 +68,39 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the decode seam accepts a REAL codec: javax.imageio JPEGs end-to-end") {
+    // Encode real JPEGs in-memory (stock-JDK writer — no native codecs
+    // needed), push them through the SAME withMeta seam the declared
+    // queries use with FakeCodec, and check dimensions decoded from the
+    // actual compressed bytes. Proves "swap the codec" is one argument,
+    // not a rewrite.
+    import javax.imageio.ImageIO
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", out), "JDK JPEG writer available")
+      out.toByteArray
+    }
+    val dims = Seq((32, 16), (48, 48), (128, 64))
+    val rows = dims.zipWithIndex.map { case ((w, h), i) =>
+      org.apache.spark.sql.Row(i.toLong, jpeg(w, h))
+    } :+ org.apache.spark.sql.Row(99L, Array[Byte](1, 2, 3)) // corrupt blob
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val decoded = Multimodal.withMeta(df, Multimodal.imageIoDecoder)
+      .select("media_id", "kind", "width", "height")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getInt(2), r.getInt(3))))).toMap
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      assert(decoded(i.toLong).contains(("image", w, h)), s"jpeg $i decoded to ${decoded(i.toLong)}")
+    }
+    assert(decoded(99L).isEmpty, "corrupt blob → null meta, no exception")
+  }
+
   test("binaryFile source reads blobs from disk; pruned projection skips content") {
     val dir = Files.createTempDirectory("graft_media").toFile
     try {

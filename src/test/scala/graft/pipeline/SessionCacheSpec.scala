@@ -41,4 +41,49 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = SessionCache.getOrPersist(spark, s"b:${System.nanoTime()}")(spark.range(5).toDF())
     assert(a.count() == 3 && b.count() == 5)
   }
+
+  test("release drops the entry and its storage; a later consumer rebuilds") {
+    val key = s"rel:${System.nanoTime()}"
+    val builds = new AtomicInteger(0)
+    val df = SessionCache.getOrPersist(spark, key) {
+      builds.incrementAndGet(); spark.range(7).toDF()
+    }
+    df.count()
+    assert(SessionCache.liveKeys(spark).contains(key))
+    SessionCache.release(spark, key)
+    assert(!SessionCache.liveKeys(spark).contains(key))
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "released entry must be unpersisted")
+    // Release is a storage knob, never correctness: next consumer rebuilds.
+    val again = SessionCache.getOrPersist(spark, key) {
+      builds.incrementAndGet(); spark.range(7).toDF()
+    }
+    assert(again.count() == 7 && builds.get() == 2)
+    SessionCache.release(spark, key)
+    SessionCache.release(spark, key) // double release is a no-op
+  }
+
+  test("a full declared-query sweep keeps live entries bounded (releases fire)") {
+    // Mirrors the Verify/Bench harness loop at sf0.001: run every
+    // declared query in sorted order, fire its QueryDef releases, and
+    // assert the SessionCache high-water mark stays well below the
+    // total number of cacheable stages — i.e. entries actually retire
+    // as their last consumers pass, instead of accumulating for the
+    // life of the app.
+    val dir = "/root/testdata/sf0.001"
+    // Clean slate: entries other suites left behind are caches, so
+    // releasing them is always safe (consumers rebuild).
+    SessionCache.liveKeys(spark).foreach(k => SessionCache.release(spark, k))
+    var highWater = 0
+    graft.queries.Registry.all.sortBy(_.name).foreach { qd =>
+      try qd.build(spark, dir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // streaming queries need no cache either way
+      highWater = math.max(highWater, SessionCache.liveKeys(spark).size)
+      qd.releases.foreach(k => SessionCache.release(spark, s"$k:$dir"))
+    }
+    val after = SessionCache.liveKeys(spark)
+    assert(after.size <= 2,
+      s"sweep must end near-empty: live=${after.mkString(",")}")
+    assert(highWater <= 8, s"high-water mark $highWater — entries not retiring")
+  }
 }

@@ -29,6 +29,17 @@ class WallPlanesTilingSpec extends AnyFunSuite with BeforeAndAfterAll {
     global.zip(tiled).foreach { case (g, t) => assert(g == t) }
   }
 
+  test("tiled path releases every cache it creates (no storage leak)") {
+    val cells = Synthetic.meshCells(spark, "/root/testdata/sf0.01")
+    // Warm run: any session-scoped caches upstream (SessionCache inputs)
+    // build once here and are excluded from the delta.
+    WallPlanes.wallPlanes(cells, tiles = 8).collect()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    WallPlanes.wallPlanes(cells, tiles = 8).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"tiled wallPlanes leaked persisted RDDs: $leaked")
+  }
+
   test("many tiny tiles still merge to the global answer (stress the bridges)") {
     val cells = Synthetic.meshCells(spark, "/root/testdata/sf0.001")
     val global = WallPlanes.wallPlanes(cells, tiles = 1).collect()

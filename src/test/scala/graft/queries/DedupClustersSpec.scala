@@ -43,4 +43,23 @@ class DedupClustersSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Vertex set is exactly the edge endpoints.
     assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
+
+  test("pointer jumping converges in O(log diameter) rounds on a chain") {
+    val ss = spark
+    import ss.implicits._
+    // A 64-node path graph: diameter 63. One-hop propagation needs ~63
+    // rounds; the label-of-label shortcut doubles reach per round, so
+    // convergence must land in ~log2(63)+slack. (The +2 covers the final
+    // no-change round and the asymmetric first hop.)
+    val n = 64
+    val edges = (0L until n - 1).map(i => (i, i + 1))
+    val sym = edges.toDF("src", "dst")
+      .unionByName(edges.map(_.swap).toDF("src", "dst"))
+    val (labels, rounds) = Dedup.minLabelPropagation(sym)
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    assert((0L until n).forall(out(_) == 0L), "chain must collapse to node 0")
+    assert(rounds <= math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 2,
+      s"expected O(log n) rounds, got $rounds")
+  }
 }

@@ -101,6 +101,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q44: exact all-pairs is block-partitioned — no nested loop, no cartesian") {
+    // The recall-1.0 baseline must not be the BNLJ-with-arrays shape
+    // (corpus-sized broadcast + interpreted per-pair eval): the block
+    // plan shuffles each vector exactly B times to its block-pair tasks
+    // and runs the primitive kernel per task.
+    val p = planOf("q44_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "exact all-pairs must come from the block-pair shuffle, not a nested loop")
+  }
+
   test("q64: interval join is an equi join on user_id with a range post-filter") {
     val p = planOf("q64_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
