@@ -29,6 +29,72 @@ object Domain {
       StreetLevel.groupedDetections(det, 0.01).toDF()
     }
 
+  /** Per-panorama SWEEP-LINE pair enumeration: the kernel alternative to
+    * the banded equi-join. groupByKey(file_name) (the same bounded-per-
+    * panorama shape as the greedy grouping kernel), sort boxes by y1
+    * into primitive arrays, and for each box scan forward only while
+    * y1(j) < y2(i) — enumerating EXACTLY the y-overlapping pairs (26.5M
+    * at sf0.1 vs the band join's 44.6M candidate rows, with no
+    * per-candidate join-row materialization at all). The θ-interval
+    * precondition and the [[org.apache.spark.sql.graft.IouKernel]] call
+    * are the same answer-preserving steps as the join form, so the pair
+    * set and every IoU bit are identical (PairEnumerationPropertySpec
+    * checks both forms against the naive all-pairs on adversarial
+    * boxes). At 100 TB the shuffle is one hash partition by file_name —
+    * no replication at all — and the per-task cost is bounded by the
+    * per-panorama box count exactly like q80's kernel.
+    */
+  private[graft] def sweepIouPairs(
+      det: org.apache.spark.sql.DataFrame, w: Double, h: Double,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val spark = det.sparkSession
+    import spark.implicits._
+    val seamSpan = w * 0.95
+    det.select(col("file_name"), col("det_idx").cast("long"),
+        col("x1").cast("double"), col("y1").cast("double"),
+        col("x2").cast("double"), col("y2").cast("double"))
+      .as[(String, Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (fn, it) =>
+        val rows = it.toArray
+        val n = rows.length
+        val ord = Array.range(0, n).sortBy(i => rows(i)._4) // by y1
+        val idx = new Array[Long](n)
+        val x1 = new Array[Double](n); val y1 = new Array[Double](n)
+        val x2 = new Array[Double](n); val y2 = new Array[Double](n)
+        val plain = new Array[Boolean](n)
+        var k = 0
+        while (k < n) {
+          val r = rows(ord(k))
+          idx(k) = r._2; x1(k) = r._3; y1(k) = r._4; x2(k) = r._5; y2(k) = r._6
+          plain(k) = x2(k) >= x1(k) && (x2(k) - x1(k)) <= seamSpan
+          k += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+        var i = 0
+        while (i < n) {
+          val ay2 = y2(i)
+          var j = i + 1
+          // Sorted by y1 ⇒ y1(j) ≥ y1(i), so y1(j) < y2(i) is the full
+          // strict y-overlap test (heights are positive).
+          while (j < n && y1(j) < ay2) {
+            if (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i))) {
+              val iou = org.apache.spark.sql.graft.IouKernel.compute(
+                x1(i), y1(i), x2(i), y2(i), x1(j), y1(j), x2(j), y2(j), w, h)
+              if (iou >= threshold) {
+                if (idx(i) < idx(j)) out += ((fn, idx(i), idx(j), iou))
+                else out += ((fn, idx(j), idx(i), iou))
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("file_name", "a_idx", "b_idx", "iou_raw")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── The synthetic detection derivation itself, fully oracled — if
@@ -59,60 +125,26 @@ object Domain {
           ON a.file_name = b.file_name AND a.det_idx < b.det_idx
         WHERE ${GeoSql.iouFromInvariantsExpr("a", "b")} >= 0.02
         ORDER BY file_name, a_idx, b_idx"""))( (spark, dir) => {
-      // Native codegen kernel (one static call) rather than the expanded
-      // Column tree: Catalyst pushes the >= 0.02 filter into the join
-      // condition AND re-derives the round() projection, duplicating the
-      // expression; the expanded tree blew whole-stage codegen past the
-      // JVM method limit and fell back to interpreted eval (11 s → 193 s
-      // at sf0.1 under honest materialization). The kernel computes the
-      // invariants per pair — ~40 extra flops against a 17× win. At
-      // 100 TB the join still shuffles on file_name once.
-      val det = Synthetic.detectionsCached(spark, dir)
-      // y-band bucketing refines the join key from file_name to
-      // (file_name, band): each box explodes to the ≤2 512-px bands its
-      // y-span covers, and a pair is kept only in the CANONICAL band —
-      // the one containing max(ay1, by1), which any y-overlapping pair
-      // provably co-covers (overlap start lies inside both y-spans), so
-      // each qualifying pair survives exactly once. Σ n_band² per
-      // panorama is ~3× smaller than n² — the pair-enumeration loop, not
-      // the kernel, dominates this join.
-      // Band height: 512 px is the measured knee. Boxes average ~244 px
-      // tall (max 369), so halving to 256 raises replication 1.47→1.95
-      // bands/box and GROWS enumerated pairs (44.6M → 47.7M at sf0.1;
-      // 128 px → 57.8M). Finer bands only pay when bands stay ≳2× the
-      // typical box height.
-      val bandOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        y => floor(y / 512.0).cast("long")
-      val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
-          col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
-        .withColumn("band", explode(sequence(bandOf(col("ay1")), bandOf(col("ay2")))))
-      val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
-          col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
-        .withColumn("band_b", explode(sequence(bandOf(col("by1")), bandOf(col("by2")))))
-      val iou = org.apache.spark.sql.graft.CylindricalIou.column(
-        col("ax1"), col("ay1"), col("ax2"), col("ay2"),
-        col("bx1"), col("by1"), col("bx2"), col("by2"), lit(8000.0), lit(4000.0))
-      // Exact pre-filters ahead of the kernel — answer-preserving, so
-      // the oracle is untouched:
-      // (1) IoU ≥ t > 0 requires y-overlap > 0: a_y1 < b_y2 ∧ b_y1 < a_y2
-      //     (boxes have positive height).
-      // (2) θ-interval precondition for PLAIN pairs: when neither box
-      //     wraps the seam (x1 ≤ x2, span ≤ 0.95·W — the kernel's swap
-      //     rule, mirrored bitwise via the same 0.95·W product), both
-      //     arcs live inside [0, W) and circle intersection reduces to
-      //     linear interval intersection; the x→θ map is monotone, so
-      //     ax1 ≥ bx2 ⟹ θ-overlap = 0. Wrapped/giant boxes (a few %)
-      //     skip the precondition and go straight to the kernel.
-      val seamSpan = lit(8000.0 * 0.95)
-      val plainA = col("ax2") >= col("ax1") && (col("ax2") - col("ax1")) <= seamSpan
-      val plainB = col("bx2") >= col("bx1") && (col("bx2") - col("bx1")) <= seamSpan
-      a.join(b, col("file_name") === col("fn_b") && col("band") === col("band_b")
-          && col("band") === bandOf(greatest(col("ay1"), col("by1")))
-          && col("a_idx") < col("b_idx")
-          && col("ay1") < col("by2") && col("by1") < col("ay2")
-          && (!plainA || !plainB || (col("ax1") < col("bx2") && col("bx1") < col("ax2"))))
-        .withColumn("iou_raw", iou)
-        .filter(col("iou_raw") >= 0.02)
+      // Evolution of this plan, all output-identical (the oracle is the
+      // declarative spec and never moved):
+      //   round 2: file_name equi-join + native IouKernel call (the
+      //     expanded Column tree blew codegen past the JVM method limit
+      //     and fell back to interpreted eval: 11 s → 193 s at sf0.1);
+      //   round 3: (file_name, 512-px y-band) join key with canonical-
+      //     band dedupe + exact y-overlap and θ-interval preconditions —
+      //     Σ n_band² ≈ n²/3 (18.6 → ~9 s). 512 px is the measured knee:
+      //     boxes average ~244 px tall, so 256-px bands RAISE enumerated
+      //     pairs (44.6M → 47.7M).
+      //   round 4 (this form): per-panorama SWEEP-LINE kernel — sort by
+      //     y1 once per panorama and enumerate ONLY y-overlapping pairs
+      //     (26.5M at sf0.1) in a primitive-array loop with no join-row
+      //     materialization at all: 8.1 → 1.0 s warm, bit-identical
+      //     output (exceptAll both ways = 0 rows; adversarial equality
+      //     vs the naive all-pairs in PairEnumerationPropertySpec).
+      // Scale shape: ONE un-replicated shuffle on file_name; per-task
+      // work bounded by the per-panorama box count (the same contract as
+      // the q80 grouping kernel, which already rides groupByKey).
+      sweepIouPairs(Synthetic.detectionsCached(spark, dir), 8000.0, 4000.0, 0.02)
         .select(col("file_name"), col("a_idx"), col("b_idx"),
           round(col("iou_raw"), 9).as("iou"))
         .orderBy(col("file_name"), col("a_idx"), col("b_idx"))

@@ -41,37 +41,20 @@ object DomainOracles {
     */
   private def isolated(spark: SparkSession, dir: String): DataFrame = {
     val det = Synthetic.detectionsCached(spark, dir)
-    // Same enumeration refinements as q81 (all answer-preserving, the
-    // oracle's declarative definition is untouched): y-band bucketed
-    // join key with the canonical-band dedupe (symmetric in a/b, so both
-    // orientations of a pair still appear for the =!= scan), exact
-    // y-overlap precondition, and the plain-pair θ-interval precondition
-    // (iou > 0 requires θ-overlap > 0; for non-seam boxes that is linear
-    // x-interval intersection under a monotone map).
-    val bandOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-      y => floor(y / 512.0).cast("long")
-    val a = det.select(col("file_name"), col("det_idx").as("a_idx"),
-        col("x1").as("ax1"), col("y1").as("ay1"), col("x2").as("ax2"), col("y2").as("ay2"))
-      .withColumn("band", explode(sequence(bandOf(col("ay1")), bandOf(col("ay2")))))
-    val b = det.select(col("file_name").as("fn_b"), col("det_idx").as("b_idx"),
-        col("x1").as("bx1"), col("y1").as("by1"), col("x2").as("bx2"), col("y2").as("by2"))
-      .withColumn("band_b", explode(sequence(bandOf(col("by1")), bandOf(col("by2")))))
-    // Native IoU kernel: a single static call survives Catalyst's
-    // condition-pushdown duplication without blowing codegen (see q81).
-    val iou = org.apache.spark.sql.graft.CylindricalIou.column(
-      col("ax1"), col("ay1"), col("ax2"), col("ay2"),
-      col("bx1"), col("by1"), col("bx2"), col("by2"), lit(W), lit(4000.0))
-    val seamSpan = lit(W * 0.95)
-    val plainA = col("ax2") >= col("ax1") && (col("ax2") - col("ax1")) <= seamSpan
-    val plainB = col("bx2") >= col("bx1") && (col("bx2") - col("bx1")) <= seamSpan
-    val partnered = a.join(b,
-        col("file_name") === col("fn_b") && col("band") === col("band_b")
-          && col("band") === bandOf(greatest(col("ay1"), col("by1")))
-          && col("a_idx") =!= col("b_idx")
-          && col("ay1") < col("by2") && col("by1") < col("ay2")
-          && (!plainA || !plainB || (col("ax1") < col("bx2") && col("bx1") < col("ax2")))
-          && iou > 0.0)
-      .select(col("file_name"), col("a_idx").as("det_idx"))
+    // Partner enumeration via the q81 sweep-line kernel (one
+    // un-replicated shuffle on file_name, y-sorted primitive-array scan,
+    // θ-interval precondition, IouKernel call — answer-identical to the
+    // round-3 banded join, proven bit-exact by exceptAll and by the
+    // adversarial PairEnumerationPropertySpec). Still an INDEPENDENT
+    // code path from the greedy grouping kernel this slice
+    // differentially tests: both forms share only IouKernel. Threshold
+    // Double.MinPositiveValue makes `iou >= t` exactly `iou > 0`, the
+    // slice's strict-positivity rule; the relational oracle (isoCte)
+    // keeps the declarative definition.
+    val pairs = Domain.sweepIouPairs(det, W, 4000.0, java.lang.Double.MIN_VALUE)
+    val partnered = pairs
+      .select(col("file_name"),
+        explode(array(col("a_idx"), col("b_idx"))).as("det_idx"))
       .distinct()
     det.join(partnered, Seq("file_name", "det_idx"), "left_anti")
   }

@@ -95,6 +95,25 @@ class PairEnumerationPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("a_idx", "b_idx").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  /** The round-4 sweep-line kernel (the declared q81 form). */
+  private def sweepPairs(threshold: Double): Set[(Long, Long)] =
+    Domain.sweepIouPairs(df, W, H, threshold)
+      .select("a_idx", "b_idx").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("sweep-line kernel ≡ naive all-pairs on adversarial boxes (t = 0.02)") {
+    val n = naivePairs(0.02); val s = sweepPairs(0.02)
+    info(s"naive=${n.size} sweep=${s.size}")
+    assert(n == s, s"missing: ${n -- s}; spurious: ${s -- n}")
+  }
+
+  test("sweep-line kernel ≡ naive all-pairs at the iou > 0 slice threshold") {
+    // Double.MinPositiveValue makes `iou >= t` exactly `iou > 0` — the
+    // isolated-slice rule; any pruned positive-IoU pair would corrupt
+    // the slice feeding q88/q89/q94.
+    val n = naivePairs(1e-12); val s = sweepPairs(java.lang.Double.MIN_VALUE)
+    assert(n == s, s"missing: ${n -- s}; spurious: ${s -- n}")
+  }
+
   test("refined enumeration ≡ naive all-pairs on adversarial boxes (t = 0.02)") {
     val naive = refinedVsNaive(0.02)
     assert(naive._1 == naive._2, s"missing: ${naive._1 -- naive._2}; spurious: ${naive._2 -- naive._1}")

@@ -78,10 +78,16 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("q81: pair join is keyed on file_name, not a cross product") {
+  test("q81: sweep kernel rides one per-panorama shuffle — no cartesian, no BNLJ") {
+    // Round-4 shape: groupByKey(file_name) → sweep-line MapGroups kernel.
+    // One un-replicated hash exchange; pair enumeration happens inside
+    // the task, so no join operator of any kind may appear.
     val p = planOf("q81_iou_pairs")
     assert(!p.contains("CartesianProduct"), "no cartesian product")
-    assert(p.contains("file_name"), "file_name join key present")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "no nested loop")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "pair enumeration must be in-task (sweep), not a join")
+    assert(p.contains("MapGroups"), "sweep kernel stage present")
   }
 
   test("q29: range join planned as an equi hash/merge join, not nested loop") {
@@ -124,14 +130,13 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size == 2, "one partial+final aggregate")
   }
 
-  test("q81: the native IoU kernel survives into the plan (no expanded tree)") {
-    // Regression guard for the codegen blowup: the expanded Column-tree
-    // IoU, duplicated by filter pushdown into join condition + projection,
-    // exceeded the JVM method limit and fell back to interpreted eval
-    // (11 s → 193 s at sf0.1). The plan must carry the single
-    // cylindricaliou kernel call, not the inlined CASE WHEN algebra.
+  test("q81: no expanded IoU Column tree anywhere in the plan") {
+    // Historical regression guard: the expanded Column-tree IoU,
+    // duplicated by filter pushdown, blew whole-stage codegen past the
+    // JVM method limit and silently fell back to interpreted eval
+    // (11 s → 193 s at sf0.1). The sweep kernel calls IouKernel as plain
+    // Scala, so the plan must never carry the inlined CASE WHEN algebra.
     val p = planOf("q81_iou_pairs")
-    assert(p.contains("cylindricaliou("), "native kernel expression present")
     assert(!p.contains("least(greatest(0.0"), "no expanded theta-overlap tree")
   }
 
