@@ -39,6 +39,15 @@ final case class BBox(
   def height: Double = yMax - yMin
   val area: Double = width * height
 
+  /** θ range normalized mod 360 (the first step of bbox.py:72-96's
+    * overlap), hoisted for the same reason as `area`: the pmods depend
+    * only on this box, so computing them per IoU CALL repeated the same
+    * four modulos O(n²) times per panorama. Same inputs, same pmod, same
+    * bits — only computed once per box.
+    */
+  private[geo] val thetaMinNorm: Double = BBox.pmod(thetaMin, 360.0)
+  private[geo] val thetaMaxNorm: Double = BBox.pmod(thetaMax, 360.0)
+
   def crossesSeam: Boolean = xMax < xMin
 
   /** Center wrapped back into the image (bbox.py:46-60). */
@@ -50,7 +59,8 @@ final case class BBox(
 
   /** Seam-aware IoU against another box (bbox.py:98-109). */
   def iou(other: BBox): Double = {
-    val thetaOverlap = BBox.thetaOverlap(thetaMin, thetaMax, other.thetaMin, other.thetaMax)
+    val thetaOverlap = BBox.thetaOverlapNormalized(
+      thetaMinNorm, thetaMaxNorm, other.thetaMinNorm, other.thetaMaxNorm)
     val yOverlap = BBox.overlap(yMin, yMax, other.yMin, other.yMax)
     val intersection = thetaOverlap * yOverlap
     val union = area + other.area - intersection
@@ -89,9 +99,14 @@ object BBox {
     * normalize all angles mod 360; a range whose max < min crosses the
     * seam and gets +360 on its max; overlap is then capped at 360.
     */
-  def thetaOverlap(tMin1: Double, tMax1: Double, tMin2: Double, tMax2: Double): Double = {
-    val (n1, x1) = (pmod(tMin1, 360.0), pmod(tMax1, 360.0))
-    val (n2, x2) = (pmod(tMin2, 360.0), pmod(tMax2, 360.0))
+  def thetaOverlap(tMin1: Double, tMax1: Double, tMin2: Double, tMax2: Double): Double =
+    thetaOverlapNormalized(
+      pmod(tMin1, 360.0), pmod(tMax1, 360.0), pmod(tMin2, 360.0), pmod(tMax2, 360.0))
+
+  /** [[thetaOverlap]] after normalization — the per-pair remainder once
+    * the per-box pmods are hoisted (BBox.thetaMinNorm/thetaMaxNorm).
+    */
+  def thetaOverlapNormalized(n1: Double, x1: Double, n2: Double, x2: Double): Double = {
     val crosses1 = x1 < n1
     val crosses2 = x2 < n2
     if (!crosses1 && !crosses2) overlap(n1, x1, n2, x2)
@@ -151,16 +166,25 @@ object BBoxGrouping {
 
     // Standalone boxes first (bbox_grouping.py:34-37): note the strict
     // `> 0` test — ANY positive overlap disqualifies, not the threshold.
+    // (Plain while-scan with the same early exit the old `exists` had.)
     i = 0
     while (i < n) {
-      if (!(0 until n).exists(j => j != i && sim(i)(j) > 0)) {
+      var any = false
+      var j = 0
+      while (j < n && !any) {
+        if (j != i && sim(i)(j) > 0) any = true
+        j += 1
+      }
+      if (!any) {
         groups += Vector(i)
         grouped(i) = true
       }
       i += 1
     }
 
-    // Greedy absorption (bbox_grouping.py:39-52).
+    // Greedy absorption (bbox_grouping.py:39-52). Member scan is a while
+    // loop in insertion order — identical short-circuit order to the
+    // reference's any() over the growing member list.
     i = 0
     while (i < n) {
       if (!grouped(i)) {
@@ -168,9 +192,17 @@ object BBoxGrouping {
         grouped(i) = true
         var j = 0
         while (j < n) {
-          if (!grouped(j) && current.exists(k => sim(k)(j) >= iouThreshold)) {
-            current += j
-            grouped(j) = true
+          if (!grouped(j)) {
+            var hit = false
+            var m = 0
+            while (m < current.length && !hit) {
+              if (sim(current(m))(j) >= iouThreshold) hit = true
+              m += 1
+            }
+            if (hit) {
+              current += j
+              grouped(j) = true
+            }
           }
           j += 1
         }
