@@ -106,10 +106,15 @@ object WallPlanes {
       runAggregates(labeled)
     } else {
       val spark = cells.sparkSession
+      // The scaled features feed both the clustering kernel and the
+      // label join-back; uncached, each consumer re-runs the scan + the
+      // StandardScaler stats aggregate. This branch is fully eager, so
+      // the persist's lifecycle closes before returning.
+      val scaledDf = scaled.toDF().persist()
       val clusters = tiledClusters(
-        scaled.toDF().select(col("cell_id"), col("f0"), col("f1"), col("f2")),
+        scaledDf.select(col("cell_id"), col("f0"), col("f1"), col("f2")),
         eps, minSamples, tiles)
-      val labeled = scaled.toDF()
+      val labeled = scaledDf
         .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
           col("cx"), col("cy"), col("cz"))
         .join(clusters, "cell_id")
@@ -121,6 +126,7 @@ object WallPlanes {
       val agg = runAggregates(labeled)
       val rows = agg.collect().toIndexedSeq
       clusters.unpersist(blocking = false)
+      scaledDf.unpersist(blocking = false)
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), agg.schema)
     }
