@@ -300,6 +300,44 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Benchmark decontamination: flag training docs sharing any
+    // 5-token shingle with a held-out eval set (doc_id % 31 = 0 models
+    // the benchmark suite) — the hygiene pass every pretraining corpus
+    // runs so eval answers don't leak into training. The eval side is
+    // benchmark-sized BY CONSTRUCTION, so its distinct shingle set
+    // broadcasts and the corpus is probed MAP-SIDE: at 100 TB the only
+    // shuffle is the per-contaminated-doc count aggregation (output-
+    // sized, tiny), never the corpus shingles. n=5 is the testdata
+    // analogue of the industry 13-gram rule: long enough that soup-
+    // level collisions vanish and hits mean real containment (the
+    // planted near-dup pairs), short enough that the gate result is
+    // non-empty at sf0.01. Shingles are distinct within a doc and the
+    // eval union is distinct, so count(*) after the probe join IS the
+    // distinct shared-shingle count.
+    QueryDef(
+      "q59_decontaminate",
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${TS.toksExpr("text")} AS toks FROM documents),
+        sh5 AS (SELECT doc_id, ${TS.shinglesExpr("toks", 5)} AS sh FROM toks),
+        ev AS (SELECT DISTINCT u.s FROM sh5, (SELECT unnest(sh) AS s) u
+               WHERE doc_id % 31 = 0),
+        tr AS (SELECT doc_id, u.s FROM sh5, (SELECT unnest(sh) AS s) u
+               WHERE doc_id % 31 <> 0)
+        SELECT tr.doc_id, count(*) AS n_shared
+        FROM tr JOIN ev ON tr.s = ev.s
+        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))( (spark, dir) => {
+      val sh5 = documents(spark, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 5).as("sh"))
+      val ev = sh5.filter(col("doc_id") % 31 === 0)
+        .select(explode(col("sh")).as("s")).distinct()
+      sh5.filter(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(ev), "s")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── Dedup-cluster resolution: the pair queries (q41-q44) emit edges;
     // a production dedup pipeline needs COMPONENTS — every document
     // labeled with the min doc_id of its near-dup cluster, so one

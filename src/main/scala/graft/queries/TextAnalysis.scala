@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => TF, TextSql => TS}
 import graft.sources.Tables._
@@ -172,6 +173,52 @@ object TextAnalysis {
       documents(spark, dir)
         .filter(bucket < when(col("lang") === "en", 30).otherwise(80))
         .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ── Sequence packing: concatenate the corpus in doc_id order and
+    // chop into fixed token budgets (4096) — every doc labeled with the
+    // pack (training sequence) its first token lands in, the standard
+    // pretraining "pack and chop" layout. The SEMANTICS are a global
+    // running token count (the oracle's single ORDER BY window), but
+    // the PLAN must not be Spark's unpartitioned window (one task holds
+    // the corpus). Implemented as the classic two-phase distributed
+    // prefix sum: per-block token subtotals (one tiny agg over
+    // doc_id/512 blocks) are collected — block count is corpus/512,
+    // driver-trivial at any scale — cumulated into exclusive offsets,
+    // and broadcast back as a literal map; the within-block running
+    // sum is a window PARTITIONED by block, so every block packs in
+    // parallel and no task ever sees more than a block. Result is
+    // bitwise the global cumsum (integer arithmetic, no reordering).
+    QueryDef(
+      "q66_sequence_pack",
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${TS.toksExpr("text")} AS toks FROM documents),
+        n AS (SELECT doc_id, ${TS.tokenCountExpr("toks")}::BIGINT AS n_tokens FROM t),
+        r AS (SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id) AS running FROM n)
+        SELECT doc_id, n_tokens, ((running - n_tokens) // 4096)::BIGINT AS pack_id
+        FROM r ORDER BY doc_id"""))( (spark, dir) => {
+      val budget = 4096L
+      val blockSz = 512L
+      val nTok = tokenArrays(spark, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          (col("doc_id") / blockSz).cast("long").as("blk"))
+      // Phase 1: per-block subtotals → exclusive prefix offsets. The
+      // collect is over block COUNT (corpus/512 rows), not the corpus.
+      val sums = nTok.groupBy(col("blk")).agg(sum(col("n_tokens")).as("s"))
+        .orderBy(col("blk")).collect().map(r => (r.getLong(0), r.getLong(1)))
+      val offsets = sums.scanLeft((0L, 0L)) { case ((_, acc), (blk, s)) => (blk, acc + s) }
+        .init.map(_._2).zip(sums.map(_._1)).map { case (off, blk) => blk -> off }.toMap
+      // Phase 2: block-partitioned window + broadcast offset.
+      val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      nTok
+        .withColumn("before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+            element_at(typedLit(offsets), col("blk")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("before") / budget).cast("long").as("pack_id"))
         .orderBy(col("doc_id"))
     }),
 

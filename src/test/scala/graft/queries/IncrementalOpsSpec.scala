@@ -96,4 +96,54 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(q50Top5.size == 25, s"5 queries x 5 neighbors, got ${q50Top5.size}")
   }
+
+  test("q59 probes the corpus against a broadcast eval set; flags match set intersection") {
+    val plan = q("q59_decontaminate").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "corpus shingles must not shuffle into the probe join:\n" + plan.take(800))
+    // Independent reference: collect the (tiny) eval shingle union and
+    // intersect per training doc with array ops — no join at all.
+    val d = graft.sources.Tables.documents(spark, dir)
+    val sh5 = d.select(col("doc_id"),
+      graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(col("text")), 5).as("sh"))
+    val evalUnion = sh5.filter(col("doc_id") % 31 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = sh5.filter(col("doc_id") % 31 =!= 0)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).count(evalUnion))
+      .filter(_._2 > 0).toMap
+    val got = q("q59_decontaminate").collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == expected, s"got $got want $expected")
+    assert(got.nonEmpty, "the sf0.01 gate must exercise a non-empty contamination set")
+  }
+
+  test("q66 block-partitioned prefix sum equals the global-window definition") {
+    val got = q("q66_sequence_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Reference: the single unpartitioned window (fine at spec scale).
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ref = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("pack_id",
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / 4096L).cast("long"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sameElements(ref))
+    // Packing invariants: ids start at 0, never decrease, never skip.
+    val packs = got.map(_._3)
+    assert(packs.head == 0L)
+    assert(packs.sliding(2).forall(p => p(1) - p(0) >= 0 && p(1) - p(0) <= 1),
+      "pack ids must be a non-decreasing, gap-free sequence in doc order")
+    // The executed plan's window runs PARTITIONED (by block) — the
+    // whole point of the two-phase sum is no single-task global window.
+    val plan = q("q66_sequence_pack").queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(blk"),
+      "window must be partitioned by blk:\n" + plan.take(800))
+  }
 }
