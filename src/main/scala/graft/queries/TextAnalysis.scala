@@ -27,6 +27,35 @@ object TextAnalysis {
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
     }
 
+  /** q66's two-phase distributed prefix sum over (doc_id, n_tokens):
+    * pack_id = floor(global-cumsum-before-this-doc / budget), computed
+    * without an unpartitioned window. Phase 1 collects per-block token
+    * subtotals (block = doc_id / blockSz; only PRESENT blocks — gaps
+    * and sparse ids cost nothing) and folds them into exclusive prefix
+    * offsets in block order; phase 2 is a window PARTITIONED by block
+    * plus the broadcast offset literal. Exposed for the gapped-id unit
+    * spec — result is bitwise the global cumsum for any id layout.
+    */
+  private[queries] def packTokens(nTokens: org.apache.spark.sql.DataFrame,
+      budget: Long, blockSz: Long): org.apache.spark.sql.DataFrame = {
+    val nTok = nTokens.withColumn("blk", (col("doc_id") / blockSz).cast("long"))
+    // Phase 1: the collect is over block COUNT (corpus/blockSz rows),
+    // never the corpus.
+    val sums = nTok.groupBy(col("blk")).agg(sum(col("n_tokens")).as("s"))
+      .orderBy(col("blk")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val offsets = sums.scanLeft((0L, 0L)) { case ((_, acc), (blk, s)) => (blk, acc + s) }
+      .init.map(_._2).zip(sums.map(_._1)).map { case (off, blk) => blk -> off }.toMap
+    // Phase 2: block-partitioned window + broadcast offset.
+    val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    nTok
+      .withColumn("before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
+          element_at(typedLit(offsets), col("blk")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("before") / budget).cast("long").as("pack_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Token counting: whitespace tokens + BPE-ish subword units.
@@ -198,29 +227,12 @@ object TextAnalysis {
         r AS (SELECT doc_id, n_tokens,
                      sum(n_tokens) OVER (ORDER BY doc_id) AS running FROM n)
         SELECT doc_id, n_tokens, ((running - n_tokens) // 4096)::BIGINT AS pack_id
-        FROM r ORDER BY doc_id"""))( (spark, dir) => {
-      val budget = 4096L
-      val blockSz = 512L
-      val nTok = tokenArrays(spark, dir)
-        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
-          (col("doc_id") / blockSz).cast("long").as("blk"))
-      // Phase 1: per-block subtotals → exclusive prefix offsets. The
-      // collect is over block COUNT (corpus/512 rows), not the corpus.
-      val sums = nTok.groupBy(col("blk")).agg(sum(col("n_tokens")).as("s"))
-        .orderBy(col("blk")).collect().map(r => (r.getLong(0), r.getLong(1)))
-      val offsets = sums.scanLeft((0L, 0L)) { case ((_, acc), (blk, s)) => (blk, acc + s) }
-        .init.map(_._2).zip(sums.map(_._1)).map { case (off, blk) => blk -> off }.toMap
-      // Phase 2: block-partitioned window + broadcast offset.
-      val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      nTok
-        .withColumn("before",
-          coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
-            element_at(typedLit(offsets), col("blk")))
-        .select(col("doc_id"), col("n_tokens"),
-          (col("before") / budget).cast("long").as("pack_id"))
-        .orderBy(col("doc_id"))
-    }),
+        FROM r ORDER BY doc_id"""))( (spark, dir) =>
+      packTokens(
+        tokenArrays(spark, dir)
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens")),
+        budget = 4096L, blockSz = 512L)
+        .orderBy(col("doc_id"))),
 
     // ── Normalization: the standard corpus-prep cleanup pass (lowercase,
     // strip punctuation, collapse whitespace) as pure codegen'd column

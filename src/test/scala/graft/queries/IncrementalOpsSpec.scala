@@ -146,4 +146,21 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("windowspecdefinition(blk"),
       "window must be partitioned by blk:\n" + plan.take(800))
   }
+
+  test("packTokens handles gapped/sparse ids and block-boundary budgets exactly") {
+    val ss = spark
+    import ss.implicits._
+    // Ids straddle empty blocks (blockSz=4 → blocks 0,1,5,25 present,
+    // 2-4 and 6-24 absent) and a doc spans a pack boundary.
+    val rows = Seq((0L, 3L), (1L, 4L), (3L, 5L), (6L, 2L), (7L, 10L),
+      (21L, 1L), (100L, 6L), (103L, 8L))
+    val got = TextAnalysis.packTokens(rows.toDF("doc_id", "n_tokens"),
+        budget = 8L, blockSz = 4L)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // Exclusive running sums: 0,3,7,12,14,24,25,31 → /8 floors.
+    val expected = Seq(0L -> 0L, 1L -> 0L, 3L -> 0L, 6L -> 1L, 7L -> 1L,
+      21L -> 3L, 100L -> 3L, 103L -> 3L)
+    assert(got.toSeq == expected, s"got ${got.toSeq}")
+  }
 }

@@ -48,7 +48,7 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q50_knn_brute").contains("WindowGroupLimit"))
   }
 
-  test("q51/q54: no shuffle exchange carries the embedding column") {
+  test("q51/q54/q49: no shuffle exchange carries the embedding column") {
     // The IVF cell assignment must be a map-side NearestCells projection
     // (anchors driver-held): the round-2 crossJoin(broadcast)+window shape
     // shuffled corpus×n_anchors rows with the arrays aboard. Only the
@@ -56,7 +56,9 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     // tiny broadcast build side is exempt (it IS the query batch).
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    for (q <- Seq("q51_ivf_knn", "q54_ivf_nprobe")) {
+    // q49 composes both arms (brute truth + IVF approx) and must keep
+    // the same contract end-to-end.
+    for (q <- Seq("q51_ivf_knn", "q54_ivf_nprobe", "q49_ann_recall")) {
       val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.inputPlan // pre-AQE: exchanges visible
         case p => p
