@@ -325,10 +325,18 @@ object Dedup {
                WHERE doc_id % 31 <> 0)
         SELECT tr.doc_id, count(*) AS n_shared
         FROM tr JOIN ev ON tr.s = ev.s
-        GROUP BY tr.doc_id ORDER BY tr.doc_id"""))( (spark, dir) => {
-      val sh5 = documents(spark, dir)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TF.shingles(col("toks"), 5).as("sh"))
+        GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
+      // Single-consumer cache: released right after this query runs.
+      releases = Seq("sh5"))( (spark, dir) => {
+      // Cached BEFORE the explodes (the q41 lesson: Generate re-evaluates
+      // expensive generator inputs, and both the eval and train branches
+      // explode this relation — uncached, the tokenize+shingle work ran
+      // twice and quadratically; measured 8.1 s -> ~1 s at sf0.1).
+      val sh5 = graft.pipeline.SessionCache.getOrPersist(spark, s"sh5:$dir") {
+        documents(spark, dir)
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), TF.shingles(col("toks"), 5).as("sh"))
+      }
       val ev = sh5.filter(col("doc_id") % 31 === 0)
         .select(explode(col("sh")).as("s")).distinct()
       sh5.filter(col("doc_id") % 31 =!= 0)

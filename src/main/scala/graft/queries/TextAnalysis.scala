@@ -234,6 +234,40 @@ object TextAnalysis {
         budget = 4096L, blockSz = 512L)
         .orderBy(col("doc_id"))),
 
+    // ── Data-mixture weights: per-language token inventory → the
+    // repeat factor each language needs to hit a UNIFORM token target —
+    // the rebalancing computation a training-mix pipeline runs before
+    // sampling (q58 applies rates; this derives them from the corpus).
+    // One map-side-combined aggregate to #langs rows, then the totals
+    // window runs over those #langs rows only — driver-trivial at any
+    // corpus size; the corpus itself is touched exactly once.
+    QueryDef(
+      "q67_mix_weights",
+      Some(s"""
+        WITH t AS (SELECT lang, ${TS.toksExpr("text")} AS toks FROM documents),
+        a AS (SELECT lang, count(*) AS n_docs,
+                     sum(${TS.tokenCountExpr("toks")})::BIGINT AS tokens
+              FROM t GROUP BY lang)
+        SELECT lang, n_docs, tokens,
+               round(tokens / (sum(tokens) OVER ())::DOUBLE, 6) AS share,
+               round(((sum(tokens) OVER ())::DOUBLE / (count(*) OVER ())) / tokens, 6)
+                 AS repeat_factor
+        FROM a ORDER BY lang"""))( (spark, dir) => {
+      val agg = documents(spark, dir)
+        .select(col("lang"), TF.tokenCount(TF.tokens(col("text"))).as("n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
+      // Unpartitioned window over #langs rows (not the corpus).
+      val w = Window.partitionBy()
+      agg
+        .withColumn("total", sum(col("tokens")).over(w))
+        .withColumn("n_langs", count(lit(1)).over(w))
+        .select(col("lang"), col("n_docs"), col("tokens"),
+          round(col("tokens") / col("total"), 6).as("share"),
+          round((col("total") / col("n_langs")) / col("tokens"), 6).as("repeat_factor"))
+        .orderBy(col("lang"))
+    }),
+
     // ── Normalization: the standard corpus-prep cleanup pass (lowercase,
     // strip punctuation, collapse whitespace) as pure codegen'd column
     // ops — map-only at any scale. Output keeps a digest + length so the

@@ -163,4 +163,45 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       21L -> 3L, 100L -> 3L, 103L -> 3L)
     assert(got.toSeq == expected, s"got ${got.toSeq}")
   }
+
+  test("packTokens equals the sequential cumsum on random sparse corpora (property)") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val n = 50 + rng.nextInt(150)
+      val ids = Iterator.iterate(rng.nextInt(5).toLong)(_ + 1 + rng.nextInt(40))
+        .take(n).toSeq
+      val rows = ids.map(id => (id, 1L + rng.nextInt(500).toLong))
+      val budget = 64L + rng.nextInt(4000)
+      val blockSz = 1L + rng.nextInt(64)
+      val got = TextAnalysis.packTokens(rows.toDF("doc_id", "n_tokens"), budget, blockSz)
+        .orderBy(col("doc_id")).collect().map(r => (r.getLong(0), r.getLong(2)))
+      var acc = 0L
+      val want = rows.sortBy(_._1).map { case (id, t) =>
+        val p = acc / budget; acc += t; (id, p)
+      }
+      assert(got.toSeq == want,
+        s"trial $trial (budget=$budget blockSz=$blockSz): got ${got.take(8).toSeq}…")
+    }
+  }
+
+  test("q67 shares sum to 1 and repeat factors invert the token shares") {
+    val rows = q("q67_mix_weights").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 5, "one row per language")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4,
+      s"shares must sum to ~1: ${rows.map(_._3).sum}")
+    val total = rows.map(_._2).sum.toDouble
+    rows.foreach { case (lang, tokens, share, repeat) =>
+      assert(math.abs(share - tokens / total) < 1e-5)
+      assert(math.abs(repeat * tokens - total / rows.length) < total * 1e-4,
+        s"$lang: repeat_factor must equalize token mass")
+    }
+    // The dominant language needs down-weighting; minority langs up.
+    val en = rows.find(_._1 == "en").get
+    assert(en._4 < 1.0, s"en repeat factor ${en._4} must be < 1 (dominant)")
+    assert(rows.filter(_._1 != "en").forall(_._4 > 1.0),
+      "minority languages must up-weight")
+  }
 }
