@@ -152,6 +152,36 @@ object Multimodal {
       .drop("f")
   }
 
+  /** Resize: integer-factor area-average downsample of the payload —
+    * the multimodal RESIZE kernel shape (bytes in, smaller bytes out,
+    * computed map-side; the real-codec analogue is thumbnail/feature-map
+    * downsampling). Full windows only (the sub-factor tail is dropped,
+    * like a stride-crop), each output byte the floor-mean of its
+    * `factor` inputs. Null-safe: undecodable blobs → null, filtered
+    * downstream like F9.
+    */
+  def resized(mediaDf: DataFrame, factor: Int = 4): DataFrame = {
+    val resizeUdf = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.length < FakeCodec.HeaderLen) None
+      else {
+        val payload = bytes.length - FakeCodec.HeaderLen
+        val outLen = payload / factor
+        val out = new Array[Byte](outLen)
+        var j = 0
+        while (j < outLen) {
+          var s = 0; var i = 0
+          while (i < factor) {
+            s += bytes(FakeCodec.HeaderLen + j * factor + i) & 0xff; i += 1
+          }
+          out(j) = (s / factor).toByte
+          j += 1
+        }
+        Some(out)
+      }
+    }
+    mediaDf.withColumn("resized", resizeUdf(col("bytes")))
+  }
+
   /** Frame sampling for "video" blobs: payload sliced into fixed 16-byte
     * frames, every `stride`-th frame kept, per-frame byte sum emitted.
     * The mapPartitions shape (one iterator pass, constant memory per

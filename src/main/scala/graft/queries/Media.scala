@@ -139,6 +139,40 @@ object Media {
         .orderBy(col("media_id"), col("theta"))
     }),
 
+    // ── Resize: factor-4 area-average downsample of every payload
+    // (the thumbnail/feature-map shape), computed FROM THE BYTES
+    // map-side; declared output is the per-blob resized length +
+    // checksum so rows stay small. The oracle regenerates each output
+    // byte as the floor-mean of its 4 generating-formula inputs —
+    // matching sums prove the resample kernel touched exactly the
+    // right bytes with the right arithmetic.
+    QueryDef(
+      "q68_resize",
+      Some(s"""
+        WITH m AS (SELECT doc_id AS media_id, $lenSql AS plen FROM documents),
+        j AS (SELECT media_id, plen, u.j FROM m,
+                   (SELECT unnest(generate_series(0, 47)) AS j) u
+              WHERE u.j < plen // 4),
+        v AS (SELECT media_id, plen,
+                     (((media_id*31 + (4*j+0)*7) % 256)
+                    + ((media_id*31 + (4*j+1)*7) % 256)
+                    + ((media_id*31 + (4*j+2)*7) % 256)
+                    + ((media_id*31 + (4*j+3)*7) % 256)) // 4 AS b
+              FROM j)
+        SELECT media_id, CAST(plen // 4 AS BIGINT) AS out_len,
+               CAST(sum(b) AS BIGINT) AS resized_sum
+        FROM v GROUP BY media_id, plen ORDER BY media_id"""))( (spark, dir) => {
+      val byteSum = udf { (b: Array[Byte]) =>
+        if (b == null) None
+        else { var s = 0L; b.foreach(x => s += x & 0xff); Some(s) }
+      }
+      Multimodal.resized(Multimodal.mediaCached(spark, dir), 4)
+        .select(col("media_id"),
+          length(col("resized")).cast("long").as("out_len"),
+          byteSum(col("resized")).as("resized_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // ── Frame sampling: payload as 16-byte frames, every 4th kept,
     // per-frame byte sums — the mapPartitions video-kernel shape.
     QueryDef(

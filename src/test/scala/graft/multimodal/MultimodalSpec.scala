@@ -38,6 +38,26 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(FakeCodec.decodeMeta(bad).isEmpty)
   }
 
+  test("resized: each output byte is the floor-mean of its window; tail dropped; null-safe") {
+    val ss = spark
+    import ss.implicits._
+    val ids = Seq(0L, 7L, 66L) // payload lengths 64, 71, 130 → tails 0, 3, 2
+    val df = ids.toDF("media_id")
+      .withColumn("bytes", udf((id: Long) => FakeCodec.encode(id)).apply(col("media_id")))
+    val got = Multimodal.resized(df, 4)
+      .select(col("media_id"), col("resized"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    for (id <- ids) {
+      val payload = FakeCodec.encode(id).drop(FakeCodec.HeaderLen).map(_ & 0xff)
+      val want = payload.grouped(4).filter(_.length == 4).map(w => (w.sum / 4).toByte).toArray
+      assert(got(id).sameElements(want), s"id=$id")
+      assert(got(id).length == FakeCodec.payloadLen(id) / 4)
+    }
+    // Corrupt blob → null resized column, no exception.
+    val corrupt = Seq(1L).toDF("media_id").withColumn("bytes", lit(Array[Byte](9, 9)))
+    assert(Multimodal.resized(corrupt, 4).select(col("resized")).head().isNullAt(0))
+  }
+
   test("withMeta/withFeatures compute from the bytes and match closed form") {
     val df = Multimodal.media(spark, "/root/testdata/sf0.001")
     val metas = Multimodal.withFeatures(Multimodal.withMeta(df))
