@@ -284,9 +284,11 @@ object Dedup {
       // count() scans no data columns (parquet metadata + the doc_id
       // predicate); the bloom build is one treeAggregate over digests.
       val bloom = corpus.stat.bloomFilter("digest", math.max(corpus.count(), 1L), 0.01)
-      val bc = spark.sparkContext.broadcast(bloom)
-      val mightContain = udf((s: String) => bc.value.mightContainString(s))
-      val flagged = batch.withColumn("maybe", mightContain(col("digest")))
+      // Native codegen probe (org.apache.spark.sql.graft.BloomMightContain):
+      // the batch side is the BIG side at scale, so the per-row check must
+      // stay inside whole-stage codegen, not box through a UDF.
+      val flagged = batch.withColumn("maybe",
+        org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
       val maybe = flagged.filter(col("maybe")).select(col("doc_id"), col("digest"))
       // Exact confirm, corpus map-side only: semi join the corpus scan
       // against the broadcast maybe-set, then broadcast the (small)

@@ -61,6 +61,23 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gen == interp)
   }
 
+  test("bloom_might_contain agrees between paths and with the builder's hashing") {
+    val s = spark; import s.implicits._
+    val corpus = (1 to 200).map(i => s"digest_$i").toDF("d")
+    val bloom = corpus.stat.bloomFilter("d", 200, 0.01)
+    def run(): Seq[(String, Boolean)] = {
+      (Seq("digest_1", "digest_200", "absent_a", "absent_b", "")).toDF("d")
+        .select(col("d"),
+          org.apache.spark.sql.graft.BloomMightContain.column(col("d"), bloom).as("m"))
+        .orderBy(col("d"))
+        .collect().toSeq.map(r => (r.getString(0), r.getBoolean(1)))
+    }
+    val (gen, interp) = bothPaths(run())
+    assert(gen == interp)
+    // No false negatives by construction: every inserted digest probes true.
+    assert(gen.toMap.apply("digest_1") && gen.toMap.apply("digest_200"))
+  }
+
   test("vector_avg aggregate agrees between paths") {
     val s = spark; import s.implicits._
     def run(): Seq[(Int, Seq[Double])] = {
