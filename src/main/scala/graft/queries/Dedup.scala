@@ -287,18 +287,23 @@ object Dedup {
       // Native codegen probe (org.apache.spark.sql.graft.BloomMightContain):
       // the batch side is the BIG side at scale, so the per-row check must
       // stay inside whole-stage codegen, not box through a UDF.
-      val flagged = batch.withColumn("maybe",
-        org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
-      val maybe = flagged.filter(col("maybe")).select(col("doc_id"), col("digest"))
-      // Exact confirm, corpus map-side only: semi join the corpus scan
-      // against the broadcast maybe-set, then broadcast the (small)
-      // present list back for the anti join.
+      //
+      // Two batch scans total. Scan 1 projects the maybe-digest set (the
+      // probe's ONLY job — tiny output: true dups + the fpp tail); the
+      // corpus semi-joins against its broadcast map-side to yield
+      // `present` = corpus ∩ maybe-digests. Scan 2 is one anti join of
+      // the whole batch against broadcast(present) — no maybe/definite
+      // union: the bloom has NO false negatives, so any digest actually
+      // in the corpus is in the maybe set, hence present ⊇ batch∩corpus
+      // and digest ∉ present ⇔ digest ∉ corpus. Exact for any fpp.
+      val maybeDigests = batch
+        .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
+        .select(col("digest")).distinct()
       val present = corpus
-        .join(broadcast(maybe.select(col("digest")).distinct()), Seq("digest"), "left_semi")
+        .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
         .distinct()
-      val confirmedNew = maybe.join(broadcast(present), Seq("digest"), "left_anti")
-      flagged.filter(!col("maybe")).select(col("doc_id"), col("digest"))
-        .unionByName(confirmedNew.select(col("doc_id"), col("digest")))
+      batch.join(broadcast(present), Seq("digest"), "left_anti")
+        .select(col("doc_id"), col("digest"))
         .orderBy(col("doc_id"))
     }),
 

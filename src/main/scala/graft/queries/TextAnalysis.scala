@@ -53,7 +53,10 @@ object TextAnalysis {
         coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
           element_at(typedLit(offsets), col("blk")))
       .select(col("doc_id"), col("n_tokens"),
-        (col("before") / budget).cast("long").as("pack_id"))
+        // Integral floor-div (`div`), not Column `/` (DoubleType Divide):
+        // a double quotient is only exact below 2^53 total tokens and
+        // can round k*budget-1 up to k for non-power-of-2 budgets.
+        expr(s"before div ${budget}L").as("pack_id"))
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -227,7 +230,11 @@ object TextAnalysis {
         r AS (SELECT doc_id, n_tokens,
                      sum(n_tokens) OVER (ORDER BY doc_id) AS running FROM n)
         SELECT doc_id, n_tokens, ((running - n_tokens) // 4096)::BIGINT AS pack_id
-        FROM r ORDER BY doc_id"""))( (spark, dir) =>
+        FROM r ORDER BY doc_id"""),
+      // q66 is now the LAST tokenArrays consumer in sorted sweep order
+      // (q34 < q35 < q66), so the release rides here — on q35 it made
+      // the sweep re-tokenize for q66 and leak the rebuilt entry.
+      releases = Seq("toks"))( (spark, dir) =>
       packTokens(
         tokenArrays(spark, dir)
           .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens")),
@@ -334,8 +341,7 @@ object TextAnalysis {
                    ORDER BY round(tf * ln(n_docs / df), 6) DESC, term) AS rn
           FROM tf JOIN df USING (term) CROSS JOIN nd)
         SELECT doc_id, term AS top_term, w
-        FROM scored WHERE rn = 1 ORDER BY doc_id"""),
-      releases = Seq("toks"))( (spark, dir) => {
+        FROM scored WHERE rn = 1 ORDER BY doc_id"""))( (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       // Token arrays cached pre-explode (SessionCache entry shared with
       // q34); the exploded terms relation is consumed three times (tf,

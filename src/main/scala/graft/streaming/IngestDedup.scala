@@ -7,25 +7,32 @@ import org.apache.spark.sql.functions._
   * pattern. Each micro-batch of (doc_id, digest) keeps only rows whose
   * digest is in neither the persistent corpus nor any earlier accepted
   * micro-batch, dedup'd within the batch (min doc_id per digest wins).
+  * Rows with a null digest are dropped explicitly up front (an
+  * undigestable row has no dedup identity; silently three-valued
+  * filtering would lose them without a trace).
   *
-  * Flow per batch — q57's shape, plus state:
-  *   1. bloom prune map-side (native [[org.apache.spark.sql.graft.BloomMightContain]]):
-  *      definitely-absent rows skip every join;
-  *   2. exact confirm of maybe-hits: anti-join corpus (map-side
-  *      semi-filtered by the broadcast maybe-set, never shuffled), then
-  *      anti-join the accepted-state digests;
-  *   3. accepted digests fold into BOTH the exact state and the bloom,
-  *      so later batches prune against everything seen so far. Bloom
-  *      inserts are monotone — a false-positive maybe just pays the
-  *      exact confirm, so output is exact regardless of fpp drift.
+  * Flow per batch — q57's two-scan shape, plus state:
+  *   1. scan 1: the native [[org.apache.spark.sql.graft.BloomMightContain]]
+  *      probe projects the maybe-digest set (tiny: true dups + fpp tail);
+  *   2. `present` = (corpus ∩ maybe) via a map-side semi join against
+  *      the broadcast maybe-set (the corpus is scanned, never shuffled),
+  *      unioned with the driver-held accepted set — so rejection against
+  *      prior batches is exact even independent of the bloom;
+  *   3. scan 2: ONE anti join of the batch against broadcast(present).
+  *      No maybe/definite union: the bloom has no false negatives, so
+  *      present ⊇ batch ∩ (corpus ∪ accepted) and the anti join is
+  *      exact for any fpp.
+  *   4. accepted digests fold into the driver state and the bloom, so
+  *      later batches prune map-side against everything seen so far.
   *
-  * State sizing: the accepted set is collected per batch to update the
-  * driver-held bloom — micro-batch-sized, the same driver traffic a
-  * streaming aggregation's commit log pays. At corpus scale the
-  * accepted-state anti-join side persists as a table (here: a cached,
-  * re-unioned DataFrame) and the bloom is periodically rebuilt from it;
-  * between rebuilds the exact confirm covers the gap, so correctness
-  * never depends on the rebuild cadence.
+  * State sizing: accepted digests live on the driver (they are
+  * collected anyway to update the driver-held bloom) — micro-batch
+  * ingest accumulates them at ingest rate, the same order as a
+  * streaming aggregation's state. At corpus scale the accepted set
+  * persists as a table instead, the bloom is rebuilt from it
+  * periodically, and `present` gains one more semi join against that
+  * table; correctness never depends on the rebuild cadence because the
+  * exact confirm covers the gap.
   *
   * Thread-safe for Structured Streaming's sequential foreachBatch
   * contract (one batch at a time; synchronized defensively).
@@ -39,47 +46,41 @@ final class IngestDeduper(corpusDigests: DataFrame, expectedItems: Long, fpp: Do
   private val corpus = corpusDigests.select(col("digest")).persist()
   private val bloom = corpus.stat.bloomFilter("digest", math.max(expectedItems, 1L), fpp)
 
-  // Exact accepted-state (digests from prior batches). Grows by one
-  // union per batch; re-persisted so the lineage stays shallow.
-  private var accepted: DataFrame = Seq.empty[String].toDF("digest").persist()
+  // Exact accepted-state from prior batches, driver-held (see scale
+  // note above). Rebuilt as a LEAF DataFrame per batch — a growing
+  // union chain would deepen the logical plan by one node per
+  // micro-batch and stack-overflow the analyzer on long-lived streams.
+  private val acceptedSet = scala.collection.mutable.HashSet.empty[String]
 
   /** Accepted rows of this batch: (doc_id, digest), new against corpus,
-    * prior batches, and itself. Materializes the result (it must — the
-    * state update needs the digests) and updates state before returning.
+    * prior batches, and itself. Materializes the result (the state
+    * update needs the digests) and updates state before returning; the
+    * returned relation is a leaf over the materialized rows, immune to
+    * the bloom mutating underneath a lazy recompute.
     */
   def apply(batch: DataFrame): DataFrame = synchronized {
-    val b = batch.select(col("doc_id"), col("digest"))
+    val b = batch.filter(col("digest").isNotNull)
+      .select(col("doc_id"), col("digest"))
       .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("digest"))
-    val flagged = b.withColumn("maybe",
-      org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
-    val definite = flagged.filter(!col("maybe")).drop("maybe")
-    val maybe = flagged.filter(col("maybe")).drop("maybe")
+      .persist() // scanned twice: maybe-set build + the anti join
+    val maybeDigests = b
+      .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
+      .select(col("digest")).distinct()
     val present = corpus
-      .join(broadcast(maybe.select(col("digest")).distinct()), Seq("digest"), "left_semi")
-      .unionByName(accepted
-        .join(broadcast(maybe.select(col("digest")).distinct()), Seq("digest"), "left_semi"))
+      .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
       .distinct()
-    val confirmed = maybe.join(broadcast(present), Seq("digest"), "left_anti")
-    val lazyOut = definite.unionByName(confirmed).persist()
-    // Materialize to a LEAF result before mutating any state: the lazy
-    // plan captures the mutable bloom inside its filter expression, so a
-    // post-update recompute could flip a definitely-absent row to
-    // maybe — the caller must get rows pinned at this batch's state.
-    val rows = lazyOut.select(col("doc_id"), col("digest"))
+      .unionByName(acceptedSet.toSeq.toDF("digest"))
+    val rows = b.join(broadcast(present), Seq("digest"), "left_anti")
+      .select(col("doc_id"), col("digest"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    lazyOut.unpersist(blocking = false)
-    rows.map(_._2).foreach(bloom.putString)
-    val prev = accepted
-    accepted = prev.unionByName(rows.map(_._2).toSeq.toDF("digest")).persist()
-    accepted.count() // materialize from prev before dropping it
-    prev.unpersist(blocking = false)
+    b.unpersist(blocking = false)
+    rows.foreach { case (_, dg) => bloom.putString(dg); acceptedSet += dg }
     rows.toSeq.toDF("doc_id", "digest")
   }
 
-  /** Release all state (corpus + accepted caches). */
+  /** Release the corpus cache. */
   def close(): Unit = synchronized {
     corpus.unpersist(blocking = false)
-    accepted.unpersist(blocking = false)
   }
 }

@@ -56,6 +56,17 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d.close()
   }
 
+  test("null digests are dropped explicitly, never accepted or crashed on") {
+    val ss = spark; import ss.implicits._
+    val d = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10)
+    try {
+      val batch = Seq((1L, Option("A")), (2L, Option.empty[String]), (3L, Option("B")))
+        .toDF("doc_id", "digest")
+      val got = d(batch).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((3L, "B")), s"got ${got.toSeq}")
+    } finally d.close()
+  }
+
   test("drives a real foreachBatch streaming query") {
     val ss = spark; import ss.implicits._
     val corpus = Seq("A").toDF("digest")
