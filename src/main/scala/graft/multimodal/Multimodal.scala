@@ -113,7 +113,13 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
       else Some(("image", img.getWidth, img.getHeight, bytes.length))
-    } catch { case _: java.io.IOException => None }
+    } catch {
+      // NonFatal, not just IOException: the JDK plugins throw unchecked
+      // exceptions on valid-magic-corrupt-internals inputs
+      // (IllegalArgumentException, CMMException, index errors), and the
+      // seam contract is corrupt blob ⇒ null row, never a task crash.
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Decode: bytes → typed metadata struct. Null-safe (bad magic → null

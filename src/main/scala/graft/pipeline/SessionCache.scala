@@ -3,10 +3,18 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped materialized intermediates: the pattern a real pipeline
-  * uses for a stage consumed by several downstream jobs. Synchronized
-  * compute-if-absent (a concurrent first access must not persist the plan
-  * twice); entries evict when the owning context ends, so a long-lived
-  * JVM cycling sessions doesn't retain stale SparkSession references.
+  * uses for a stage consumed by several downstream jobs. Compute-if-absent
+  * with PER-ENTRY build locking: the global map lock is held only for the
+  * entry lookup/insert, never across a build — builds now run whole Spark
+  * jobs (q55's iterative label propagation, the tiled DBSCAN merge), and
+  * holding one global lock for a multi-minute job would block every other
+  * session's getOrPersist, release(), and the listener-bus thread
+  * delivering application-end cleanup. Concurrent first accesses of the
+  * SAME key serialize on that entry's lazy initializer (exactly one build
+  * runs); different keys build in parallel.
+  *
+  * Entries evict when the owning context ends, so a long-lived JVM
+  * cycling sessions doesn't retain stale SparkSession references.
   *
   * Entries can also be released EARLY via [[release]] once their last
   * consumer has materialized — a long-lived 100 TB session must not
@@ -17,17 +25,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * declare their release points ([[graft.queries.QueryDef.releases]]) and
   * the sweep harnesses (Verify/Bench) fire them after each query's
   * action completes — releasing mid-plan would drop storage a pending
-  * lazy consumer was counting on.
+  * lazy consumer was counting on. Releasing a key whose build is still
+  * in flight is also safe: the builder detects the removal when it
+  * finishes and unpersists its own result.
   */
 object SessionCache {
 
+  /** One cache slot; the lazy val is the per-entry build lock. */
+  private final class Entry(key: (SparkSession, String), build: () => DataFrame) {
+    @volatile private[SessionCache] var built: DataFrame = _
+    lazy val df: DataFrame = {
+      val d = build()
+      // A build block may hand back an already-persisted (even
+      // materialized) relation when it manages its own intermediate
+      // lifecycle (q55); persisting again would only log a warning.
+      val p =
+        if (d.storageLevel == org.apache.spark.storage.StorageLevel.NONE) d.persist()
+        else d
+      built = p
+      // If release() removed this entry while the build was running,
+      // nobody will ever unpersist it — do it here. The caller still
+      // gets a valid (just uncached) relation.
+      SessionCache.synchronized {
+        if (!cache.get(key).contains(this)) p.unpersist(blocking = false)
+      }
+      p
+    }
+  }
+
   private val cache =
-    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), Entry]
   private val hooked =
     scala.collection.mutable.Set.empty[SparkSession]
 
-  def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    synchronized {
+  def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val entry = synchronized {
       if (hooked.add(spark)) {
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onApplicationEnd(
@@ -38,19 +70,19 @@ object SessionCache {
             }
         })
       }
-      cache.getOrElseUpdate((spark, key), {
-        val df = build
-        // A build block may hand back an already-persisted (even
-        // materialized) relation when it manages its own intermediate
-        // lifecycle (q55); persisting again would only log a warning.
-        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-        else df
-      })
+      cache.getOrElseUpdate((spark, key), new Entry((spark, key), () => build))
     }
+    entry.df // may build; serializes per entry, not globally
+  }
 
-  /** Drop an entry and unpersist its storage (no-op for absent keys). */
+  /** Drop an entry and unpersist its storage (no-op for absent keys;
+    * an in-flight build unpersists itself on completion).
+    */
   def release(spark: SparkSession, key: String): Unit = synchronized {
-    cache.remove((spark, key)).foreach(_.unpersist(blocking = false))
+    cache.remove((spark, key)).foreach { e =>
+      val d = e.built
+      if (d != null) d.unpersist(blocking = false)
+    }
   }
 
   /** Live entry keys for a session — spec hook for bounded-storage

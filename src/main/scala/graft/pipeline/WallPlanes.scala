@@ -111,24 +111,31 @@ object WallPlanes {
       // StandardScaler stats aggregate. This branch is fully eager, so
       // the persist's lifecycle closes before returning.
       val scaledDf = scaled.toDF().persist()
-      val clusters = tiledClusters(
-        scaledDf.select(col("cell_id"), col("f0"), col("f1"), col("f2")),
-        eps, minSamples, tiles)
-      val labeled = scaledDf
-        .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
-          col("cx"), col("cy"), col("cz"))
-        .join(clusters, "cell_id")
-      // The per-cluster aggregate is O(#planes) — driver-tiny by problem
-      // construction (the reference collects the FULL point set for its
-      // global sklearn fit; this collects only the final plane rows).
-      // Materializing it eagerly lets the tiled path release every cache
-      // it created: no storage outlives the call.
-      val agg = runAggregates(labeled)
-      val rows = agg.collect().toIndexedSeq
-      clusters.unpersist(blocking = false)
-      scaledDf.unpersist(blocking = false)
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), agg.schema)
+      var clusters: DataFrame = null
+      // try/finally: a failed action (executor loss, kernel OOM) must
+      // not leave this branch's caches persisted for the session life —
+      // the no-storage-outlives-the-call contract covers failure too.
+      try {
+        clusters = tiledClusters(
+          scaledDf.select(col("cell_id"), col("f0"), col("f1"), col("f2")),
+          eps, minSamples, tiles)
+        val labeled = scaledDf
+          .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
+            col("cx"), col("cy"), col("cz"))
+          .join(clusters, "cell_id")
+        // The per-cluster aggregate is O(#planes) — driver-tiny by problem
+        // construction (the reference collects the FULL point set for its
+        // global sklearn fit; this collects only the final plane rows).
+        // Materializing it eagerly lets the tiled path release every cache
+        // it created: no storage outlives the call.
+        val agg = runAggregates(labeled)
+        val rows = agg.collect().toIndexedSeq
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), agg.schema)
+      } finally {
+        if (clusters != null) clusters.unpersist(blocking = false)
+        scaledDf.unpersist(blocking = false)
+      }
     }
   }
 
@@ -265,6 +272,9 @@ object WallPlanes {
       }
       coreRows ++ ownedRows
     }.toDF("kind", "point_id", "comp_key").persist()
+    // try/finally below: emitted must unpersist on failure paths too
+    // (a thrown collect would otherwise leak it for the session life).
+    try {
 
     // Distributed reduction to the tiny merge inputs.
     val coreRows = emitted.filter(col("kind") === 0)
@@ -310,8 +320,10 @@ object WallPlanes {
     // unpersist-first would force the whole two-phase kernel chain to
     // recompute on the caller's first action (the q55 lesson). After
     // this, the only live storage is the returned relation.
-    out.count()
-    emitted.unpersist(blocking = false)
+    try { out.count() }
+    catch { case t: Throwable => out.unpersist(blocking = false); throw t }
     out
+
+    } finally emitted.unpersist(blocking = false)
   }
 }

@@ -390,16 +390,13 @@ object Dedup {
         val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
           .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
           .persist()
-        val (labels, _) = minLabelPropagation(sym)
-        val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-          .persist()
-        // Materialize the result FROM the loop's cache, then release
-        // every intermediate: after this block the entry itself is the
-        // only live storage (and q55's `releases` drops it in turn).
-        // getOrPersist's persist() on the already-persisted relation is
-        // a no-op, so no double storage.
-        out.count()
-        labels.unpersist(blocking = false)
+        // The loop returns the final labels persisted+materialized
+        // UNDER THE OUTPUT NAMES, so the entry needs no second persist
+        // (getOrPersist sees non-NONE storage) and at no point do two
+        // cached copies of the label relation coexist. After this block
+        // the entry is the only live storage (q55's `releases` drops it
+        // in turn).
+        val (out, _) = minLabelPropagation(sym, ("doc_id", "cluster_id"))
         sym.unpersist(blocking = false)
         out
       }.orderBy(col("doc_id")))
@@ -419,12 +416,15 @@ object Dedup {
     * neighbor offers a smaller label) is constant per component = the
     * component min. No vertex ever collects its whole component.
     *
-    * The returned labels relation is persisted and materialized; the
-    * caller owns its unpersist. `rounds` is exposed for the convergence
-    * spec.
+    * The returned labels relation is persisted and materialized under
+    * the caller's output names (`outCols`, default ("id", "label") —
+    * renaming BEFORE the final persist means the caller never pays a
+    * second cache for a projection); the caller owns its unpersist.
+    * `rounds` is exposed for the convergence spec.
     */
   private[queries] def minLabelPropagation(
-      sym: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Int) = {
+      sym: org.apache.spark.sql.DataFrame,
+      outCols: (String, String) = ("id", "label")): (org.apache.spark.sql.DataFrame, Int) = {
     val spark = sym.sparkSession
     // An iterative loop must truncate the LOGICAL plan each round, not
     // just cache the data: every round references the previous labels
@@ -436,7 +436,13 @@ object Dedup {
     // round count) and each round's blocks release deterministically.
     def asLeaf(df: org.apache.spark.sql.DataFrame)
         : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist()
+      // MEMORY_AND_DISK, matching DataFrame persist semantics: the
+      // RDD default (MEMORY_ONLY) EVICTS under pressure instead of
+      // spilling, and with every prior round already unpersisted an
+      // evicted partition would recompute the whole join chain back to
+      // round 0 — per round, at exactly the scale where memory is
+      // tight.
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
     var (labels, labelsRdd) = asLeaf(
@@ -470,7 +476,9 @@ object Dedup {
       labels = nextDf.select(col("id"), col("next_label").as("label"))
       labelsRdd = nextRdd
     }
-    val out = labels.persist()
+    val out = labels
+      .select(col("id").as(outCols._1), col("label").as(outCols._2))
+      .persist()
     out.count()
     labelsRdd.unpersist(blocking = false)
     (out, rounds)

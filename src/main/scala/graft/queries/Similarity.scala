@@ -300,7 +300,11 @@ object Similarity {
         WHERE ${cosNN("a", "b")} >= 0.45
         ORDER BY a_id, b_id"""))( (spark, dir) => {
       import spark.implicits._
-      val nBlocks = 8
+      // B is the task-memory/parallelism dial the plan comment promises:
+      // each block-pair task holds ~2n/B vectors and there are B(B+1)/2
+      // tasks, so production sets graft.similarity.blocks from
+      // corpus_rows×row_bytes/task_memory. 8 suits the harness corpus.
+      val nBlocks = spark.conf.getOption("graft.similarity.blocks").map(_.toInt).getOrElse(8)
       val thresh = 0.45
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
