@@ -382,9 +382,10 @@ object Dedup {
           SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id"""),
-      // Last consumer (sorted order) of the whole shingle→pair→component
-      // chain: everything upstream releases with it.
-      releases = Seq("shingleSets", "jacPairs", "dedupClusters"))( (spark, dir) =>
+      // Last consumer (sorted order) of the pair→component chain;
+      // shingleSets itself releases later, with q69 — its true last
+      // consumer in sweep order.
+      releases = Seq("jacPairs", "dedupClusters"))( (spark, dir) =>
       graft.pipeline.SessionCache.getOrPersist(spark, s"dedupClusters:$dir") {
         val edges = jacPairs(spark, dir).select(col("a_id"), col("b_id"))
         val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -399,7 +400,63 @@ object Dedup {
         val (out, _) = minLabelPropagation(sym, ("doc_id", "cluster_id"))
         sym.unpersist(blocking = false)
         out
-      }.orderBy(col("doc_id")))
+      }.orderBy(col("doc_id"))),
+
+    // ── Incremental NEAR-dup detection: the fuzzy counterpart of q57's
+    // exact incremental check. The new batch (doc_id % 5 = 0) is banded
+    // with the SAME MinHash family as q42 and its band keys probe the
+    // corpus band index; only candidate pairs sharing a band pay the
+    // exact Jaccard verify. At scale the corpus band index is the
+    // persistent artifact (written bucketed by (band, key) once per
+    // corpus version) and each increment joins only its own band keys
+    // against it — the corpus shingle relation is touched only to
+    // verify candidates, via an id equi-join. Output = (batch doc,
+    // corpus doc, jaccard) for every cross-set near-dup pair; the
+    // oracle mirrors the whole pipeline (same hash family), so the
+    // banding's recall behavior is itself verified, exactly q42's
+    // contract.
+    QueryDef(
+      "q69_neardup_incremental",
+      Some(s"""
+        $shinglesSqlCte,
+        sig AS (SELECT doc_id, ${DS.minhashSigExpr("hs")} AS sig FROM h),
+        bands AS (
+          SELECT doc_id, u.bk.band AS band, u.bk.key AS key
+          FROM sig, (SELECT unnest(${DS.bandKeysExpr("sig")}) AS bk) u),
+        cand AS (
+          SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+          FROM bands b JOIN bands c ON b.band = c.band AND b.key = c.key
+          WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+        verified AS (
+          SELECT cand.b_id, cand.c_id,
+                 round(${DS.jaccardExpr("sb.shingles", "sc.shingles")}, 6) AS jac
+          FROM cand
+          JOIN sh sb ON sb.doc_id = cand.b_id
+          JOIN sh sc ON sc.doc_id = cand.c_id)
+        SELECT b_id, c_id, jac FROM verified
+        WHERE jac >= 0.5 ORDER BY b_id, c_id"""),
+      // Last tokenize+shingle consumer in sorted sweep order
+      // (q41 < q42 < q43 < q55 < q69).
+      releases = Seq("shingleSets"))( (spark, dir) => {
+      val sh = shingleSets(spark, dir)
+      val sig = sh.select(col("doc_id"),
+        DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
+      val bands = sig
+        .select(col("doc_id"), explode(DF.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.filter(col("doc_id") % 5 === 0).as("b")
+        .join(bands.filter(col("doc_id") % 5 =!= 0).as("c"),
+          col("b.band") === col("c.band") && col("b.key") === col("c.key"))
+        .select(col("b.doc_id").as("b_id"), col("c.doc_id").as("c_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+        .join(sh.select(col("doc_id").as("c_id"), col("shingles").as("c_sh")), "c_id")
+        .withColumn("jac", round(DF.jaccard(col("b_sh"), col("c_sh")), 6))
+        .filter(col("jac") >= 0.5)
+        .select(col("b_id"), col("c_id"), col("jac"))
+        .orderBy(col("b_id"), col("c_id"))
+    })
   )
 
   /** Iterative min-label propagation with POINTER JUMPING over a

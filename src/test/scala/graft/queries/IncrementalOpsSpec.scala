@@ -186,6 +186,24 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q69 equals the cross-set slice of the exact near-dup relation (recall 1.0 here)") {
+    // q41 is the EXACT all-pairs Jaccard >= 0.5 relation (a_id < b_id).
+    // Its mixed-parity slice re-keyed as (batch, corpus) is the ground
+    // truth for q69; on this corpus the banding catches every pair, so
+    // equality (not just subset) must hold.
+    val exact = q("q41_ngram_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, j) => if (a % 5 == 0) (a, b, j) else (b, a, j) }
+      .sortBy(p => (p._1, p._2))
+    val got = q("q69_neardup_incremental").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(got.toSeq == exact.toSeq,
+      s"got ${got.length} pairs, exact slice has ${exact.length}")
+    assert(got.nonEmpty, "the sf0.01 gate must exercise a non-empty cross-set pair set")
+  }
+
   test("q67 shares sum to 1 and repeat factors invert the token shares") {
     val rows = q("q67_mix_weights").collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
