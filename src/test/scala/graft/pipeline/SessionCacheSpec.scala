@@ -42,6 +42,58 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.count() == 3 && b.count() == 5)
   }
 
+  test("a slow build never blocks other keys (global lock excludes builds)") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val slowKey = s"slow:${System.nanoTime()}"
+    val slow = new Thread(() => {
+      SessionCache.getOrPersist(spark, slowKey) {
+        slowStarted.countDown()
+        assert(gate.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        spark.range(2).toDF()
+      }.count()
+      ()
+    })
+    slow.start()
+    assert(slowStarted.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // With the slow build in flight, another key must build immediately
+    // and the map surface (liveKeys/release) must not block.
+    val fast = SessionCache.getOrPersist(spark, s"fast:${System.nanoTime()}") {
+      spark.range(4).toDF()
+    }
+    assert(fast.count() == 4)
+    SessionCache.liveKeys(spark)
+    gate.countDown()
+    slow.join(30000)
+    assert(!slow.isAlive, "slow builder must complete after the gate opens")
+  }
+
+  test("releasing a key mid-build is safe: the builder unpersists its own result") {
+    val building = new java.util.concurrent.CountDownLatch(1)
+    val released = new java.util.concurrent.CountDownLatch(1)
+    val key = s"midrel:${System.nanoTime()}"
+    @volatile var result: org.apache.spark.sql.DataFrame = null
+    val builder = new Thread(() => {
+      result = SessionCache.getOrPersist(spark, key) {
+        building.countDown()
+        assert(released.await(30, java.util.concurrent.TimeUnit.SECONDS))
+        spark.range(6).toDF()
+      }
+      ()
+    })
+    builder.start()
+    assert(building.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    SessionCache.release(spark, key) // entry gone before the build finishes
+    released.countDown()
+    builder.join(30000)
+    assert(!builder.isAlive)
+    // The orphaned build's storage must not linger...
+    assert(result.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "builder must unpersist a result whose entry was released mid-build")
+    // ...and the relation itself stays valid for the caller.
+    assert(result.count() == 6)
+  }
+
   test("release drops the entry and its storage; a later consumer rebuilds") {
     val key = s"rel:${System.nanoTime()}"
     val builds = new AtomicInteger(0)

@@ -186,6 +186,22 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q44's result is independent of the block count (B is a pure scale dial)") {
+    def run(blocks: Option[String]): Seq[(Long, Long, Double)] = {
+      blocks match {
+        case Some(b) => spark.conf.set("graft.similarity.blocks", b)
+        case None => spark.conf.unset("graft.similarity.blocks")
+      }
+      try q("q44_embedding_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      finally spark.conf.unset("graft.similarity.blocks")
+    }
+    val default = run(None)
+    assert(default.nonEmpty)
+    for (b <- Seq("3", "5", "16"))
+      assert(run(Some(b)) == default, s"blocks=$b diverged from the default partitioning")
+  }
+
   test("q69 equals the cross-set slice of the exact near-dup relation (recall 1.0 here)") {
     // q41 is the EXACT all-pairs Jaccard >= 0.5 relation (a_id < b_id).
     // Its mixed-parity slice re-keyed as (batch, corpus) is the ground
