@@ -21,15 +21,15 @@ object Bench {
         Seq("q81_iou_pairs", "q41_ngram_jaccard").foreach(q =>
           SparkEntry.queries(q)(spark, warmDir)
             .write.format("noop").mode("overwrite").save())
-        // The warm-up queries built SessionCache entries keyed with
-        // warmDir; the sweep's releases are keyed with sfDir and would
-        // never drop them — release everything warm-dir now so the
-        // timed queries get the full storage budget.
-        graft.pipeline.SessionCache.liveKeys(spark)
-          .filter(_.endsWith(s":$warmDir"))
-          .foreach(k => graft.pipeline.SessionCache.release(spark, k))
       }
     } catch { case _: Throwable => () }
+    // The warm-up built SessionCache entries keyed with the warm dir;
+    // the sweep's releases are keyed with sfDir and would never drop
+    // them. Outside the try — a half-failed warm-up must still clean
+    // up whatever entries it managed to build.
+    graft.pipeline.SessionCache.liveKeys(spark)
+      .filterNot(_.endsWith(s":$sfDir"))
+      .foreach(k => graft.pipeline.SessionCache.release(spark, k))
     // Deterministic name order: per-query numbers comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -44,10 +44,15 @@ object SessionCache {
         else d
       built = p
       // If release() removed this entry while the build was running,
-      // nobody will ever unpersist it — do it here. The caller still
-      // gets a valid (just uncached) relation.
+      // nobody will ever unpersist it — do it here, UNLESS a successor
+      // entry for the same key already exists: same-key builds produce
+      // sameResult plans, which share ONE CacheManager entry, so
+      // unpersisting the orphan would strip the live successor's
+      // storage too (liveKeys would still report it cached while every
+      // consumer recomputes). The caller still gets a valid relation
+      // either way.
       SessionCache.synchronized {
-        if (!cache.get(key).contains(this)) p.unpersist(blocking = false)
+        if (cache.get(key).isEmpty) p.unpersist(blocking = false)
       }
       p
     }

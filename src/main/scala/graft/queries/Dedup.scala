@@ -65,6 +65,22 @@ object Dedup {
       ngramJaccardPairs(spark, dir, dfCap = 10000)
     }
 
+  /** (doc_id, band, key) MinHash band relation, persisted once per
+    * (session, sfDir) POST-explode — q42's intra-corpus banding and
+    * q69's incremental probe consume the same rows, and sharing the
+    * cache means the signature kernel and the band explode run once
+    * per session, with one maintenance site for the banding scheme.
+    * Released with q69, the last consumer in sweep order.
+    */
+  private[queries] def minhashBands(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"mhBands:$dir") {
+      shingleSets(spark, dir)
+        .select(col("doc_id"),
+          DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
+        .select(col("doc_id"), explode(DF.bandKeys(col("sig"))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+
   private[queries] def ngramJaccardPairs(spark: org.apache.spark.sql.SparkSession,
       dir: String, dfCap: Int) = {
     val sh = shingleSets(spark, dir)
@@ -162,16 +178,12 @@ object Dedup {
           JOIN sh sb ON sb.doc_id = c.b_id)
         SELECT a_id, b_id, jac FROM verified
         WHERE jac >= 0.5 ORDER BY a_id, b_id"""))( (spark, dir) => {
-      // The shared shingleSets cache feeds three subtrees here
-      // (signature generation and both sides of the candidate verify
-      // join) — tokenization+shingling run once per session, not per
-      // subtree or per query.
+      // Shared caches: shingleSets feeds the verify joins, and the
+      // banded signature relation is the same one q69's incremental
+      // probe consumes — signature kernel + band explode run once per
+      // session, not per query.
       val sh = shingleSets(spark, dir)
-      val sig = sh.select(col("doc_id"),
-        DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
-      val bands = sig
-        .select(col("doc_id"), explode(DF.bandKeys(col("sig"))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val bands = minhashBands(spark, dir)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -274,13 +286,19 @@ object Dedup {
         WHERE b.digest NOT IN (SELECT digest FROM corpus)
         ORDER BY b.doc_id"""))( (spark, dir) => {
       val d = documents(spark, dir)
+      // Null digests (null text) have no dedup identity: dropped
+      // explicitly on BOTH sides, matching the oracle's NOT IN
+      // three-valued semantics — a left_anti join would otherwise KEEP
+      // a null-key batch row the SQL drops (null never matches).
       val corpus = d.filter(col("doc_id") % 5 =!= 0)
         .select(md5(col("text").cast("binary")).as("digest"))
+        .filter(col("digest").isNotNull)
       val batch = d.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
         .unionByName(d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
           .select((col("doc_id") + 200000).as("doc_id"),
             md5(col("text").cast("binary")).as("digest")))
+        .filter(col("digest").isNotNull)
       // count() scans no data columns (parquet metadata + the doc_id
       // predicate); the bloom build is one treeAggregate over digests.
       val bloom = corpus.stat.bloomFilter("digest", math.max(corpus.count(), 1L), 0.01)
@@ -435,15 +453,11 @@ object Dedup {
           JOIN sh sc ON sc.doc_id = cand.c_id)
         SELECT b_id, c_id, jac FROM verified
         WHERE jac >= 0.5 ORDER BY b_id, c_id"""),
-      // Last tokenize+shingle consumer in sorted sweep order
+      // Last tokenize+shingle+band consumer in sorted sweep order
       // (q41 < q42 < q43 < q55 < q69).
-      releases = Seq("shingleSets"))( (spark, dir) => {
+      releases = Seq("shingleSets", "mhBands"))( (spark, dir) => {
       val sh = shingleSets(spark, dir)
-      val sig = sh.select(col("doc_id"),
-        DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
-      val bands = sig
-        .select(col("doc_id"), explode(DF.bandKeys(col("sig"))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val bands = minhashBands(spark, dir)
       val cand = bands.filter(col("doc_id") % 5 === 0).as("b")
         .join(bands.filter(col("doc_id") % 5 =!= 0).as("c"),
           col("b.band") === col("c.band") && col("b.key") === col("c.key"))

@@ -304,7 +304,14 @@ object Similarity {
       // each block-pair task holds ~2n/B vectors and there are B(B+1)/2
       // tasks, so production sets graft.similarity.blocks from
       // corpus_rows×row_bytes/task_memory. 8 suits the harness corpus.
-      val nBlocks = spark.conf.getOption("graft.similarity.blocks").map(_.toInt).getOrElse(8)
+      val nBlocks = spark.conf.getOption("graft.similarity.blocks").map { v =>
+        val n = try v.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"graft.similarity.blocks must be an int, got '$v'")
+        }
+        require(n > 0, s"graft.similarity.blocks must be positive, got $n")
+        n
+      }.getOrElse(8)
       val thresh = 0.45
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))

@@ -64,17 +64,21 @@ final class IngestDeduper(corpusDigests: DataFrame, expectedItems: Long, fpp: Do
       .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("digest"))
       .persist() // scanned twice: maybe-set build + the anti join
-    val maybeDigests = b
-      .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
-      .select(col("digest")).distinct()
-    val present = corpus
-      .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
-      .distinct()
-      .unionByName(acceptedSet.toSeq.toDF("digest"))
-    val rows = b.join(broadcast(present), Seq("digest"), "left_anti")
-      .select(col("doc_id"), col("digest"))
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    b.unpersist(blocking = false)
+    // try/finally: a failed micro-batch (executor loss, fetch failure)
+    // retries through foreachBatch — without the finally each attempt
+    // would leak one persisted batch relation for the stream's life.
+    val rows = try {
+      val maybeDigests = b
+        .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
+        .select(col("digest")).distinct()
+      val present = corpus
+        .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
+        .distinct()
+        .unionByName(acceptedSet.toSeq.toDF("digest"))
+      b.join(broadcast(present), Seq("digest"), "left_anti")
+        .select(col("doc_id"), col("digest"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    } finally b.unpersist(blocking = false)
     rows.foreach { case (_, dg) => bloom.putString(dg); acceptedSet += dg }
     rows.toSeq.toDF("doc_id", "digest")
   }
