@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DedupSql => DS, TextSql => TS}
+import graft.sources.Tables._
+
+/** The capstone: the WHOLE training-data curation pipeline as one
+  * declared, fully-oracled query — the composition a real 100 TB corpus
+  * run executes, built from the stages the individual queries verify:
+  *
+  *   quality floor (token count) → exact dedup (md5-canonical) →
+  *   near-dup canonical (cluster min survives) → benchmark
+  *   decontamination (5-shingle collision with the held-out eval set) →
+  *   stratified sampling (salted-hash keep rates) → split assignment →
+  *   sequence packing (distributed prefix sum).
+  *
+  * Every stage reuses the exact shared relations and kernels its
+  * standalone query declared (token arrays, cluster labels, 5-shingle
+  * sets, the polynomial hash, packTokens), so the pipeline inherits
+  * their scale shapes: one tokenize pass, map-side decontamination
+  * probe, no unpartitioned windows, cluster labels from the
+  * pointer-jumping loop. The DuckDB oracle is the same WITH-chain over
+  * the shared SQL fragments — one statement defining the entire corpus
+  * run, independent of any of the Spark-side machinery. Like q41/q55,
+  * the oracle's near-dup stage is the deliberately declarative O(n²)
+  * pair SPEC (+ recursive closure): it is the definition the engine is
+  * checked against at sf0.01, not a program to race — never run it at
+  * sf0.1 (see the verify skill's caveat).
+  */
+object Curation {
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q99_curation_pipeline",
+      Some(s"""
+        WITH RECURSIVE ${Dedup.shinglesSqlCte.trim.stripPrefix("WITH")},
+        edges AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5),
+        sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+                UNION SELECT b_id, a_id FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        clust AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                  FROM reach GROUP BY src),
+        fp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+               FROM documents),
+        sh5 AS (SELECT doc_id, ${TS.shinglesExpr("toks", 5)} AS s5 FROM toks),
+        evu AS (SELECT DISTINCT u.s FROM sh5, (SELECT unnest(s5) AS s) u
+                WHERE doc_id % 31 = 0),
+        cont AS (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT doc_id, u.s FROM sh5, (SELECT unnest(s5) AS s) u
+                WHERE doc_id % 31 <> 0) t
+          JOIN evu ON t.s = evu.s),
+        keepers AS (
+          SELECT d.doc_id, d.lang, ${TS.tokenCountExpr("t.toks")}::BIGINT AS n_tokens
+          FROM documents d
+          JOIN toks t ON t.doc_id = d.doc_id
+          JOIN fp ON fp.doc_id = d.doc_id
+          LEFT JOIN clust c ON c.doc_id = d.doc_id
+          WHERE d.doc_id % 31 <> 0
+            AND fp.keep_id = d.doc_id
+            AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
+            AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+            AND ${TS.tokenCountExpr("t.toks")} >= 15
+            AND ${TS.stringHashExpr("'strat|' || d.doc_id::VARCHAR")} % 100
+                < (CASE WHEN d.lang = 'en' THEN 30 ELSE 80 END)),
+        packed AS (
+          SELECT doc_id, lang, n_tokens,
+                 ${TS.stringHashExpr("doc_id::VARCHAR")} % 10 AS sb,
+                 sum(n_tokens) OVER (ORDER BY doc_id) AS running
+          FROM keepers)
+        SELECT doc_id, lang,
+               CASE WHEN sb < 8 THEN 'train' WHEN sb = 8 THEN 'val' ELSE 'test' END AS split,
+               n_tokens,
+               ((running - n_tokens) // 4096)::BIGINT AS pack_id
+        FROM packed ORDER BY doc_id"""),
+      // The pipeline is the true last consumer (sweep-sorted) of the
+      // token arrays, the 5-shingle sets, and the cluster labels — and
+      // of its own survivors cache.
+      releases = Seq("toks", "sh5", "dedupClusters", "curated"))( (spark, dir) => {
+      val d = documents(spark, dir)
+      val nTok = TextAnalysis.tokenArrays(spark, dir)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      val canon = d
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("dg"))))
+        .select(col("doc_id"), col("keep_id"))
+      val clust = Dedup.dedupClustersRel(spark, dir)
+      val sh5 = Dedup.sh5Sets(spark, dir)
+      val evu = sh5.filter(col("doc_id") % 31 === 0)
+        .select(explode(col("sh")).as("s")).distinct()
+      val cont = sh5.filter(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(evu), "s")
+        .select(col("doc_id")).distinct()
+      val strat = pmod(org.apache.spark.sql.graft.GraftExpressions
+        .polyHash(concat(lit("strat|"), col("doc_id").cast("string"))), lit(100L))
+      val keepers = d.select(col("doc_id"), col("lang"))
+        .join(nTok, "doc_id")
+        .join(canon, "doc_id")
+        .join(clust, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left_anti")
+        .filter(col("doc_id") % 31 =!= 0)
+        .filter(col("keep_id") === col("doc_id"))
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .filter(col("n_tokens") >= 15)
+        .filter(strat < when(col("lang") === "en", 30).otherwise(80))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      // Survivors feed three subtrees (the pack's block sums, the pack
+      // itself, and the final join-back) — one SessionCache entry,
+      // self-released with this query's declared releases.
+      val curated = graft.pipeline.SessionCache.getOrPersist(spark, s"curated:$dir")(keepers)
+      val sb = pmod(org.apache.spark.sql.graft.GraftExpressions
+        .polyHash(col("doc_id").cast("string")), lit(10L))
+      TextAnalysis.packTokens(curated.select(col("doc_id"), col("n_tokens")), 4096L, 512L)
+        .join(curated.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          when(sb < 8, "train").when(sb === 8, "val").otherwise("test").as("split"),
+          col("n_tokens"), col("pack_id"))
+        .orderBy(col("doc_id"))
+    })
+  )
+}

@@ -13,7 +13,7 @@ import graft.sources.Tables._
 object Dedup {
 
   /** Shared shingle-set relation: (doc_id, shingles, hs). */
-  private val shinglesSqlCte = s"""
+  private[queries] val shinglesSqlCte = s"""
     WITH toks AS (SELECT doc_id, text, ${TS.toksExpr("text")} AS toks FROM documents),
     sh AS (SELECT doc_id, ${TS.shinglesExpr("toks", 3)} AS shingles FROM toks),
     h AS (SELECT doc_id, shingles,
@@ -79,6 +79,35 @@ object Dedup {
           DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
         .select(col("doc_id"), explode(DF.bandKeys(col("sig"))).as("bk"))
         .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    }
+
+  /** 5-token shingle sets (decontamination granularity), persisted per
+    * (session, sfDir), cached BEFORE the explodes (the q41 lesson) —
+    * q59 and the q99 pipeline both explode it. Released with q99.
+    */
+  private[queries] def sh5Sets(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"sh5:$dir") {
+      documents(spark, dir)
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TF.shingles(col("toks"), 5).as("sh"))
+    }
+
+  /** Near-dup cluster labels (doc_id, cluster_id) for every pair-member
+    * doc, persisted per (session, sfDir) — q55 declares it and the q99
+    * pipeline's canonical-member filter consumes it. Released with q99.
+    * The loop returns the final labels persisted+materialized UNDER THE
+    * OUTPUT NAMES, so the entry needs no second persist and at no point
+    * do two cached copies of the label relation coexist.
+    */
+  private[queries] def dedupClustersRel(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"dedupClusters:$dir") {
+      val edges = jacPairs(spark, dir).select(col("a_id"), col("b_id"))
+      val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .persist()
+      val (out, _) = minLabelPropagation(sym, ("doc_id", "cluster_id"))
+      sym.unpersist(blocking = false)
+      out
     }
 
   private[queries] def ngramJaccardPairs(spark: org.apache.spark.sql.SparkSession,
@@ -351,17 +380,11 @@ object Dedup {
         SELECT tr.doc_id, count(*) AS n_shared
         FROM tr JOIN ev ON tr.s = ev.s
         GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
-      // Single-consumer cache: released right after this query runs.
-      releases = Seq("sh5"))( (spark, dir) => {
-      // Cached BEFORE the explodes (the q41 lesson: Generate re-evaluates
-      // expensive generator inputs, and both the eval and train branches
-      // explode this relation — uncached, the tokenize+shingle work ran
-      // twice and quadratically; measured 8.1 s -> ~1 s at sf0.1).
-      val sh5 = graft.pipeline.SessionCache.getOrPersist(spark, s"sh5:$dir") {
-        documents(spark, dir)
-          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), TF.shingles(col("toks"), 5).as("sh"))
-      }
+      )( (spark, dir) => {
+      // Shared 5-shingle cache (see [[sh5Sets]]; uncached, the
+      // tokenize+shingle work ran once per exploding consumer and
+      // measured 8.1 s vs ~1 s at sf0.1). Released with q99.
+      val sh5 = sh5Sets(spark, dir)
       val ev = sh5.filter(col("doc_id") % 31 === 0)
         .select(explode(col("sh")).as("s")).distinct()
       sh5.filter(col("doc_id") % 31 =!= 0)
@@ -400,25 +423,11 @@ object Dedup {
           SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         FROM reach GROUP BY src ORDER BY doc_id"""),
-      // Last consumer (sorted order) of the pair→component chain;
-      // shingleSets itself releases later, with q69 — its true last
-      // consumer in sweep order.
-      releases = Seq("jacPairs", "dedupClusters"))( (spark, dir) =>
-      graft.pipeline.SessionCache.getOrPersist(spark, s"dedupClusters:$dir") {
-        val edges = jacPairs(spark, dir).select(col("a_id"), col("b_id"))
-        val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-          .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-          .persist()
-        // The loop returns the final labels persisted+materialized
-        // UNDER THE OUTPUT NAMES, so the entry needs no second persist
-        // (getOrPersist sees non-NONE storage) and at no point do two
-        // cached copies of the label relation coexist. After this block
-        // the entry is the only live storage (q55's `releases` drops it
-        // in turn).
-        val (out, _) = minLabelPropagation(sym, ("doc_id", "cluster_id"))
-        sym.unpersist(blocking = false)
-        out
-      }.orderBy(col("doc_id"))),
+      // Last consumer (sorted order) of the pair relation; the cluster
+      // labels themselves release with q99 (the pipeline's canonical
+      // filter) and shingleSets with q69.
+      releases = Seq("jacPairs"))( (spark, dir) =>
+      dedupClustersRel(spark, dir).orderBy(col("doc_id"))),
 
     // ── Incremental NEAR-dup detection: the fuzzy counterpart of q57's
     // exact incremental check. The new batch (doc_id % 5 = 0) is banded

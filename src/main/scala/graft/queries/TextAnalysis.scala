@@ -20,7 +20,7 @@ object TextAnalysis {
     * and the previous per-invocation inline `.persist()` leaked one
     * cache entry per call with no eviction.
     */
-  private def tokenArrays(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def tokenArrays(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"toks:$dir") {
       documents(spark, dir)
@@ -231,10 +231,9 @@ object TextAnalysis {
                      sum(n_tokens) OVER (ORDER BY doc_id) AS running FROM n)
         SELECT doc_id, n_tokens, ((running - n_tokens) // 4096)::BIGINT AS pack_id
         FROM r ORDER BY doc_id"""),
-      // q66 is now the LAST tokenArrays consumer in sorted sweep order
-      // (q34 < q35 < q66), so the release rides here — on q35 it made
-      // the sweep re-tokenize for q66 and leak the rebuilt entry.
-      releases = Seq("toks"))( (spark, dir) =>
+      // tokenArrays releases with q99 (the curation pipeline), the
+      // last consumer in sorted sweep order (q34 < q35 < q66 < q99).
+      )( (spark, dir) =>
       packTokens(
         tokenArrays(spark, dir)
           .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens")),

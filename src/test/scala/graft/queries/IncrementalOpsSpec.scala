@@ -220,6 +220,33 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty, "the sf0.01 gate must exercise a non-empty cross-set pair set")
   }
 
+  test("q99 curation invariants: no dups, no eval docs, no contamination, gap-free packs") {
+    val out = q("q99_curation_pipeline").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val ids = out.map(_._1).toSet
+    // Not benchmark docs; above the quality floor.
+    assert(out.forall(_._1 % 31 != 0))
+    assert(out.forall(_._4 >= 15))
+    // Survivors are exact-unique: no two share a text digest.
+    val d = graft.sources.Tables.documents(spark, dir)
+    val dups = d.filter(col("doc_id").isInCollection(ids))
+      .groupBy(md5(col("text").cast("binary"))).count()
+      .filter(col("count") > 1).count()
+    assert(dups == 0, "two curated docs share a text digest")
+    // No surviving near-dup pair: at most one member of any q41 pair.
+    val pairSurvivors = q("q41_ngram_jaccard").collect()
+      .count(r => ids.contains(r.getLong(0)) && ids.contains(r.getLong(1)))
+    assert(pairSurvivors == 0, s"$pairSurvivors near-dup pairs fully survived curation")
+    // No contaminated doc: q59's flag set is disjoint from the output.
+    val contaminated = q("q59_decontaminate").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(contaminated).isEmpty)
+    // Pack ids are non-decreasing and gap-free in doc order.
+    val packs = out.sortBy(_._1).map(_._5)
+    assert(packs.head == 0L)
+    assert(packs.sliding(2).forall(p => p(1) - p(0) >= 0 && p(1) - p(0) <= 1))
+  }
+
   test("q67 shares sum to 1 and repeat factors invert the token shares") {
     val rows = q("q67_mix_weights").collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
