@@ -50,7 +50,11 @@ object SessionCache {
       // unpersisting the orphan would strip the live successor's
       // storage too (liveKeys would still report it cached while every
       // consumer recomputes). The caller still gets a valid relation
-      // either way.
+      // either way. Residual edge: if the successor's build THROWS and
+      // no consumer ever re-requests the key, the orphan's storage
+      // stays until application end — self-healing otherwise, because
+      // a thrown lazy initializer reruns on the next access, and that
+      // successor's eventual release unpersists the shared entry.
       SessionCache.synchronized {
         if (cache.get(key).isEmpty) p.unpersist(blocking = false)
       }

@@ -93,15 +93,11 @@ object Curation {
         .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("dg"))))
         .select(col("doc_id"), col("keep_id"))
       val clust = Dedup.dedupClustersRel(spark, dir)
-      val sh5 = Dedup.sh5Sets(spark, dir)
-      val evu = sh5.filter(col("doc_id") % 31 === 0)
-        .select(explode(col("sh")).as("s")).distinct()
-      val cont = sh5.filter(col("doc_id") % 31 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .join(broadcast(evu), "s")
-        .select(col("doc_id")).distinct()
-      val strat = pmod(org.apache.spark.sql.graft.GraftExpressions
-        .polyHash(concat(lit("strat|"), col("doc_id").cast("string"))), lit(100L))
+      // Same shared rule sites as the standalone queries: the
+      // decontamination probe (q59), the stratification and split
+      // buckets (q58/q56) — changing any rule changes both the
+      // standalone query and the pipeline, never one of them.
+      val cont = Dedup.contamProbe(spark, dir).select(col("doc_id")).distinct()
       val keepers = d.select(col("doc_id"), col("lang"))
         .join(nTok, "doc_id")
         .join(canon, "doc_id")
@@ -111,18 +107,15 @@ object Curation {
         .filter(col("keep_id") === col("doc_id"))
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .filter(col("n_tokens") >= 15)
-        .filter(strat < when(col("lang") === "en", 30).otherwise(80))
+        .filter(TextAnalysis.stratKeep)
         .select(col("doc_id"), col("lang"), col("n_tokens"))
       // Survivors feed three subtrees (the pack's block sums, the pack
       // itself, and the final join-back) — one SessionCache entry,
       // self-released with this query's declared releases.
       val curated = graft.pipeline.SessionCache.getOrPersist(spark, s"curated:$dir")(keepers)
-      val sb = pmod(org.apache.spark.sql.graft.GraftExpressions
-        .polyHash(col("doc_id").cast("string")), lit(10L))
       TextAnalysis.packTokens(curated.select(col("doc_id"), col("n_tokens")), 4096L, 512L)
         .join(curated.select(col("doc_id"), col("lang")), "doc_id")
-        .select(col("doc_id"), col("lang"),
-          when(sb < 8, "train").when(sb === 8, "val").otherwise("test").as("split"),
+        .select(col("doc_id"), col("lang"), TextAnalysis.splitName.as("split"),
           col("n_tokens"), col("pack_id"))
         .orderBy(col("doc_id"))
     })

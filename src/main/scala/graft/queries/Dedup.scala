@@ -92,6 +92,23 @@ object Dedup {
         .select(col("doc_id"), TF.shingles(col("toks"), 5).as("sh"))
     }
 
+  /** The decontamination probe relation: one row per (training doc,
+    * shared-5-shingle-with-eval) hit — eval set = doc_id % 31 = 0, its
+    * distinct shingle union broadcast, training shingles probed
+    * map-side. ONE maintenance site for the decontamination rule: q59
+    * aggregates it to per-doc counts, q99 reduces it to the
+    * contaminated id set.
+    */
+  private[queries] def contamProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val sh5 = sh5Sets(spark, dir)
+    val ev = sh5.filter(col("doc_id") % 31 === 0)
+      .select(explode(col("sh")).as("s")).distinct()
+    sh5.filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(ev), "s")
+  }
+
   /** Near-dup cluster labels (doc_id, cluster_id) for every pair-member
     * doc, persisted per (session, sfDir) — q55 declares it and the q99
     * pipeline's canonical-member filter consumes it. Released with q99.
@@ -304,21 +321,28 @@ object Dedup {
     // set, and a broken membership check shows up as extra rows).
     QueryDef(
       "q57_bloom_incremental",
+      // Null digests are excluded on BOTH sides IN THE SQL TOO: a null
+      // in a NOT IN subquery would empty the whole result (three-valued
+      // logic), which is not the dedup semantics anyone wants — both
+      // engines declare "undigestable rows have no dedup identity".
       Some("""
-        WITH corpus AS (SELECT md5(text) AS digest FROM documents WHERE doc_id % 5 <> 0),
+        WITH corpus AS (SELECT md5(text) AS digest FROM documents
+                        WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
         batch AS (
-          SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 5 = 0
+          SELECT doc_id, md5(text) AS digest FROM documents
+          WHERE doc_id % 5 = 0 AND text IS NOT NULL
           UNION ALL
           SELECT doc_id + 200000 AS doc_id, md5(text) AS digest FROM documents
-          WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1)
+          WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1 AND text IS NOT NULL)
         SELECT b.doc_id, b.digest FROM batch b
         WHERE b.digest NOT IN (SELECT digest FROM corpus)
         ORDER BY b.doc_id"""))( (spark, dir) => {
       val d = documents(spark, dir)
       // Null digests (null text) have no dedup identity: dropped
-      // explicitly on BOTH sides, matching the oracle's NOT IN
-      // three-valued semantics — a left_anti join would otherwise KEEP
-      // a null-key batch row the SQL drops (null never matches).
+      // explicitly here exactly as the oracle's IS NOT NULL predicates
+      // drop them — without the shared rule, left_anti KEEPS null keys
+      // while NOT IN's three-valued logic drops them (or empties the
+      // result entirely on a corpus-side null).
       val corpus = d.filter(col("doc_id") % 5 =!= 0)
         .select(md5(col("text").cast("binary")).as("digest"))
         .filter(col("digest").isNotNull)
@@ -380,19 +404,13 @@ object Dedup {
         SELECT tr.doc_id, count(*) AS n_shared
         FROM tr JOIN ev ON tr.s = ev.s
         GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
-      )( (spark, dir) => {
-      // Shared 5-shingle cache (see [[sh5Sets]]; uncached, the
-      // tokenize+shingle work ran once per exploding consumer and
-      // measured 8.1 s vs ~1 s at sf0.1). Released with q99.
-      val sh5 = sh5Sets(spark, dir)
-      val ev = sh5.filter(col("doc_id") % 31 === 0)
-        .select(explode(col("sh")).as("s")).distinct()
-      sh5.filter(col("doc_id") % 31 =!= 0)
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .join(broadcast(ev), "s")
+      )( (spark, dir) =>
+      // One aggregation over the shared probe relation ([[contamProbe]],
+      // built off the sh5Sets cache — uncached, the tokenize+shingle
+      // work measured 8.1 s vs ~1 s at sf0.1). Released with q99.
+      contamProbe(spark, dir)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // ── Dedup-cluster resolution: the pair queries (q41-q44) emit edges;
     // a production dedup pipeline needs COMPONENTS — every document

@@ -20,6 +20,29 @@ object TextAnalysis {
     * and the previous per-invocation inline `.persist()` leaked one
     * cache entry per call with no eviction.
     */
+  /** The q56 split bucket: pmod(polyHash(doc_id), 10) — one spelling
+    * shared by q56, q99, and (via [[splitName]]) both split mappings.
+    */
+  private[queries] def splitBucket: org.apache.spark.sql.Column =
+    pmod(org.apache.spark.sql.graft.GraftExpressions
+      .polyHash(col("doc_id").cast("string")), lit(10L))
+
+  /** 80/10/10 split name from [[splitBucket]]. */
+  private[queries] def splitName: org.apache.spark.sql.Column =
+    when(splitBucket < 8, "train").when(splitBucket === 8, "val").otherwise("test")
+
+  /** The q58 stratified-sampling bucket: pmod(polyHash('strat|'+doc_id),
+    * 100) — the salt decorrelates sampling from the split assignment.
+    * Shared by q58 and q99.
+    */
+  private[queries] def stratBucket: org.apache.spark.sql.Column =
+    pmod(org.apache.spark.sql.graft.GraftExpressions
+      .polyHash(concat(lit("strat|"), col("doc_id").cast("string"))), lit(100L))
+
+  /** q58's per-language keep rate (en 30% / rest 80%). */
+  private[queries] def stratKeep: org.apache.spark.sql.Column =
+    stratBucket < when(col("lang") === "en", 30).otherwise(80)
+
   private[queries] def tokenArrays(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"toks:$dir") {
@@ -170,12 +193,8 @@ object TextAnalysis {
                count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
                min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM h GROUP BY 1 ORDER BY split"""))( (spark, dir) => {
-      val b = pmod(org.apache.spark.sql.graft.GraftExpressions
-        .polyHash(col("doc_id").cast("string")), lit(10L))
       documents(spark, dir)
-        .select(
-          when(b < 8, "train").when(b === 8, "val").otherwise("test").as("split"),
-          col("doc_id"), col("n_chars"))
+        .select(splitName.as("split"), col("doc_id"), col("n_chars"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
@@ -199,14 +218,11 @@ object TextAnalysis {
         SELECT doc_id, lang, source FROM documents
         WHERE ${TS.stringHashExpr("'strat|' || doc_id::VARCHAR")} % 100
               < (CASE WHEN lang = 'en' THEN 30 ELSE 80 END)
-        ORDER BY doc_id"""))( (spark, dir) => {
-      val bucket = pmod(org.apache.spark.sql.graft.GraftExpressions
-        .polyHash(concat(lit("strat|"), col("doc_id").cast("string"))), lit(100L))
+        ORDER BY doc_id"""))( (spark, dir) =>
       documents(spark, dir)
-        .filter(bucket < when(col("lang") === "en", 30).otherwise(80))
+        .filter(stratKeep)
         .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // ── Sequence packing: concatenate the corpus in doc_id order and
     // chop into fixed token budgets (4096) — every doc labeled with the

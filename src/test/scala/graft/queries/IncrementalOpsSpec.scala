@@ -138,7 +138,7 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Packing invariants: ids start at 0, never decrease, never skip.
     val packs = got.map(_._3)
     assert(packs.head == 0L)
-    assert(packs.sliding(2).forall(p => p(1) - p(0) >= 0 && p(1) - p(0) <= 1),
+    assert(packs.zip(packs.tail).forall { case (a, b) => b - a >= 0 && b - a <= 1 },
       "pack ids must be a non-decreasing, gap-free sequence in doc order")
     // The executed plan's window runs PARTITIONED (by block) — the
     // whole point of the two-phase sum is no single-task global window.
@@ -244,7 +244,7 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Pack ids are non-decreasing and gap-free in doc order.
     val packs = out.sortBy(_._1).map(_._5)
     assert(packs.head == 0L)
-    assert(packs.sliding(2).forall(p => p(1) - p(0) >= 0 && p(1) - p(0) <= 1))
+    assert(packs.zip(packs.tail).forall { case (a, b) => b - a >= 0 && b - a <= 1 })
   }
 
   test("q67 shares sum to 1 and repeat factors invert the token shares") {
