@@ -137,44 +137,75 @@ object BBox {
   *      member k.
   *
   * Runs partition-locally inside `flatMapGroups` over one panorama's
-  * detections — the O(n²) matrix is per-group (tens of boxes), never
-  * global, so this scales with the number of panoramas, not detections².
+  * detections — the similarity structure is per-panorama, never global,
+  * and is held SPARSE: a y1-sorted sweep enumerates only y-overlapping
+  * pairs (the only pairs that can score IoU > 0), so per-task cost is the
+  * overlapping-pair count rather than n²/2. Scales with the number of
+  * panoramas, not detections².
   */
 object BBoxGrouping {
+
+  /** Sparse positive-IoU adjacency built by a y1-sorted sweep (the same
+    * enumeration as the q81 sweep-line join kernel): sort indices by yMin
+    * and, for each box in that order, scan forward only while
+    * yMin(j) < yMax(i) — exactly the pairs whose y-intervals strictly
+    * overlap. Any pair the sweep skips has yOverlap ≤ 0, hence
+    * intersection = θOverlap × yOverlap ≤ 0 and IoU == ±0.0, so omitting
+    * it from the map is indistinguishable from storing a zero for BOTH
+    * loop tests below (`> 0` standalone, `≥ threshold` absorption with a
+    * positive threshold). Entries that ARE stored hold the identical
+    * [[BBox.iou]] bits the dense matrix held — the greedy result cannot
+    * differ. Cost drops from n²/2 kernel calls per panorama to the
+    * y-overlapping pair count (measured ~½ on the harness detections).
+    *
+    * `keepZeros` (the iouThreshold ≤ 0 fallback) disables the sweep
+    * cutoff and stores every pair, zeros included, because a
+    * non-positive threshold makes `0 ≥ threshold` absorb — only then is
+    * an absent pair semantically different from a stored zero.
+    */
+  private def positiveIouAdjacency(
+      bboxes: IndexedSeq[BBox], keepZeros: Boolean): Array[scala.collection.mutable.LongMap[Double]] = {
+    val n = bboxes.length
+    val adj = Array.fill(n)(new scala.collection.mutable.LongMap[Double]())
+    val ord = Array.range(0, n).sortBy(i => bboxes(i).yMin)
+    var a = 0
+    while (a < n) {
+      val i = ord(a)
+      val bi = bboxes(i)
+      var b = a + 1
+      while (b < n && (keepZeros || bboxes(ord(b)).yMin < bi.yMax)) {
+        val j = ord(b)
+        val v = bi.iou(bboxes(j))
+        if (v > 0 || keepZeros) {
+          adj(i)(j.toLong) = v
+          adj(j)(i.toLong) = v
+        }
+        b += 1
+      }
+      a += 1
+    }
+    adj
+  }
 
   /** @return groups as lists of input indices, in reference emit order. */
   def group(bboxes: IndexedSeq[BBox], iouThreshold: Double): Vector[Vector[Int]] = {
     val n = bboxes.length
-    val sim = Array.ofDim[Double](n, n)
-    // IoU is exactly symmetric (θ-overlap, y-overlap, and union are all
-    // order-invariant), so compute the upper triangle and mirror — the
-    // same doubles the full matrix would hold, at half the kernel calls.
-    var i = 0
-    while (i < n) {
-      var j = i + 1
-      while (j < n) {
-        val v = bboxes(i).iou(bboxes(j))
-        sim(i)(j) = v
-        sim(j)(i) = v
-        j += 1
-      }
-      i += 1
-    }
+    // Sparse sim lookup: absent ⇒ IoU == 0 (see positiveIouAdjacency for
+    // why that is exact). Values present are bit-identical to the dense
+    // matrix this replaced, so the order-dependent loops below are
+    // untouched ports of bbox_grouping.py.
+    val adj = positiveIouAdjacency(bboxes, keepZeros = iouThreshold <= 0.0)
 
     val grouped = Array.fill(n)(false)
     val groups = Vector.newBuilder[Vector[Int]]
 
     // Standalone boxes first (bbox_grouping.py:34-37): note the strict
     // `> 0` test — ANY positive overlap disqualifies, not the threshold.
-    // (Plain while-scan with the same early exit the old `exists` had.)
-    i = 0
+    var i = 0
     while (i < n) {
       var any = false
-      var j = 0
-      while (j < n && !any) {
-        if (j != i && sim(i)(j) > 0) any = true
-        j += 1
-      }
+      val it = adj(i).valuesIterator
+      while (it.hasNext && !any) { if (it.next() > 0) any = true }
       if (!any) {
         groups += Vector(i)
         grouped(i) = true
@@ -196,7 +227,7 @@ object BBoxGrouping {
             var hit = false
             var m = 0
             while (m < current.length && !hit) {
-              if (sim(current(m))(j) >= iouThreshold) hit = true
+              if (adj(current(m)).getOrElse(j.toLong, 0.0) >= iouThreshold) hit = true
               m += 1
             }
             if (hit) {

@@ -87,6 +87,59 @@ class BBoxSpec extends AnyFunSuite {
     }
   }
 
+  /** The dense-matrix greedy loop the sweep-line sparse adjacency
+    * replaced — kept here as the equality oracle for the property below.
+    */
+  private def groupDense(bboxes: IndexedSeq[BBox], iouThreshold: Double): Vector[Vector[Int]] = {
+    val n = bboxes.length
+    val sim = Array.ofDim[Double](n, n)
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val v = bboxes(i).iou(bboxes(j)); sim(i)(j) = v; sim(j)(i) = v
+    }
+    val grouped = Array.fill(n)(false)
+    val groups = Vector.newBuilder[Vector[Int]]
+    for (i <- 0 until n)
+      if (!(0 until n).exists(j => j != i && sim(i)(j) > 0)) {
+        groups += Vector(i); grouped(i) = true
+      }
+    for (i <- 0 until n) if (!grouped(i)) {
+      val current = scala.collection.mutable.ArrayBuffer(i)
+      grouped(i) = true
+      for (j <- 0 until n)
+        if (!grouped(j) && current.exists(m => sim(m)(j) >= iouThreshold)) {
+          current += j; grouped(j) = true
+        }
+      groups += current.toVector
+    }
+    groups.result()
+  }
+
+  test("property: sweep-line sparse grouping equals the dense matrix (400 seeded cases)") {
+    val rng = new scala.util.Random(29)
+    (0 until 400).foreach { k =>
+      val n = rng.nextInt(16)
+      val boxes = IndexedSeq.fill(n) {
+        // Adversarial mix: seam-crossing spans, shared y1 values,
+        // zero-height degenerates, and the regular randBox shape.
+        rng.nextInt(4) match {
+          case 0 => // seam-crossing (raw span > 95% of width triggers swap)
+            val y1 = rng.nextInt(8) * 500.0
+            BBox((10.0, y1, 7990.0, y1 + rng.nextDouble() * 400), 0.0, 0, 8000, 4000)
+          case 1 => // zero-height degenerate on a shared y
+            val y = rng.nextInt(4) * 1000.0
+            val x1 = rng.nextDouble() * 7000
+            BBox((x1, y, x1 + 100, y), 0.0, 0, 8000, 4000)
+          case _ => randBox(rng)
+        }
+      }
+      // Threshold 0.0 exercises the keepZeros dense fallback; positive
+      // thresholds exercise the sparse sweep.
+      Seq(0.0, 0.01, 0.3).foreach { t =>
+        assert(BBoxGrouping.group(boxes, t) == groupDense(boxes, t), s"case $k threshold $t")
+      }
+    }
+  }
+
   test("python-style modulo matches the divisor-sign convention") {
     assert(BBox.pmod(-3, 8000) == 7997.0)
     assert(BBox.pmod(8003, 8000) == 3.0)
