@@ -50,31 +50,56 @@ object TextAnalysis {
         .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
     }
 
-  /** q66's two-phase distributed prefix sum over (doc_id, n_tokens):
-    * pack_id = floor(global-cumsum-before-this-doc / budget), computed
-    * without an unpartitioned window. Phase 1 collects per-block token
-    * subtotals (block = doc_id / blockSz; only PRESENT blocks — gaps
-    * and sparse ids cost nothing) and folds them into exclusive prefix
-    * offsets in block order; phase 2 is a window PARTITIONED by block
-    * plus the broadcast offset literal. Exposed for the gapped-id unit
-    * spec — result is bitwise the global cumsum for any id layout.
+  /** q66's distributed prefix sum over (doc_id, n_tokens): pack_id =
+    * floor(global-cumsum-before-this-doc / budget), computed without an
+    * unpartitioned window over anything corpus-sized AND without driver
+    * state — the whole plan is data-flow, nothing is collected or
+    * inlined as a literal (the previous form collected per-block
+    * subtotals into a typedLit map, which at 10¹⁰ docs is a ~2×10⁷-entry
+    * expression-tree literal — an analyzer/driver scale-killer).
+    *
+    * Three levels, every sum of longs in ascending key order (addition
+    * is associative — bitwise the oracle's single global cumsum):
+    *   1. per-block subtotals (block = doc_id / blockSz; only PRESENT
+    *      blocks — gaps and sparse ids cost nothing);
+    *   2. block offsets = exclusive cumsum within each SUPER-block
+    *      (blockSz blocks each, window partitioned by sblk) plus the
+    *      super-block's own exclusive offset. The only unpartitioned
+    *      window runs over corpus/blockSz² rows (~38k at 10¹⁰ docs /
+    *      512) and super-offsets broadcast back onto block offsets;
+    *   3. the within-block running sum, a window PARTITIONED by blk.
+    * The final blk-keyed join of the offsets relation rides the phase-3
+    * window's own hash partitioning on blk: the corpus side needs no
+    * extra exchange (the planner broadcasts the offsets side when small
+    * enough, or shuffles only that small side). Exposed for the
+    * gapped-id unit spec — result is bitwise the global cumsum for any
+    * id layout.
     */
   private[queries] def packTokens(nTokens: org.apache.spark.sql.DataFrame,
       budget: Long, blockSz: Long): org.apache.spark.sql.DataFrame = {
     val nTok = nTokens.withColumn("blk", (col("doc_id") / blockSz).cast("long"))
-    // Phase 1: the collect is over block COUNT (corpus/blockSz rows),
-    // never the corpus.
-    val sums = nTok.groupBy(col("blk")).agg(sum(col("n_tokens")).as("s"))
-      .orderBy(col("blk")).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val offsets = sums.scanLeft((0L, 0L)) { case ((_, acc), (blk, s)) => (blk, acc + s) }
-      .init.map(_._2).zip(sums.map(_._1)).map { case (off, blk) => blk -> off }.toMap
-    // Phase 2: block-partitioned window + broadcast offset.
+    val blockSums = nTok.groupBy(col("blk")).agg(sum(col("n_tokens")).as("s"))
+      .withColumn("sblk", (col("blk") / blockSz).cast("long"))
+    // Exclusive cumsum of super-block totals: corpus/blockSz² rows.
+    val superOffsets = blockSums.groupBy(col("sblk")).agg(sum(col("s")).as("ss"))
+      .withColumn("soff", coalesce(sum(col("ss")).over(
+        Window.orderBy(col("sblk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("sblk"), col("soff"))
+    // Global exclusive block offset = within-super-block exclusive
+    // cumsum + the super-block's offset (broadcast: one row per sblk).
+    val wb = Window.partitionBy(col("sblk")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockOffsets = blockSums
+      .withColumn("boff", coalesce(sum(col("s")).over(wb), lit(0L)))
+      .join(broadcast(superOffsets), "sblk")
+      .select(col("blk"), (col("boff") + col("soff")).as("off"))
+    // Phase 3: block-partitioned window, then the blk-keyed offset join.
     val w = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     nTok
-      .withColumn("before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)) +
-          element_at(typedLit(offsets), col("blk")))
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(blockOffsets, "blk")
+      .withColumn("before", col("within") + col("off"))
       .select(col("doc_id"), col("n_tokens"),
         // Integral floor-div (`div`), not Column `/` (DoubleType Divide):
         // a double quotient is only exact below 2^53 total tokens and
@@ -230,14 +255,14 @@ object TextAnalysis {
     // pretraining "pack and chop" layout. The SEMANTICS are a global
     // running token count (the oracle's single ORDER BY window), but
     // the PLAN must not be Spark's unpartitioned window (one task holds
-    // the corpus). Implemented as the classic two-phase distributed
-    // prefix sum: per-block token subtotals (one tiny agg over
-    // doc_id/512 blocks) are collected — block count is corpus/512,
-    // driver-trivial at any scale — cumulated into exclusive offsets,
-    // and broadcast back as a literal map; the within-block running
-    // sum is a window PARTITIONED by block, so every block packs in
-    // parallel and no task ever sees more than a block. Result is
-    // bitwise the global cumsum (integer arithmetic, no reordering).
+    // the corpus). Implemented as a fully data-flow multi-level prefix
+    // sum (see packTokens): per-block subtotals, block offsets via a
+    // super-block-partitioned window plus a broadcast of the tiny
+    // super-offset relation, and a within-block running sum PARTITIONED
+    // by block — no driver collect, no plan-embedded literal, so every
+    // block packs in parallel and no task ever sees more than a block.
+    // Result is bitwise the global cumsum (integer arithmetic, no
+    // reordering).
     QueryDef(
       "q66_sequence_pack",
       Some(s"""

@@ -48,6 +48,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q50_knn_brute").contains("WindowGroupLimit"))
   }
 
+  test("q66: prefix-sum offsets are data-flow — no map literal, no driver round-trip") {
+    val df = graft.SparkEntry.queries("q66_sequence_pack")(spark, dir)
+    // The scale-killer this guards against: per-block offsets collected
+    // to the driver and re-entering as a typedLit map whose size grows
+    // with corpus/blockSz. The executed plan must carry NO map-typed
+    // literal at all (the offsets arrive via a join), and the corpus
+    // window must stay partitioned by blk.
+    val literals = df.queryExecution.executedPlan.collectWithSubqueries { case p => p }
+      .flatMap(_.expressions)
+      .flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
+      })
+    assert(literals.isEmpty, s"map literal in executed plan: ${literals.take(1)}")
+    assert(df.queryExecution.executedPlan.toString.contains("windowspecdefinition(blk"),
+      "corpus window partitioned by blk")
+  }
+
   test("q51/q54/q49: no shuffle exchange carries the embedding column") {
     // The IVF cell assignment must be a map-side NearestCells projection
     // (anchors driver-held): the round-2 crossJoin(broadcast)+window shape
