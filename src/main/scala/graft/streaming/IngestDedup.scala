@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming ingest dedup: the continuous form of the q57 incremental
   * pattern. Each micro-batch of (doc_id, digest) keeps only rows whose
@@ -11,80 +12,142 @@ import org.apache.spark.sql.functions._
   * undigestable row has no dedup identity; silently three-valued
   * filtering would lose them without a trace).
   *
-  * Flow per batch — q57's two-scan shape, plus state:
+  * Flow per batch — q57's two-scan shape, plus TABLE-BACKED state:
   *   1. scan 1: the native [[org.apache.spark.sql.graft.BloomMightContain]]
-  *      probe projects the maybe-digest set (tiny: true dups + fpp tail);
+  *      probe projects the maybe-in-CORPUS set (tiny: true dups + fpp
+  *      tail);
   *   2. `present` = (corpus ∩ maybe) via a map-side semi join against
   *      the broadcast maybe-set (the corpus is scanned, never shuffled),
-  *      unioned with the driver-held accepted set — so rejection against
-  *      prior batches is exact even independent of the bloom;
+  *      unioned with (accepted-table ∩ batch-digests) — one more
+  *      map-side semi join, against the broadcast within-batch digest
+  *      set. Both sides are scanned, pruned map-side, never shuffled.
   *   3. scan 2: ONE anti join of the batch against broadcast(present).
-  *      No maybe/definite union: the bloom has no false negatives, so
-  *      present ⊇ batch ∩ (corpus ∪ accepted) and the anti join is
+  *      No maybe/definite union: the bloom has no false negatives over
+  *      the corpus and the batch digest set trivially covers the batch,
+  *      so present ⊇ batch ∩ (corpus ∪ accepted) and the anti join is
   *      exact for any fpp.
-  *   4. accepted digests fold into the driver state and the bloom, so
-  *      later batches prune map-side against everything seen so far.
+  *   4. the batch's accepted rows are WRITTEN to the state table (one
+  *      directory per batch under `statePath`), and the returned
+  *      relation is a leaf read of exactly that directory — rows never
+  *      round-trip through the driver.
   *
-  * State sizing: accepted digests live on the driver (they are
-  * collected anyway to update the driver-held bloom) — micro-batch
-  * ingest accumulates them at ingest rate, the same order as a
-  * streaming aggregation's state. At corpus scale the accepted set
-  * persists as a table instead, the bloom is rebuilt from it
-  * periodically, and `present` gains one more semi join against that
-  * table; correctness never depends on the rebuild cadence because the
-  * exact confirm covers the gap.
+  * State sizing: driver state is the corpus bloom (fixed size) plus one
+  * path string per batch — NO per-digest driver structure, no collect
+  * anywhere in the batch path. Accepted digests deliberately never
+  * enter the bloom: folding them in (the "rebuild periodically"
+  * pattern) would make the filter's fpp degrade as ingest outpaces its
+  * capacity, needing a rebuild cadence to tune — while buying nothing,
+  * because exact rejection against accepted history needs the
+  * accepted-table semi join anyway and that join is already pruned
+  * map-side by the broadcast batch digest set (a micro-batch, so the
+  * broadcast is small by construction). With a corpus-only bloom the
+  * fpp is fixed at construction and there is no saturation cliff at
+  * all. The per-batch cost that DOES grow with stream life is the
+  * accepted-table scan (a columnar single-column scan, pruned by
+  * min/max + dictionary against the broadcast digests); a long-lived
+  * deployment bounds it by compacting the per-batch directories and
+  * periodically folding the accepted table into the corpus snapshot —
+  * a table-maintenance job, not a correctness dependency.
+  *
+  * Retries: `apply(batch, batchId)` (the foreachBatch signature) is
+  * idempotent — re-running a batchId overwrites that batch's state
+  * directory and excludes it from the prior-accepted relation, so a
+  * foreachBatch retry after a partial failure reproduces the same
+  * output instead of self-rejecting. The 1-arg `apply` auto-increments.
   *
   * Thread-safe for Structured Streaming's sequential foreachBatch
   * contract (one batch at a time; synchronized defensively).
   */
-final class IngestDeduper(corpusDigests: DataFrame, expectedItems: Long, fpp: Double = 0.01)
+final class IngestDeduper(
+    corpusDigests: DataFrame, expectedItems: Long, fpp: Double = 0.01,
+    statePath: Option[String] = None)
     extends Serializable {
 
   private val spark = corpusDigests.sparkSession
-  import spark.implicits._
 
   private val corpus = corpusDigests.select(col("digest")).persist()
   private val bloom = corpus.stat.bloomFilter("digest", math.max(expectedItems, 1L), fpp)
 
-  // Exact accepted-state from prior batches, driver-held (see scale
-  // note above). Rebuilt as a LEAF DataFrame per batch — a growing
-  // union chain would deepen the logical plan by one node per
-  // micro-batch and stack-overflow the analyzer on long-lived streams.
-  private val acceptedSet = scala.collection.mutable.HashSet.empty[String]
+  private val stateSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("digest", StringType)))
+
+  /** One directory per batch; created lazily, removed in [[close]] only
+    * when this deduper created it (a caller-provided path is theirs).
+    */
+  private val selfOwnedState = statePath.isEmpty
+  private val stateDir: String = statePath.getOrElse(
+    java.nio.file.Files.createTempDirectory("ingest-dedup-state-").toString)
+
+  /** batchId → state directory. The ONLY per-batch driver state: one
+    * path string each (the accepted digests themselves live in the
+    * table).
+    */
+  private val batchDirs = scala.collection.mutable.SortedMap.empty[Long, String]
 
   /** Accepted rows of this batch: (doc_id, digest), new against corpus,
-    * prior batches, and itself. Materializes the result (the state
-    * update needs the digests) and updates state before returning; the
-    * returned relation is a leaf over the materialized rows, immune to
-    * the bloom mutating underneath a lazy recompute.
+    * prior batches, and itself. The returned relation is a leaf over the
+    * just-written state directory — stable regardless of later batches.
     */
   def apply(batch: DataFrame): DataFrame = synchronized {
+    runBatch(batch, if (batchDirs.isEmpty) 0L else batchDirs.lastKey + 1L)
+  }
+
+  /** foreachBatch-shaped entry point: idempotent per batchId (see class
+    * notes on retries).
+    */
+  def apply(batch: DataFrame, batchId: Long): DataFrame = synchronized {
+    runBatch(batch, batchId)
+  }
+
+  private def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    val dir = s"$stateDir/b$batchId"
+    // A retry of the same batchId must not see its own failed attempt.
+    batchDirs.remove(batchId)
+    val priorDirs = batchDirs.values.toSeq
     val b = batch.filter(col("digest").isNotNull)
-      .select(col("doc_id"), col("digest"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("digest").cast("string").as("digest"))
       .groupBy(col("digest")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("digest"))
-      .persist() // scanned twice: maybe-set build + the anti join
+      .persist() // scanned thrice: maybe-set, batch-digest set, anti join
     // try/finally: a failed micro-batch (executor loss, fetch failure)
     // retries through foreachBatch — without the finally each attempt
     // would leak one persisted batch relation for the stream's life.
-    val rows = try {
+    try {
       val maybeDigests = b
         .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
         .select(col("digest")).distinct()
+      val batchDigests = b.select(col("digest"))
+      val acceptedPrior =
+        if (priorDirs.isEmpty) spark.createDataFrame(spark.emptyDataFrame.rdd, stateSchema)
+        else spark.read.schema(stateSchema).parquet(priorDirs: _*)
       val present = corpus
         .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
+        .unionByName(acceptedPrior.select(col("digest"))
+          .join(broadcast(batchDigests), Seq("digest"), "left_semi"))
         .distinct()
-        .unionByName(acceptedSet.toSeq.toDF("digest"))
       b.join(broadcast(present), Seq("digest"), "left_anti")
         .select(col("doc_id"), col("digest"))
-        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .write.mode("overwrite").parquet(dir)
     } finally b.unpersist(blocking = false)
-    rows.foreach { case (_, dg) => bloom.putString(dg); acceptedSet += dg }
-    rows.toSeq.toDF("doc_id", "digest")
+    batchDirs(batchId) = dir
+    spark.read.schema(stateSchema).parquet(dir)
   }
 
-  /** Release the corpus cache. */
+  /** Driver-held per-batch bookkeeping size, for the bounded-state spec:
+    * the number of retained path strings (there is no per-digest driver
+    * structure to measure).
+    */
+  private[streaming] def retainedBatchCount: Int = synchronized(batchDirs.size)
+
+  /** Release the corpus cache and (when self-created) the state dir. */
   def close(): Unit = synchronized {
     corpus.unpersist(blocking = false)
+    if (selfOwnedState) {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(stateDir))
+    }
   }
 }

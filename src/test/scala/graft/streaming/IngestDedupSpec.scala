@@ -7,9 +7,10 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The streaming ingest-dedup state machine: within-batch dedup, corpus
-  * rejection, cross-batch rejection (both via the updated bloom and via
-  * the exact accepted-state), and exactness under bloom false positives
-  * — plus a real Structured Streaming foreachBatch drive.
+  * rejection, cross-batch rejection via the table-backed accepted state,
+  * exactness under bloom false positives, bounded driver state over many
+  * batches, and idempotent batch retries — plus a real Structured
+  * Streaming foreachBatch drive.
   */
 class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -64,6 +65,57 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         .toDF("doc_id", "digest")
       val got = d(batch).collect().map(r => (r.getLong(0), r.getString(1)))
       assert(got.toSeq == Seq((3L, "B")), s"got ${got.toSeq}")
+    } finally d.close()
+  }
+
+  test("many-batch run: exact vs a sequential model, driver state stays path-only") {
+    val ss = spark; import ss.implicits._
+    val corpus = (1 to 300).map(i => s"c$i").toDF("digest")
+    val d = new IngestDeduper(corpus, expectedItems = 300)
+    try {
+      val rng = new scala.util.Random(41)
+      val seen = scala.collection.mutable.HashSet.empty[String] // model state
+      var nextId = 0L
+      for (batchNo <- 1 to 12) {
+        // Each batch mixes corpus dups, dups of earlier batches, fresh
+        // digests, and within-batch dups.
+        val rows = (1 to 60).map { _ =>
+          nextId += 1
+          val dg = rng.nextInt(4) match {
+            case 0 => s"c${1 + rng.nextInt(300)}"        // corpus dup
+            case 1 => s"s${1 + rng.nextInt(40)}"          // recurring stream digest
+            case _ => s"b${batchNo}_${rng.nextInt(40)}"   // fresh-ish, within-batch dups
+          }
+          (nextId, dg)
+        }
+        val got = d(rows.toDF("doc_id", "digest"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+        // Sequential model: first occurrence of a digest not in corpus
+        // and not accepted before wins (min doc_id — ids are increasing).
+        val want = rows.filter { case (_, dg) => !dg.startsWith("c") }
+          .groupBy(_._2).map { case (dg, rs) => (rs.map(_._1).min, dg) }
+          .filter { case (_, dg) => !seen.contains(dg) }
+          .toSeq.sortBy(_._1)
+        assert(got.toSeq == want, s"batch $batchNo")
+        seen ++= want.map(_._2)
+      }
+      // Bounded driver state: one path string per batch, nothing
+      // per-digest (the accepted table holds the digests).
+      assert(d.retainedBatchCount == 12)
+    } finally d.close()
+  }
+
+  test("explicit batchId is idempotent: a retried batch reproduces its output") {
+    val ss = spark; import ss.implicits._
+    val d = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10)
+    try {
+      val b0 = Seq((1L, "A"), (2L, "X")).toDF("doc_id", "digest")
+      assert(d(b0, 0L).collect().map(_.getString(1)).toSeq == Seq("X"))
+      // Retry of batch 0 after its state write must NOT self-reject X.
+      assert(d(b0, 0L).collect().map(_.getString(1)).toSeq == Seq("X"))
+      // And the next batch still rejects X exactly once.
+      assert(d(Seq((3L, "X"), (4L, "Y")).toDF("doc_id", "digest"), 1L)
+        .collect().map(_.getString(1)).toSeq == Seq("Y"))
     } finally d.close()
   }
 
