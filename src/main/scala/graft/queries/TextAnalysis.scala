@@ -46,8 +46,10 @@ object TextAnalysis {
   private[queries] def tokenArrays(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"toks:$dir") {
+      // lang rides along (one tiny string per row) so q78's per-language
+      // inventory is a plain groupBy over this cache — no corpus join.
       documents(spark, dir)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
     }
 
   /** q66's distributed prefix sum over (doc_id, n_tokens): pack_id =
@@ -313,6 +315,50 @@ object TextAnalysis {
           round(col("tokens") / col("total"), 6).as("share"),
           round((col("total") / col("n_langs")) / col("tokens"), 6).as("repeat_factor"))
         .orderBy(col("lang"))
+    }),
+
+    // ── The q67 → sampler loop, closed: sample the corpus at keep rates
+    // DERIVED from the per-language token inventory instead of q58's
+    // hardcoded 30/80. A language's keep rate is min(1, repeat_factor) —
+    // over-represented languages are downsampled toward the uniform
+    // token target, under-represented ones kept whole (sampling can't
+    // upsample; the repeat factor above 1 is the epoch-repeat knob, not
+    // a sample rate). Rates are a #langs-row aggregate broadcast back
+    // onto the corpus, membership is the same salted deterministic hash
+    // as q58 (same bucket ⇒ shrinking a language's rate never swaps
+    // WHICH docs survive, it only truncates the kept set — stable
+    // across rate changes). One corpus pass for the inventory, one
+    // map-side pass for the sample; no shuffle of the corpus at any
+    // scale. Every float op mirrored op-for-op in the oracle.
+    QueryDef(
+      "q78_mix_sample",
+      Some(s"""
+        WITH t AS (SELECT doc_id, lang, source, ${TS.toksExpr("text")} AS toks FROM documents),
+        a AS (SELECT lang, sum(${TS.tokenCountExpr("toks")})::BIGINT AS tokens
+              FROM t GROUP BY lang),
+        r AS (SELECT lang,
+                     floor(least(1.0, ((sum(tokens) OVER ())::DOUBLE / (count(*) OVER ())) / tokens)
+                           * 100)::BIGINT AS cut
+              FROM a)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN r USING (lang)
+        WHERE ${TS.stringHashExpr("'strat|' || d.doc_id::VARCHAR")} % 100 < r.cut
+        ORDER BY d.doc_id"""))( (spark, dir) => {
+      val inv = tokenArrays(spark, dir)
+        .groupBy(col("lang"))
+        .agg(sum(size(col("toks")).cast("long")).as("tokens"))
+      val w = Window.partitionBy() // #langs rows, not the corpus
+      val rates = inv
+        .withColumn("cut",
+          floor(least(lit(1.0),
+            (sum(col("tokens")).over(w) / count(lit(1)).over(w)) / col("tokens")) * 100)
+            .cast("long"))
+        .select(col("lang"), col("cut"))
+      documents(spark, dir)
+        .join(broadcast(rates), "lang")
+        .filter(stratBucket < col("cut"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
     }),
 
     // ── Normalization: the standard corpus-prep cleanup pass (lowercase,
