@@ -455,7 +455,9 @@ object Dedup {
     // persistent artifact (written bucketed by (band, key) once per
     // corpus version) and each increment joins only its own band keys
     // against it — the corpus shingle relation is touched only to
-    // verify candidates, via an id equi-join. Output = (batch doc,
+    // verify candidates, via an id equi-join. The bucketed-probe claim
+    // is regression-guarded by BandIndexBucketingSpec (zero corpus-side
+    // exchanges on the real minhashBands relation). Output = (batch doc,
     // corpus doc, jaccard) for every cross-set near-dup pair; the
     // oracle mirrors the whole pipeline (same hash family), so the
     // banding's recall behavior is itself verified, exactly q42's
