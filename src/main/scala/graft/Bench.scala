@@ -8,17 +8,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Absorb JVM/session warm-up (codegen compiler, parquet footer reads,
     // broadcast machinery) outside the timed loop so the first measured
-    // query isn't charged ~4s of one-time cost. The two hottest generated
-    // loops (the pair-join IoU kernel and the shingle machinery) run once
-    // at sf0.001 so C2 compiles them before they are timed — their JIT
-    // state was worth ±10s of run-to-run noise on the big queries.
+    // query isn't charged ~4s of one-time cost. The hottest generated
+    // loops run once at sf0.001 so C2 compiles them before they are
+    // timed — their JIT state was worth ±10s of run-to-run noise on the
+    // big queries. Kernel classes covered: the pair-join IoU kernel
+    // (q81), the shingle machinery (q41), the regex normalize/tokenize
+    // path (q76 — driver benches showed 8s phantom one-offs from cold
+    // regex JIT), and the percentile sketch buffers (q36, same class of
+    // phantom regression).
     try {
       spark.range(1000).selectExpr("sum(id) AS s").write.format("noop").mode("overwrite").save()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10)
         .write.format("noop").mode("overwrite").save()
       val warmDir = "/root/testdata/sf0.001"
       if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-        Seq("q81_iou_pairs", "q41_ngram_jaccard").foreach(q =>
+        Seq("q81_iou_pairs", "q41_ngram_jaccard", "q76_normalize_text",
+            "q36_percentiles").foreach(q =>
           SparkEntry.queries(q)(spark, warmDir)
             .write.format("noop").mode("overwrite").save())
       }
