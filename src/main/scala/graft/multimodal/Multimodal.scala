@@ -79,10 +79,13 @@ object Multimodal {
       .select(col("doc_id").cast("long").as("media_id"))
       .withColumn("bytes", encodeUdf(col("media_id")))
 
-  /** [[media]] persisted once per (session, sfDir): q90/q91/q92 each
-    * consume the same blobs, and per-query re-encoding paid the UDF cost
-    * three times — UDF-heavy queries were the noisiest cluster in the
-    * round-3 bench. Released after its last consumer (q92).
+  /** [[media]] persisted once per (session, sfDir): q68/q90/q91/q92
+    * each consume the same blobs, and per-query re-encoding paid the
+    * UDF cost once per consumer — UDF-heavy queries were the noisiest
+    * cluster in the round-3 bench. Released after q92, the LAST
+    * consumer in the sorted sweep order (q68 < q90 < q91 < q92) that
+    * Verify and Bench drive — the same release-ordering convention as
+    * the Dedup caches.
     */
   def mediaCached(spark: SparkSession, sfDir: String): DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"media:$sfDir")(media(spark, sfDir))

@@ -15,11 +15,6 @@ import graft.sources.Tables._
   */
 object TextAnalysis {
 
-  /** (doc_id, toks) with the tokenizer applied once, persisted per
-    * (session, sfDir) via SessionCache — q34 and q35 both explode it,
-    * and the previous per-invocation inline `.persist()` leaked one
-    * cache entry per call with no eviction.
-    */
   /** The q56 split bucket: pmod(polyHash(doc_id), 10) — one spelling
     * shared by q56, q99, and (via [[splitName]]) both split mappings.
     */
@@ -43,6 +38,12 @@ object TextAnalysis {
   private[queries] def stratKeep: org.apache.spark.sql.Column =
     stratBucket < when(col("lang") === "en", 30).otherwise(80)
 
+  /** (doc_id, lang, toks) with the tokenizer applied once, persisted
+    * per (session, sfDir) via SessionCache — q34/q35 explode it, q66
+    * sizes it, q78 aggregates it by lang, q99 consumes and releases it;
+    * the previous per-invocation inline `.persist()` leaked one cache
+    * entry per call with no eviction.
+    */
   private[queries] def tokenArrays(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"toks:$dir") {
