@@ -138,6 +138,14 @@ class BBoxSpec extends AnyFunSuite {
         assert(BBoxGrouping.group(boxes, t) == groupDense(boxes, t), s"case $k threshold $t")
       }
     }
+    // Denser panoramas (production shape is ~150 boxes): fewer cases,
+    // bigger n, so chained absorptions cross many sweep neighborhoods.
+    (0 until 8).foreach { k =>
+      val boxes = IndexedSeq.fill(120 + rng.nextInt(60))(randBox(rng))
+      Seq(0.01, 0.3).foreach { t =>
+        assert(BBoxGrouping.group(boxes, t) == groupDense(boxes, t), s"dense case $k threshold $t")
+      }
+    }
   }
 
   test("python-style modulo matches the divisor-sign convention") {

@@ -48,6 +48,12 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q50_knn_brute").contains("WindowGroupLimit"))
   }
 
+  test("q78: rate table broadcasts onto the corpus — no corpus-side merge join") {
+    val p = planOf("q78_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), "rates must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge against the rate table")
+  }
+
   test("q66: prefix-sum offsets are data-flow — no map literal, no driver round-trip") {
     val df = graft.SparkEntry.queries("q66_sequence_pack")(spark, dir)
     // The scale-killer this guards against: per-block offsets collected
