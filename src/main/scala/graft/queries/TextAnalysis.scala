@@ -347,7 +347,7 @@ object TextAnalysis {
         ORDER BY d.doc_id"""))( (spark, dir) => {
       val inv = tokenArrays(spark, dir)
         .groupBy(col("lang"))
-        .agg(sum(size(col("toks")).cast("long")).as("tokens"))
+        .agg(sum(TF.tokenCount(col("toks"))).as("tokens"))
       val w = Window.partitionBy() // #langs rows, not the corpus
       val rates = inv
         .withColumn("cut",

@@ -80,9 +80,22 @@ final class IngestDeduper(
 
   /** batchId → state directory. The ONLY per-batch driver state: one
     * path string each (the accepted digests themselves live in the
-    * table).
+    * table). REHYDRATED from the on-disk layout when a caller-provided
+    * statePath already holds committed batches — a restarted stream
+    * (driver crash, redeploy) must keep rejecting everything accepted
+    * before the restart, which is the point of table-backed state.
     */
-  private val batchDirs = scala.collection.mutable.SortedMap.empty[Long, String]
+  private val batchDirs: scala.collection.mutable.SortedMap[Long, String] = {
+    val m = scala.collection.mutable.SortedMap.empty[Long, String]
+    val kids = new java.io.File(stateDir).listFiles()
+    if (kids != null) kids.foreach { f =>
+      val n = f.getName
+      if (f.isDirectory && n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
+          new java.io.File(f, "_SUCCESS").exists())
+        m(n.drop(1).toLong) = f.toString
+    }
+    m
+  }
 
   /** Accepted rows of this batch: (doc_id, digest), new against corpus,
     * prior batches, and itself. The returned relation is a leaf over the
@@ -101,9 +114,12 @@ final class IngestDeduper(
 
   private def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
     val dir = s"$stateDir/b$batchId"
-    // A retry of the same batchId must not see its own failed attempt.
-    batchDirs.remove(batchId)
-    val priorDirs = batchDirs.values.toSeq
+    val tmp = s"$dir.tmp"
+    // A retry of the same batchId must not see its own earlier attempt —
+    // but the committed state stays intact until the replacement commits
+    // (write to .tmp, swap on success): a retry that fails mid-write
+    // must not have destroyed the digests the first attempt accepted.
+    val priorDirs = (batchDirs - batchId).values.toSeq
     val b = batch.filter(col("digest").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("digest").cast("string").as("digest"))
@@ -128,8 +144,13 @@ final class IngestDeduper(
         .distinct()
       b.join(broadcast(present), Seq("digest"), "left_anti")
         .select(col("doc_id"), col("digest"))
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(tmp)
     } finally b.unpersist(blocking = false)
+    // Commit: swap the completed write in (local-fs rename; a real
+    // deployment would go through the FileSystem API / a committer).
+    rmTree(new java.io.File(dir))
+    if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
+      throw new java.io.IOException(s"could not commit batch state $tmp -> $dir")
     batchDirs(batchId) = dir
     spark.read.schema(stateSchema).parquet(dir)
   }
@@ -140,14 +161,19 @@ final class IngestDeduper(
     */
   private[streaming] def retainedBatchCount: Int = synchronized(batchDirs.size)
 
-  /** Release the corpus cache and (when self-created) the state dir. */
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
+  }
+
+  /** Release the corpus cache and (when self-created) the state dir.
+    * NOTE: relations returned by [[apply]] are lazy leaf reads over the
+    * state table — with a self-owned (temp) statePath they become
+    * unreadable after close, so materialize or copy anything still
+    * needed first. A caller-provided statePath is left untouched and
+    * keeps every returned relation valid.
+    */
   def close(): Unit = synchronized {
     corpus.unpersist(blocking = false)
-    if (selfOwnedState) {
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-      }
-      rm(new java.io.File(stateDir))
-    }
+    if (selfOwnedState) rmTree(new java.io.File(stateDir))
   }
 }

@@ -58,16 +58,33 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = graft.SparkEntry.queries("q66_sequence_pack")(spark, dir)
     // The scale-killer this guards against: per-block offsets collected
     // to the driver and re-entering as a typedLit map whose size grows
-    // with corpus/blockSz. The executed plan must carry NO map-typed
-    // literal at all (the offsets arrive via a join), and the corpus
-    // window must stay partitioned by blk.
-    val literals = df.queryExecution.executedPlan.collectWithSubqueries { case p => p }
+    // with corpus/blockSz. The plan must carry NO map-typed literal at
+    // all (the offsets arrive via a join), and the corpus window must
+    // stay partitioned by blk. Scan the OPTIMIZED LOGICAL plan: with
+    // AQE on, executedPlan is an AdaptiveSparkPlanExec wrapper (a leaf
+    // with no expressions), so a physical-node traversal would be
+    // vacuously empty — it never sees the real tree.
+    val literals = df.queryExecution.optimizedPlan.collectWithSubqueries { case p => p }
       .flatMap(_.expressions)
       .flatMap(_.collect {
         case l: org.apache.spark.sql.catalyst.expressions.Literal
             if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
       })
-    assert(literals.isEmpty, s"map literal in executed plan: ${literals.take(1)}")
+    assert(literals.isEmpty, s"map literal in plan: ${literals.take(1)}")
+    // Positive control: the same traversal MUST flag a plan that does
+    // embed a map literal — guards the guard against going vacuous
+    // (a physical-plan traversal silently saw only the AQE wrapper).
+    val control = spark.range(3).select(
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.typedLit(Map(0L -> 1L)),
+        org.apache.spark.sql.functions.col("id") + 1))
+    val controlHit = control.queryExecution.optimizedPlan.collectWithSubqueries { case p => p }
+      .flatMap(_.expressions)
+      .exists(_.collectFirst {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => l
+      }.isDefined)
+    assert(controlHit, "traversal failed to flag a known map literal — guard is vacuous")
     assert(df.queryExecution.executedPlan.toString.contains("windowspecdefinition(blk"),
       "corpus window partitioned by blk")
   }

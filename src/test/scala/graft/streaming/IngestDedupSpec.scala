@@ -119,6 +119,31 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d.close()
   }
 
+  test("restart over a caller-provided statePath rehydrates accepted state") {
+    val ss = spark; import ss.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("ingest-restart").toString
+    val corpus = Seq("A").toDF("digest")
+    val d1 = new IngestDeduper(corpus, expectedItems = 10, statePath = Some(statePath))
+    try {
+      assert(d1(Seq((1L, "X"), (2L, "Y")).toDF("doc_id", "digest"), 0L).count() == 2)
+      assert(d1(Seq((3L, "Z")).toDF("doc_id", "digest"), 1L).count() == 1)
+    } finally d1.close() // caller-provided path survives close
+    // Simulated driver restart: a fresh deduper over the same path must
+    // keep rejecting everything accepted before it.
+    val d2 = new IngestDeduper(corpus, expectedItems = 10, statePath = Some(statePath))
+    try {
+      val got = d2(Seq((4L, "X"), (5L, "Z"), (6L, "W"), (7L, "A")).toDF("doc_id", "digest"), 2L)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((6L, "W")), s"got ${got.toSeq}")
+    } finally {
+      d2.close()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(statePath))
+    }
+  }
+
   test("drives a real foreachBatch streaming query") {
     val ss = spark; import ss.implicits._
     val corpus = Seq("A").toDF("digest")
@@ -128,8 +153,11 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mem = MemoryStream[(Long, String)]
     val q = mem.toDF().toDF("doc_id", "digest")
       .writeStream
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        results ++= d(df).collect().map(r => (r.getLong(0), r.getString(1)))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // Thread the stream's own batchId through — the idempotent
+        // entry point is the correct foreachBatch wiring (a retried
+        // micro-batch must reuse its id, not auto-increment).
+        results ++= d(df, batchId).collect().map(r => (r.getLong(0), r.getString(1)))
         (): Unit
       }
       .start()
