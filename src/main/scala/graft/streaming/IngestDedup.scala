@@ -165,6 +165,34 @@ final class IngestDeduper(
     val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
   }
 
+  /** The table-maintenance job the class notes promise: fold every
+    * committed batch segment into ONE base segment (keyed by the highest
+    * committed batchId), so the per-batch accepted-table scan stops
+    * listing/opening one directory per batch on long-lived streams.
+    * Contents are unchanged — later batches reject exactly as before.
+    *
+    * Call between batches (it shares the deduper's synchronized
+    * contract). Retries of PRE-compaction batchIds stop being
+    * idempotent afterwards — their rows are folded into the base
+    * segment, which a same-id re-run would see as prior state — so
+    * compact only past the stream's committed checkpoint, the same
+    * rule any sink compaction obeys.
+    */
+  def compact(): Unit = synchronized {
+    if (batchDirs.size > 1) {
+      val tmp = s"$stateDir/compact.tmp"
+      spark.read.schema(stateSchema).parquet(batchDirs.values.toSeq: _*)
+        .write.mode("overwrite").parquet(tmp) // materializes before any delete
+      val keep = batchDirs.lastKey
+      val dir = s"$stateDir/b$keep"
+      batchDirs.values.foreach(d => rmTree(new java.io.File(d)))
+      if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
+        throw new java.io.IOException(s"could not commit compaction $tmp -> $dir")
+      batchDirs.clear()
+      batchDirs(keep) = dir
+    }
+  }
+
   /** Release the corpus cache and (when self-created) the state dir.
     * NOTE: relations returned by [[apply]] are lazy leaf reads over the
     * state table — with a self-owned (temp) statePath they become

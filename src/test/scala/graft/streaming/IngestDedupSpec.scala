@@ -102,6 +102,13 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       // Bounded driver state: one path string per batch, nothing
       // per-digest (the accepted table holds the digests).
       assert(d.retainedBatchCount == 12)
+      // Compaction folds the 12 segments into one base segment with
+      // identical rejection behavior afterwards.
+      d.compact()
+      assert(d.retainedBatchCount == 1)
+      val reoffer = (1 to 30).map(i => (10000L + i, s"s$i")) // all accepted earlier
+        .toDF("doc_id", "digest")
+      assert(d(reoffer).count() == (1 to 30).count(i => !seen.contains(s"s$i")))
     } finally d.close()
   }
 
