@@ -275,8 +275,8 @@ object TextAnalysis {
                      sum(n_tokens) OVER (ORDER BY doc_id) AS running FROM n)
         SELECT doc_id, n_tokens, ((running - n_tokens) // 4096)::BIGINT AS pack_id
         FROM r ORDER BY doc_id"""),
-      // tokenArrays releases with q99 (the curation pipeline), the
-      // last consumer in sorted sweep order (q34 < q35 < q66 < q99).
+      // tokenArrays releases with q99 (the curation pipeline), the last
+      // consumer in sorted sweep order (q34 < q35 < q66 < q78 < q99).
       )( (spark, dir) =>
       packTokens(
         tokenArrays(spark, dir)

@@ -27,12 +27,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *      so present ⊇ batch ∩ (corpus ∪ accepted) and the anti join is
   *      exact for any fpp.
   *   4. the batch's accepted rows are WRITTEN to the state table (one
-  *      directory per batch under `statePath`), and the returned
-  *      relation is a leaf read of exactly that directory — rows never
-  *      round-trip through the driver.
+  *      segment directory per commit under `statePath`), and the
+  *      returned relation is a leaf read of exactly that segment — rows
+  *      never round-trip through the driver.
   *
   * State sizing: driver state is the corpus bloom (fixed size) plus one
-  * path string per batch — NO per-digest driver structure, no collect
+  * path string per segment — NO per-digest driver structure, no collect
   * anywhere in the batch path. Accepted digests deliberately never
   * enter the bloom: folding them in (the "rebuild periodically"
   * pattern) would make the filter's fpp degrade as ingest outpaces its
@@ -44,16 +44,27 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * fpp is fixed at construction and there is no saturation cliff at
   * all. The per-batch cost that DOES grow with stream life is the
   * accepted-table scan (a columnar single-column scan, pruned by
-  * min/max + dictionary against the broadcast digests); a long-lived
-  * deployment bounds it by compacting the per-batch directories and
-  * periodically folding the accepted table into the corpus snapshot —
-  * a table-maintenance job, not a correctness dependency.
+  * min/max + dictionary against the broadcast digests); [[compact]]
+  * bounds the segment count, and folding the accepted table into the
+  * corpus snapshot periodically is the complementary table-maintenance
+  * job — neither is a correctness dependency.
+  *
+  * Commit discipline — NOTHING committed is deleted before its
+  * replacement commits: every commit (batch or compaction) writes to a
+  * fresh `.tmp` and renames it to a FRESH segment name (`b<id>_<seq>` /
+  * `base_<seq>`, seq strictly increasing), then superseded segments are
+  * deleted best-effort AFTER the driver state points at the new one. A
+  * crash in any window leaves either the old segments, or old + new —
+  * and duplicate accepted rows across segments are harmless to the
+  * rejection semi join, so restart-rehydration over the union is exact
+  * in every case.
   *
   * Retries: `apply(batch, batchId)` (the foreachBatch signature) is
-  * idempotent — re-running a batchId overwrites that batch's state
-  * directory and excludes it from the prior-accepted relation, so a
-  * foreachBatch retry after a partial failure reproduces the same
-  * output instead of self-rejecting. The 1-arg `apply` auto-increments.
+  * idempotent — a re-run of a batchId excludes that batch's own prior
+  * segment from the prior-accepted relation and supersedes it on
+  * commit, so a foreachBatch retry after a partial failure reproduces
+  * the same output instead of self-rejecting. The 1-arg `apply`
+  * auto-increments (monotonic across compactions and restarts).
   *
   * Thread-safe for Structured Streaming's sequential foreachBatch
   * contract (one batch at a time; synchronized defensively).
@@ -71,38 +82,65 @@ final class IngestDeduper(
   private val stateSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("digest", StringType)))
 
-  /** One directory per batch; created lazily, removed in [[close]] only
-    * when this deduper created it (a caller-provided path is theirs).
+  /** Segment dirs live under here; removed in [[close]] only when this
+    * deduper created it (a caller-provided path is theirs).
     */
   private val selfOwnedState = statePath.isEmpty
   private val stateDir: String = statePath.getOrElse(
     java.nio.file.Files.createTempDirectory("ingest-dedup-state-").toString)
 
-  /** batchId → state directory. The ONLY per-batch driver state: one
-    * path string each (the accepted digests themselves live in the
-    * table). REHYDRATED from the on-disk layout when a caller-provided
-    * statePath already holds committed batches — a restarted stream
+  private val BatchSeg = "^b(\\d{1,18})_(\\d{1,18})$".r // ASCII digits only
+  private val BaseSeg = "^base_(\\d{1,18})$".r
+
+  /** batchId → latest committed segment dir; plus the base segments
+    * compaction produced. The ONLY per-segment driver state is one path
+    * string (the accepted digests themselves live in the table).
+    * REHYDRATED from the on-disk layout when a caller-provided
+    * statePath already holds committed segments — a restarted stream
     * (driver crash, redeploy) must keep rejecting everything accepted
     * before the restart, which is the point of table-backed state.
+    * Foreign directory names are ignored, never parsed blindly; for a
+    * batchId with several committed attempts (a crash between commit
+    * and cleanup) the attempts hold identical rows — foreachBatch
+    * replays the same offsets sequentially — so keeping the latest and
+    * best-effort-deleting the rest loses nothing.
     */
-  private val batchDirs: scala.collection.mutable.SortedMap[Long, String] = {
-    val m = scala.collection.mutable.SortedMap.empty[Long, String]
+  private val batchDirs = scala.collection.mutable.SortedMap.empty[Long, String]
+  private var baseDirs: List[String] = Nil
+  private var commitSeq = 0L
+  private var nextAutoId = 0L
+  locally {
+    val committed = scala.collection.mutable.Map.empty[Long, (Long, java.io.File)]
     val kids = new java.io.File(stateDir).listFiles()
     if (kids != null) kids.foreach { f =>
-      val n = f.getName
-      if (f.isDirectory && n.startsWith("b") && n.drop(1).forall(_.isDigit) &&
-          new java.io.File(f, "_SUCCESS").exists())
-        m(n.drop(1).toLong) = f.toString
+      if (f.isDirectory && new java.io.File(f, "_SUCCESS").exists()) f.getName match {
+        case BatchSeg(id, seq) =>
+          val (i, s) = (id.toLong, seq.toLong)
+          commitSeq = math.max(commitSeq, s + 1)
+          nextAutoId = math.max(nextAutoId, i + 1)
+          committed.get(i) match {
+            case Some((prevSeq, prev)) if prevSeq < s =>
+              committed(i) = (s, f); rmTree(prev) // stale attempt, same rows
+            case Some(_) => rmTree(f)
+            case None => committed(i) = (s, f)
+          }
+        case BaseSeg(seq) =>
+          commitSeq = math.max(commitSeq, seq.toLong + 1)
+          baseDirs = f.toString :: baseDirs
+        case _ => () // not ours
+      }
     }
-    m
+    committed.foreach { case (id, (_, f)) => batchDirs(id) = f.toString }
   }
 
   /** Accepted rows of this batch: (doc_id, digest), new against corpus,
-    * prior batches, and itself. The returned relation is a leaf over the
-    * just-written state directory — stable regardless of later batches.
+    * prior batches, and itself. The returned relation is a lazy leaf
+    * over the batch's own committed segment — stable until a same-id
+    * retry or [[compact]] supersedes it, or [[close]] removes a
+    * self-owned state dir; materialize first if held across those.
     */
   def apply(batch: DataFrame): DataFrame = synchronized {
-    runBatch(batch, if (batchDirs.isEmpty) 0L else batchDirs.lastKey + 1L)
+    runBatch(batch, nextAutoId)
   }
 
   /** foreachBatch-shaped entry point: idempotent per batchId (see class
@@ -113,13 +151,10 @@ final class IngestDeduper(
   }
 
   private def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
-    val dir = s"$stateDir/b$batchId"
-    val tmp = s"$dir.tmp"
-    // A retry of the same batchId must not see its own earlier attempt —
-    // but the committed state stays intact until the replacement commits
-    // (write to .tmp, swap on success): a retry that fails mid-write
-    // must not have destroyed the digests the first attempt accepted.
-    val priorDirs = (batchDirs - batchId).values.toSeq
+    // A retry of the same batchId must not see its own earlier attempt;
+    // everything committed stays on disk until the replacement commits.
+    val priorDirs = baseDirs ++ (batchDirs - batchId).values
+    val tmp = s"$stateDir/t$commitSeq.tmp"
     val b = batch.filter(col("digest").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("digest").cast("string").as("digest"))
@@ -146,50 +181,62 @@ final class IngestDeduper(
         .select(col("doc_id"), col("digest"))
         .write.mode("overwrite").parquet(tmp)
     } finally b.unpersist(blocking = false)
-    // Commit: swap the completed write in (local-fs rename; a real
-    // deployment would go through the FileSystem API / a committer).
-    rmTree(new java.io.File(dir))
+    // Commit to a FRESH segment name (never renaming onto an existing
+    // dir — no delete-before-commit window), then retire the superseded
+    // attempt best-effort. Local-fs rename; a real deployment would go
+    // through the FileSystem API / a committer.
+    val dir = s"$stateDir/b${batchId}_$commitSeq"
     if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
       throw new java.io.IOException(s"could not commit batch state $tmp -> $dir")
+    commitSeq += 1
+    nextAutoId = math.max(nextAutoId, batchId + 1)
+    val superseded = batchDirs.get(batchId)
     batchDirs(batchId) = dir
+    superseded.foreach(d => rmTree(new java.io.File(d)))
     spark.read.schema(stateSchema).parquet(dir)
   }
 
-  /** Driver-held per-batch bookkeeping size, for the bounded-state spec:
-    * the number of retained path strings (there is no per-digest driver
-    * structure to measure).
+  /** Driver-held bookkeeping size, for the bounded-state spec: the
+    * number of retained segment path strings (there is no per-digest
+    * driver structure to measure).
     */
-  private[streaming] def retainedBatchCount: Int = synchronized(batchDirs.size)
+  private[streaming] def retainedBatchCount: Int =
+    synchronized(batchDirs.size + baseDirs.size)
 
   private def rmTree(f: java.io.File): Unit = {
     val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
   }
 
-  /** The table-maintenance job the class notes promise: fold every
-    * committed batch segment into ONE base segment (keyed by the highest
-    * committed batchId), so the per-batch accepted-table scan stops
-    * listing/opening one directory per batch on long-lived streams.
-    * Contents are unchanged — later batches reject exactly as before.
+  /** The segment-maintenance job the class notes promise: fold every
+    * committed segment into ONE base segment, so the per-batch
+    * accepted-table scan stops listing/opening one directory per batch
+    * on long-lived streams. Rejection behavior is unchanged. The
+    * compacted segment commits BEFORE the old segments are retired
+    * (best-effort): a crash in between leaves old + new on disk, whose
+    * union merely duplicates rows — harmless to the rejection join and
+    * folded away by the next compaction.
     *
     * Call between batches (it shares the deduper's synchronized
-    * contract). Retries of PRE-compaction batchIds stop being
-    * idempotent afterwards — their rows are folded into the base
-    * segment, which a same-id re-run would see as prior state — so
-    * compact only past the stream's committed checkpoint, the same
-    * rule any sink compaction obeys.
+    * contract). Two contracts change at the compaction point, so run it
+    * only past the stream's committed checkpoint, the same rule any
+    * sink compaction obeys: retries of pre-compaction batchIds stop
+    * being idempotent (their rows are now prior state), and relations
+    * returned for pre-compaction batches are superseded — materialize
+    * them first if still needed.
     */
   def compact(): Unit = synchronized {
-    if (batchDirs.size > 1) {
-      val tmp = s"$stateDir/compact.tmp"
-      spark.read.schema(stateSchema).parquet(batchDirs.values.toSeq: _*)
-        .write.mode("overwrite").parquet(tmp) // materializes before any delete
-      val keep = batchDirs.lastKey
-      val dir = s"$stateDir/b$keep"
-      batchDirs.values.foreach(d => rmTree(new java.io.File(d)))
+    if (batchDirs.size + baseDirs.size > 1) {
+      val olds = baseDirs ++ batchDirs.values
+      val tmp = s"$stateDir/t$commitSeq.tmp"
+      spark.read.schema(stateSchema).parquet(olds: _*)
+        .write.mode("overwrite").parquet(tmp) // materializes before the swap
+      val dir = s"$stateDir/base_$commitSeq"
       if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
         throw new java.io.IOException(s"could not commit compaction $tmp -> $dir")
+      commitSeq += 1
+      baseDirs = List(dir)
       batchDirs.clear()
-      batchDirs(keep) = dir
+      olds.foreach(d => rmTree(new java.io.File(d)))
     }
   }
 

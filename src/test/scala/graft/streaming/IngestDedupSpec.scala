@@ -151,6 +151,44 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("duplicate segments on disk (crash between commit and cleanup) stay exact") {
+    val ss = spark; import ss.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("ingest-dup-seg").toString
+    val d1 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
+      statePath = Some(statePath))
+    try {
+      assert(d1(Seq((1L, "X"), (2L, "Y")).toDF("doc_id", "digest"), 0L).count() == 2)
+    } finally d1.close()
+    // Simulate a crash that left BOTH the old and a superseding segment
+    // behind: clone batch 0's committed segment under a fresh name so
+    // its rows exist twice in the rehydrated prior state.
+    val seg = new java.io.File(statePath).listFiles().filter(_.getName.startsWith("b")).head
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles().foreach(f => cp(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    cp(seg, new java.io.File(statePath, "b7_99"))
+    val d2 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
+      statePath = Some(statePath))
+    try {
+      assert(d2.retainedBatchCount == 2, "both segments rehydrate")
+      val got = d2(Seq((3L, "X"), (4L, "Z")).toDF("doc_id", "digest"), 8L)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((4L, "Z")), s"duplicated X must reject exactly once; got ${got.toSeq}")
+      // Compaction folds the duplicated state away and stays exact.
+      d2.compact()
+      assert(d2.retainedBatchCount == 1)
+      assert(d2(Seq((5L, "X"), (6L, "Z"), (7L, "W")).toDF("doc_id", "digest"), 9L)
+        .collect().map(_.getString(1)).toSeq == Seq("W"))
+    } finally {
+      d2.close()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(statePath))
+    }
+  }
+
   test("drives a real foreachBatch streaming query") {
     val ss = spark; import ss.implicits._
     val corpus = Seq("A").toDF("digest")
