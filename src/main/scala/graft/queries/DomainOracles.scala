@@ -41,21 +41,16 @@ object DomainOracles {
     */
   private def isolated(spark: SparkSession, dir: String): DataFrame = {
     val det = Synthetic.detectionsCached(spark, dir)
-    // Partner enumeration via the q81 sweep-line kernel (one
+    // Partner enumeration via the sweep-line MARKING kernel (one
     // un-replicated shuffle on file_name, y-sorted primitive-array scan,
-    // θ-interval precondition, IouKernel call — answer-identical to the
-    // round-3 banded join, proven bit-exact by exceptAll and by the
-    // adversarial PairEnumerationPropertySpec). Still an INDEPENDENT
+    // θ-interval precondition, IouKernel call — set-identical to
+    // exploding the `iou > 0` pair relation, pinned adversarially by
+    // PairEnumerationPropertySpec, without materializing 4.9M pair rows
+    // + explode + distinct for a ≤600k id set). Still an INDEPENDENT
     // code path from the greedy grouping kernel this slice
-    // differentially tests: both forms share only IouKernel. Threshold
-    // Double.MinPositiveValue makes `iou >= t` exactly `iou > 0`, the
-    // slice's strict-positivity rule; the relational oracle (isoCte)
-    // keeps the declarative definition.
-    val pairs = Domain.sweepIouPairs(det, W, 4000.0, java.lang.Double.MIN_VALUE)
-    val partnered = pairs
-      .select(col("file_name"),
-        explode(array(col("a_idx"), col("b_idx"))).as("det_idx"))
-      .distinct()
+    // differentially tests: both forms share only IouKernel; the
+    // relational oracle (isoCte) keeps the declarative definition.
+    val partnered = Domain.sweepPartneredIds(det, W, 4000.0)
     det.join(partnered, Seq("file_name", "det_idx"), "left_anti")
   }
 

@@ -114,6 +114,17 @@ class PairEnumerationPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == s, s"missing: ${n -- s}; spurious: ${s -- n}")
   }
 
+  test("marking kernel ≡ endpoints of the naive iou > 0 pair set") {
+    // sweepPartneredIds must equal exploding the strictly-positive pair
+    // relation to both endpoints — the isolated-slice feed for
+    // q88/q89/q94. Adversarial boxes probe the mark short-circuit
+    // (marked(i) && marked(j) skips the kernel) and every seam class.
+    val want = naivePairs(1e-12).flatMap(p => Seq(p._1, p._2))
+    val got = Domain.sweepPartneredIds(df, W, H)
+      .select("det_idx").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing: ${want -- got}; spurious: ${got -- want}")
+  }
+
   test("refined enumeration ≡ naive all-pairs on adversarial boxes (t = 0.02)") {
     val naive = refinedVsNaive(0.02)
     assert(naive._1 == naive._2, s"missing: ${naive._1 -- naive._2}; spurious: ${naive._2 -- naive._1}")
