@@ -29,6 +29,42 @@ object Domain {
       StreetLevel.groupedDetections(det, 0.01).toDF()
     }
 
+  /** One panorama's boxes loaded into y1-sorted primitive arrays — the
+    * shared prologue of both sweep kernels, so the enumeration geometry
+    * (sort order, seam classification) has exactly one spelling.
+    */
+  private final class PanoArrays(
+      rows: Array[(String, Long, Double, Double, Double, Double)], seamSpan: Double) {
+    val n: Int = rows.length
+    private val ord = Array.range(0, n).sortBy(i => rows(i)._4) // by y1
+    val idx = new Array[Long](n)
+    val x1 = new Array[Double](n); val y1 = new Array[Double](n)
+    val x2 = new Array[Double](n); val y2 = new Array[Double](n)
+    val plain = new Array[Boolean](n)
+    locally {
+      var k = 0
+      while (k < n) {
+        val r = rows(ord(k))
+        idx(k) = r._2; x1(k) = r._3; y1(k) = r._4; x2(k) = r._5; y2(k) = r._6
+        plain(k) = x2(k) >= x1(k) && (x2(k) - x1(k)) <= seamSpan
+        k += 1
+      }
+    }
+  }
+
+  /** The typed per-panorama grouping both kernels ride: one hash
+    * partition by file_name, no replication.
+    */
+  private def panoGroups(det: org.apache.spark.sql.DataFrame) = {
+    val spark = det.sparkSession
+    import spark.implicits._
+    det.select(col("file_name"), col("det_idx").cast("long"),
+        col("x1").cast("double"), col("y1").cast("double"),
+        col("x2").cast("double"), col("y2").cast("double"))
+      .as[(String, Long, Double, Double, Double, Double)]
+      .groupByKey(_._1)
+  }
+
   /** Per-panorama SWEEP-LINE pair enumeration: the kernel alternative to
     * the banded equi-join. groupByKey(file_name) (the same bounded-per-
     * panorama shape as the greedy grouping kernel), sort boxes by y1
@@ -50,26 +86,10 @@ object Domain {
     val spark = det.sparkSession
     import spark.implicits._
     val seamSpan = w * 0.95
-    det.select(col("file_name"), col("det_idx").cast("long"),
-        col("x1").cast("double"), col("y1").cast("double"),
-        col("x2").cast("double"), col("y2").cast("double"))
-      .as[(String, Long, Double, Double, Double, Double)]
-      .groupByKey(_._1)
+    panoGroups(det)
       .flatMapGroups { (fn, it) =>
-        val rows = it.toArray
-        val n = rows.length
-        val ord = Array.range(0, n).sortBy(i => rows(i)._4) // by y1
-        val idx = new Array[Long](n)
-        val x1 = new Array[Double](n); val y1 = new Array[Double](n)
-        val x2 = new Array[Double](n); val y2 = new Array[Double](n)
-        val plain = new Array[Boolean](n)
-        var k = 0
-        while (k < n) {
-          val r = rows(ord(k))
-          idx(k) = r._2; x1(k) = r._3; y1(k) = r._4; x2(k) = r._5; y2(k) = r._6
-          plain(k) = x2(k) >= x1(k) && (x2(k) - x1(k)) <= seamSpan
-          k += 1
-        }
+        val p = new PanoArrays(it.toArray, seamSpan)
+        import p._
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
         var i = 0
         while (i < n) {
@@ -115,26 +135,10 @@ object Domain {
     val spark = det.sparkSession
     import spark.implicits._
     val seamSpan = w * 0.95
-    det.select(col("file_name"), col("det_idx").cast("long"),
-        col("x1").cast("double"), col("y1").cast("double"),
-        col("x2").cast("double"), col("y2").cast("double"))
-      .as[(String, Long, Double, Double, Double, Double)]
-      .groupByKey(_._1)
+    panoGroups(det)
       .flatMapGroups { (fn, it) =>
-        val rows = it.toArray
-        val n = rows.length
-        val ord = Array.range(0, n).sortBy(i => rows(i)._4) // by y1
-        val idx = new Array[Long](n)
-        val x1 = new Array[Double](n); val y1 = new Array[Double](n)
-        val x2 = new Array[Double](n); val y2 = new Array[Double](n)
-        val plain = new Array[Boolean](n)
-        var k = 0
-        while (k < n) {
-          val r = rows(ord(k))
-          idx(k) = r._2; x1(k) = r._3; y1(k) = r._4; x2(k) = r._5; y2(k) = r._6
-          plain(k) = x2(k) >= x1(k) && (x2(k) - x1(k)) <= seamSpan
-          k += 1
-        }
+        val p = new PanoArrays(it.toArray, seamSpan)
+        import p._
         val marked = new Array[Boolean](n)
         var i = 0
         while (i < n) {

@@ -90,7 +90,10 @@ final class IngestDeduper(
     java.nio.file.Files.createTempDirectory("ingest-dedup-state-").toString)
 
   private val BatchSeg = "^b(\\d{1,18})_(\\d{1,18})$".r // ASCII digits only
-  private val BaseSeg = "^base_(\\d{1,18})$".r
+  // base_<commitSeq>_<nextAutoId>: the auto-id high-water rides in the
+  // name because compaction erases the per-batch segments it would
+  // otherwise be recovered from.
+  private val BaseSeg = "^base_(\\d{1,18})_(\\d{1,18})$".r
 
   /** batchId → latest committed segment dir; plus the base segments
     * compaction produced. The ONLY per-segment driver state is one path
@@ -124,8 +127,9 @@ final class IngestDeduper(
             case Some(_) => rmTree(f)
             case None => committed(i) = (s, f)
           }
-        case BaseSeg(seq) =>
+        case BaseSeg(seq, hiId) =>
           commitSeq = math.max(commitSeq, seq.toLong + 1)
+          nextAutoId = math.max(nextAutoId, hiId.toLong)
           baseDirs = f.toString :: baseDirs
         case _ => () // not ours
       }
@@ -151,6 +155,10 @@ final class IngestDeduper(
   }
 
   private def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    // The recovery regex can only read back what it can parse — refuse
+    // to commit state a restart would silently drop.
+    require(batchId >= 0 && batchId <= 999999999999999999L,
+      s"batchId $batchId outside the recoverable range [0, 10^18)")
     // A retry of the same batchId must not see its own earlier attempt;
     // everything committed stays on disk until the replacement commits.
     val priorDirs = baseDirs ++ (batchDirs - batchId).values
@@ -228,9 +236,13 @@ final class IngestDeduper(
     if (batchDirs.size + baseDirs.size > 1) {
       val olds = baseDirs ++ batchDirs.values
       val tmp = s"$stateDir/t$commitSeq.tmp"
-      spark.read.schema(stateSchema).parquet(olds: _*)
+      // distinct(): segments can hold exact row duplicates after a
+      // crash between a commit and its cleanup (same batch replayed ⇒
+      // identical rows) — fold them here so a crash window costs
+      // nothing for the stream's remaining life.
+      spark.read.schema(stateSchema).parquet(olds: _*).distinct()
         .write.mode("overwrite").parquet(tmp) // materializes before the swap
-      val dir = s"$stateDir/base_$commitSeq"
+      val dir = s"$stateDir/base_${commitSeq}_$nextAutoId"
       if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
         throw new java.io.IOException(s"could not commit compaction $tmp -> $dir")
       commitSeq += 1

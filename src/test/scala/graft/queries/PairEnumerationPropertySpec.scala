@@ -109,8 +109,11 @@ class PairEnumerationPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sweep-line kernel ≡ naive all-pairs at the iou > 0 slice threshold") {
     // Double.MinPositiveValue makes `iou >= t` exactly `iou > 0` — the
     // isolated-slice rule; any pruned positive-IoU pair would corrupt
-    // the slice feeding q88/q89/q94.
-    val n = naivePairs(1e-12); val s = sweepPairs(java.lang.Double.MIN_VALUE)
+    // the slice feeding q88/q89/q94. The oracle uses the SAME boundary
+    // (not some epsilon like 1e-12), so a kernel missing a
+    // positive-but-tiny-IoU pair cannot slip through.
+    val n = naivePairs(java.lang.Double.MIN_VALUE)
+    val s = sweepPairs(java.lang.Double.MIN_VALUE)
     assert(n == s, s"missing: ${n -- s}; spurious: ${s -- n}")
   }
 
@@ -119,7 +122,7 @@ class PairEnumerationPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // relation to both endpoints — the isolated-slice feed for
     // q88/q89/q94. Adversarial boxes probe the mark short-circuit
     // (marked(i) && marked(j) skips the kernel) and every seam class.
-    val want = naivePairs(1e-12).flatMap(p => Seq(p._1, p._2))
+    val want = naivePairs(java.lang.Double.MIN_VALUE).flatMap(p => Seq(p._1, p._2))
     val got = Domain.sweepPartneredIds(df, W, H)
       .select("det_idx").collect().map(_.getLong(0)).toSet
     assert(got == want, s"missing: ${want -- got}; spurious: ${got -- want}")
@@ -134,7 +137,7 @@ class PairEnumerationPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // DomainOracles.isolated uses strictly-positive IoU — the tightest
     // setting for the preconditions (any pruned positive-IoU pair would
     // corrupt the isolated slice).
-    val naive = refinedVsNaive(1e-12)
+    val naive = refinedVsNaive(java.lang.Double.MIN_VALUE)
     assert(naive._1 == naive._2, s"missing: ${naive._1 -- naive._2}; spurious: ${naive._2 -- naive._1}")
   }
 
