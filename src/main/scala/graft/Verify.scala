@@ -10,6 +10,11 @@ object Verify {
     val spark = Sessions.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the detections input table up front (see
+    // pipeline.DetectionsTable): the correctness sweep then exercises the
+    // production table-read path, and q85's oracle checks the persisted
+    // table round-trip end-to-end.
+    graft.pipeline.DetectionsTable.ensure(spark, sfDir)
     // Optional trailing args restrict the dump to named queries — the
     // local fast loop (tools/check_subset.py); the driver passes none.
     // Sorted by name so QueryDef release points (declared against this
@@ -25,20 +30,8 @@ object Verify {
       graft.queries.Registry.byName(name).releases
         .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir"))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -81,6 +81,17 @@ object Dag {
     }
   }
 
+  /** The detections derivation alone, as a one-stage DAG — the input-
+    * table materialization [[DetectionsTable]] runs. At 100 TB detections
+    * IS an input table (the reference persists it as the DuckDB-backed
+    * `detected_objects` asset, heritage-guard/heritage_guard/assets/
+    * detected_objects_processing/detected_objects_processing.py:17-28);
+    * deriving it inside every consuming query charged the derivation
+    * window to each query instead of once to the upstream job.
+    */
+  def detectionsDag(sfDir: String): Seq[Stage] =
+    Seq(Stage("detections", Nil, (s, _) => Synthetic.detections(s, sfDir)))
+
   /** The reference's street-level pipeline as a DAG: synthetic inputs →
     * greedy grouping → per-vertex rays → mesh hits → per-panorama summary
     * (street_level_grouping.py's asset chain end-to-end).
@@ -103,5 +114,67 @@ object Dag {
         up("hits").groupBy(col("file_name"))
           .agg(count(lit(1)).as("n_rays"), count(col("hit_x")).as("n_hits"))
           .orderBy(col("file_name"))))
+  }
+}
+
+/** The materialized detections INPUT TABLE (VERDICT r5 ask #1): q80's
+  * residual cost was the shared derivation window rebuilt per session,
+  * not the grouping kernel. [[ensure]] materializes [[Dag.detectionsDag]]
+  * once per (sfDir, source-table fingerprint) under /tmp, and
+  * [[Synthetic.detectionsCached]] reads the persisted parquet when it is
+  * present — the 100 TB shape, where detections is a table an upstream
+  * scheduled job wrote, and queries scan it like any other input.
+  *
+  * Staleness is structural, not temporal: the materialization path
+  * embeds a fingerprint of the source lineitem files (name, length,
+  * mtime), so regenerated testdata can never be read through a stale
+  * detections table — the fingerprint changes and [[ensure]] re-derives.
+  */
+object DetectionsTable {
+
+  private def fingerprint(sfDir: String): String = {
+    val files = Option(new java.io.File(s"$sfDir/lineitem.parquet").listFiles())
+      .getOrElse(Array.empty).sortBy(_.getName)
+    val h = files.foldLeft(1125899906842597L) { (acc, f) =>
+      val s = s"${f.getName}:${f.length}:${f.lastModified}"
+      s.foldLeft(acc)((a, c) => a * 31 + c)
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  private def root(sfDir: String): String =
+    s"/tmp/graft_dag/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_${fingerprint(sfDir)}"
+
+  /** The committed materialization, if one exists (the parquet
+    * committer's `_SUCCESS` gate — a partial write never reads back).
+    */
+  def materializedPath(sfDir: String): Option[String] = {
+    val p = s"${root(sfDir)}/detections.parquet"
+    if (new java.io.File(p, "_SUCCESS").exists()) Some(p) else None
+  }
+
+  /** Materialize (or reuse) the detections table for `sfDir`; returns the
+    * parquet path. Synchronized: one materialization per JVM at a time.
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = synchronized {
+    val dir = root(sfDir)
+    val p = s"$dir/detections.parquet"
+    // A dir without _SUCCESS is an uncommitted partial write — clear it
+    // so Dag.materialize's existence check can't reuse a torn table.
+    if (new java.io.File(p).exists() && !new java.io.File(p, "_SUCCESS").exists())
+      rmTree(new java.io.File(p))
+    Dag.materialize(spark, Dag.detectionsDag(sfDir), dir, refresh = false)
+    p
+  }
+
+  /** Drop a materialization (spec hook; also the manual invalidation
+    * path).
+    */
+  def invalidate(sfDir: String): Unit = synchronized {
+    rmTree(new java.io.File(root(sfDir)))
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
   }
 }

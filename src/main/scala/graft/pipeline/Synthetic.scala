@@ -75,9 +75,23 @@ object Synthetic {
     * (a 600k-row window at sf0.1) feeds a dozen declared queries and both
     * sides of the pair joins; every consumer after the first reads the
     * columnar cache.
+    *
+    * When [[DetectionsTable]] has a committed materialization for this
+    * sfDir (Bench/Verify ensure one up front), the cache entry is a SCAN
+    * of that table instead of the derivation — the 100 TB shape, where
+    * detections is an input table written by the upstream Dag job and the
+    * per-query cost is a column-pruned parquet read, not a corpus-wide
+    * window. Parquet round-trips doubles bit-exactly, so the two builds
+    * are value-identical (DagSpec pins this; the driver's q85 oracle
+    * checks the table-read path end-to-end).
     */
   def detectionsCached(spark: SparkSession, sfDir: String): DataFrame =
-    SessionCache.getOrPersist(spark, s"detections:$sfDir")(detections(spark, sfDir))
+    SessionCache.getOrPersist(spark, s"detections:$sfDir") {
+      DetectionsTable.materializedPath(sfDir) match {
+        case Some(p) => spark.read.parquet(p)
+        case None => detections(spark, sfDir)
+      }
+    }
 
   /** DuckDB mirror of [[detections]] as a CTE body (same ops, same float
     * order) so downstream SQL-expressible queries keep full oracles.

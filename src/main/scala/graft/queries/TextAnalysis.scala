@@ -338,8 +338,10 @@ object TextAnalysis {
         a AS (SELECT lang, sum(${TS.tokenCountExpr("toks")})::BIGINT AS tokens
               FROM t GROUP BY lang),
         r AS (SELECT lang,
-                     floor(least(1.0, ((sum(tokens) OVER ())::DOUBLE / (count(*) OVER ())) / tokens)
-                           * 100)::BIGINT AS cut
+                     CASE WHEN tokens > 0
+                          THEN floor(least(1.0, ((sum(tokens) OVER ())::DOUBLE / (count(*) OVER ())) / tokens)
+                                     * 100)::BIGINT
+                          ELSE 100 END AS cut
               FROM a)
         SELECT d.doc_id, d.lang, d.source
         FROM documents d JOIN r USING (lang)
@@ -349,10 +351,17 @@ object TextAnalysis {
         .groupBy(col("lang"))
         .agg(sum(TF.tokenCount(col("toks"))).as("tokens"))
       val w = Window.partitionBy() // #langs rows, not the corpus
+      // tokens = 0 (a language whose docs all tokenize empty) would
+      // divide to Infinity in Spark but NULL-or-inf in DuckDB depending
+      // on its ieee_floating_point_ops setting — make the degenerate
+      // case explicit on BOTH sides: keep-all (cut = 100), matching what
+      // Spark's Inf → least → 1.0 path produced anyway.
       val rates = inv
         .withColumn("cut",
-          floor(least(lit(1.0),
-            (sum(col("tokens")).over(w) / count(lit(1)).over(w)) / col("tokens")) * 100)
+          when(col("tokens") > 0,
+            floor(least(lit(1.0),
+              (sum(col("tokens")).over(w) / count(lit(1)).over(w)) / col("tokens")) * 100))
+            .otherwise(lit(100))
             .cast("long"))
         .select(col("lang"), col("cut"))
       documents(spark, dir)

@@ -94,6 +94,25 @@ final class IngestDeduper(
   // name because compaction erases the per-batch segments it would
   // otherwise be recovered from.
   private val BaseSeg = "^base_(\\d{1,18})_(\\d{1,18})$".r
+  private val TmpSeg = "^t(\\d{1,18})\\.tmp$".r
+
+  /** Our own commit marker, independent of the Hadoop committer's
+    * `_SUCCESS` convention (which `marksuccessfuljobs=false` disables).
+    */
+  private val CommitMarker = "_graft_commit"
+
+  /** Commit a fully-written tmp dir as segment `dir`: stamp the marker,
+    * then atomically rename. ATOMIC_MOVE (not `File.renameTo`) so a
+    * cross-device statePath fails with a real error message instead of a
+    * bare `false`; statePath must live on one filesystem — a real
+    * deployment would go through the FileSystem API / a committer.
+    */
+  private def commitSegment(tmp: String, dir: String): Unit = {
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** batchId → latest committed segment dir; plus the base segments
     * compaction produced. The ONLY per-segment driver state is one path
@@ -116,7 +135,20 @@ final class IngestDeduper(
     val committed = scala.collection.mutable.Map.empty[Long, (Long, java.io.File)]
     val kids = new java.io.File(stateDir).listFiles()
     if (kids != null) kids.foreach { f =>
-      if (f.isDirectory && new java.io.File(f, "_SUCCESS").exists()) f.getName match {
+      // Orphaned write-side temp dirs (a crash between the parquet write
+      // and the commit rename) are by construction uncommitted — sweep
+      // them here so a long-lived caller-provided statePath doesn't leak
+      // one batch of parquet per crash forever.
+      f.getName match {
+        case TmpSeg(_) if f.isDirectory => rmTree(f)
+        case _ => ()
+      }
+      // A segment counts as committed only when it carries OUR marker
+      // (written just before the rename): relying on the committer's
+      // `_SUCCESS` would silently drop ALL accepted state on restart
+      // under `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` —
+      // a silent re-accept instead of a loud failure.
+      if (f.isDirectory && new java.io.File(f, CommitMarker).exists()) f.getName match {
         case BatchSeg(id, seq) =>
           val (i, s) = (id.toLong, seq.toLong)
           commitSeq = math.max(commitSeq, s + 1)
@@ -191,11 +223,9 @@ final class IngestDeduper(
     } finally b.unpersist(blocking = false)
     // Commit to a FRESH segment name (never renaming onto an existing
     // dir — no delete-before-commit window), then retire the superseded
-    // attempt best-effort. Local-fs rename; a real deployment would go
-    // through the FileSystem API / a committer.
+    // attempt best-effort.
     val dir = s"$stateDir/b${batchId}_$commitSeq"
-    if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
-      throw new java.io.IOException(s"could not commit batch state $tmp -> $dir")
+    commitSegment(tmp, dir)
     commitSeq += 1
     nextAutoId = math.max(nextAutoId, batchId + 1)
     val superseded = batchDirs.get(batchId)
@@ -243,8 +273,7 @@ final class IngestDeduper(
       spark.read.schema(stateSchema).parquet(olds: _*).distinct()
         .write.mode("overwrite").parquet(tmp) // materializes before the swap
       val dir = s"$stateDir/base_${commitSeq}_$nextAutoId"
-      if (!new java.io.File(tmp).renameTo(new java.io.File(dir)))
-        throw new java.io.IOException(s"could not commit compaction $tmp -> $dir")
+      commitSegment(tmp, dir)
       commitSeq += 1
       baseDirs = List(dir)
       batchDirs.clear()

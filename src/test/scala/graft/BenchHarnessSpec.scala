@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VERDICT r5 "what's wrong" #2: a throwing query used to record its
+  * time-to-failure and read as a FAST PASS in the bench tail. The sweep
+  * now carries per-query errors into the JSON line; this spec plants a
+  * failing query next to a passing one and asserts the failure is
+  * visibly reported, not swallowed.
+  */
+class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.Sessions.builder("2").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("a planted failing query surfaces in the errors object, a passing one does not") {
+    val planted: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "zz_planted_pass" -> ((s: SparkSession, _: String) =>
+        s.range(10).selectExpr("id", "id * 2 AS twice")),
+      "zz_planted_fail" -> ((s: SparkSession, _: String) =>
+        s.range(10).selectExpr("assert_true(id < 5, 'boom') AS a", "id")))
+    val runs = Bench.runSweep(spark, "/root/testdata/sf0.001", planted)
+    val byName = runs.map(r => r.name -> r).toMap
+    assert(byName("zz_planted_pass").error.isEmpty)
+    assert(byName("zz_planted_fail").error.isDefined,
+      "a throwing query must not read as a pass")
+    val json = Bench.renderJson(runs, "/root/testdata/sf0.001")
+    assert(json.contains(""""errors":{"""))
+    assert(json.contains("zz_planted_fail") &&
+      json.indexOf("zz_planted_fail", json.indexOf("\"errors\"")) > 0,
+      s"the failing query must appear inside the errors object: $json")
+    // The errors object never mentions the clean query.
+    val errsPart = json.substring(json.indexOf("\"errors\""))
+    assert(!errsPart.substring(0, errsPart.indexOf("}") + 1).contains("zz_planted_pass"))
+    // The line must stay a SINGLE parseable JSON object for the driver —
+    // exception messages can carry quotes/newlines; quoting must hold.
+    assert(!json.contains("\n"))
+  }
+}

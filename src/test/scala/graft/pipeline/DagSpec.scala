@@ -45,4 +45,34 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.forall(_.skipped))
     assert(again.map(_.rows) == runs.map(_.rows))
   }
+
+  test("detections input table: ensure materializes once, consumers read it bit-identically") {
+    val sf = "/root/testdata/sf0.001"
+    DetectionsTable.invalidate(sf)
+    assert(DetectionsTable.materializedPath(sf).isEmpty)
+    val p = DetectionsTable.ensure(spark, sf)
+    assert(DetectionsTable.materializedPath(sf).contains(p))
+    val success = new java.io.File(p, "_SUCCESS")
+    val stamp = success.lastModified()
+    // Second ensure reuses the committed table (incremental tick).
+    assert(DetectionsTable.ensure(spark, sf) == p)
+    assert(success.lastModified() == stamp, "a reuse tick must not rewrite")
+    // detectionsCached now resolves to a SCAN of the persisted table…
+    SessionCache.release(spark, s"detections:$sf")
+    val cached = Synthetic.detectionsCached(spark, sf)
+    val leaves = cached.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    assert(leaves.exists(_.contains("graft_dag")),
+      s"expected a parquet scan of the materialized table, got leaves: $leaves")
+    // …and the table round-trips the derivation bit-exactly (doubles
+    // included), so every downstream oracle is unaffected.
+    val live = Synthetic.detections(spark, sf)
+    assert(cached.exceptAll(live).count() == 0 && live.exceptAll(cached).count() == 0)
+    SessionCache.release(spark, s"detections:$sf")
+    // A torn materialization (no _SUCCESS) is cleared and rebuilt.
+    success.delete()
+    assert(DetectionsTable.materializedPath(sf).isEmpty, "no commit marker ⇒ not a table")
+    val p2 = DetectionsTable.ensure(spark, sf)
+    assert(new java.io.File(p2, "_SUCCESS").exists())
+    DetectionsTable.invalidate(sf)
+  }
 }

@@ -151,6 +151,41 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rehydration sweeps orphaned tmp dirs and ignores marker-less segments") {
+    val ss = spark; import ss.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("ingest-orphan").toString
+    val d1 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
+      statePath = Some(statePath))
+    try assert(d1(Seq((1L, "X")).toDF("doc_id", "digest"), 0L).count() == 1)
+    finally d1.close()
+    // A crash between the parquet write and the commit rename leaves a
+    // t<seq>.tmp behind; by construction it is uncommitted state.
+    val orphan = new java.io.File(statePath, "t9.tmp")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-0.parquet"), "junk")
+    // A dir with _SUCCESS but WITHOUT our marker must not rehydrate as a
+    // segment (the committer's _SUCCESS convention can be disabled — only
+    // our own marker proves a completed commit).
+    val foreign = new java.io.File(statePath, "b5_50")
+    foreign.mkdirs()
+    java.nio.file.Files.writeString(foreign.toPath.resolve("_SUCCESS"), "")
+    val d2 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
+      statePath = Some(statePath))
+    try {
+      assert(!orphan.exists(), "orphaned tmp dirs are swept on rehydration")
+      assert(d2.retainedBatchCount == 1, "marker-less dirs never count as committed state")
+      // The real segment still rejects its digest after the sweep.
+      assert(d2(Seq((2L, "X"), (3L, "Q")).toDF("doc_id", "digest"), 1L)
+        .collect().map(_.getString(1)).toSeq == Seq("Q"))
+    } finally {
+      d2.close()
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      rm(new java.io.File(statePath))
+    }
+  }
+
   test("duplicate segments on disk (crash between commit and cleanup) stay exact") {
     val ss = spark; import ss.implicits._
     val statePath = java.nio.file.Files.createTempDirectory("ingest-dup-seg").toString
