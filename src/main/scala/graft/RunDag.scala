@@ -1,21 +1,37 @@
 package graft
 
-/** One-command scheduled-job entry: materialize the street-level DAG
-  * end-to-end with parquet handoffs (the Dagster-loop analogue).
+/** One-command scheduled-job entry: materialize a DAG end-to-end with
+  * parquet handoffs (the Dagster-loop analogue).
   *
-  *   sbt "runMain graft.RunDag [sfDir] [workDir] [--no-refresh]"
+  *   sbt "runMain graft.RunDag [street|curation] [sfDir] [workDir] [--no-refresh]"
+  *
+  * `street` (default) is the street-level pipeline; `curation` is the
+  * q99 training-data curation pipeline. `--no-refresh` is the
+  * incremental tick: only missing stage tables are rebuilt.
   */
 object RunDag {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val workDir = if (args.length > 1) args(1) else "/tmp/graft_dag"
+    val (dagName, rest) = args.headOption match {
+      case Some(n @ ("street" | "curation")) => (n, args.drop(1))
+      case _ => ("street", args)
+    }
+    val sfDir = rest.headOption.filterNot(_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.001")
+    val workDir = rest.drop(1).headOption.filterNot(_.startsWith("--"))
+      .getOrElse(s"/tmp/graft_dag_$dagName")
     val refresh = !args.contains("--no-refresh")
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val runs = graft.pipeline.Dag.materialize(
-      spark, graft.pipeline.Dag.streetLevelDag(sfDir), workDir, refresh)
+    val stages = dagName match {
+      case "curation" => graft.queries.CurationDag.stages(sfDir)
+      case _ => graft.pipeline.Dag.streetLevelDag(sfDir)
+    }
+    val runs = graft.pipeline.Dag.materialize(spark, stages, workDir, refresh)
+    if (dagName == "curation")
+      graft.queries.CurationDag.sharedCacheKeys
+        .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir"))
     runs.foreach(r => println(
-      f"${r.name}%-12s rows=${r.rows}%8d  ${r.millis}%6d ms${if (r.skipped) "  (reused)" else ""}"))
+      f"${r.name}%-16s rows=${r.rows}%8d  ${r.millis}%6d ms${if (r.skipped) "  (reused)" else ""}"))
     spark.stop()
   }
 }

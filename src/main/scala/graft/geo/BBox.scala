@@ -164,16 +164,19 @@ object BBoxGrouping {
     * an absent pair semantically different from a stored zero.
     */
   private def positiveIouAdjacency(
-      bboxes: IndexedSeq[BBox], keepZeros: Boolean): Array[scala.collection.mutable.LongMap[Double]] = {
+      bboxes: IndexedSeq[BBox],
+      keepZeros: Boolean): (Array[scala.collection.mutable.LongMap[Double]], Long) = {
     val n = bboxes.length
     val adj = Array.fill(n)(new scala.collection.mutable.LongMap[Double]())
     val ord = Array.range(0, n).sortBy(i => bboxes(i).yMin)
+    var pairs = 0L
     var a = 0
     while (a < n) {
       val i = ord(a)
       val bi = bboxes(i)
       var b = a + 1
       while (b < n && (keepZeros || bboxes(ord(b)).yMin < bi.yMax)) {
+        pairs += 1
         val j = ord(b)
         val v = bi.iou(bboxes(j))
         if (v > 0 || keepZeros) {
@@ -184,17 +187,26 @@ object BBoxGrouping {
       }
       a += 1
     }
-    adj
+    (adj, pairs)
   }
 
-  /** @return groups as lists of input indices, in reference emit order. */
-  def group(bboxes: IndexedSeq[BBox], iouThreshold: Double): Vector[Vector[Int]] = {
+  /** @return groups as lists of input indices, in reference emit order.
+    * @param onStats skew-diagnosability hook, called once with (box
+    *   count, enumerated pair count) — pair count is both the kernel's
+    *   work AND its adjacency memory bound, so the caller (a Spark task
+    *   at scale) can surface a pathological group instead of stalling
+    *   silently. A plain function keeps this object Spark-free.
+    */
+  def group(
+      bboxes: IndexedSeq[BBox], iouThreshold: Double,
+      onStats: (Int, Long) => Unit = (_, _) => ()): Vector[Vector[Int]] = {
     val n = bboxes.length
     // Sparse sim lookup: absent ⇒ IoU == 0 (see positiveIouAdjacency for
     // why that is exact). Values present are bit-identical to the dense
     // matrix this replaced, so the order-dependent loops below are
     // untouched ports of bbox_grouping.py.
-    val adj = positiveIouAdjacency(bboxes, keepZeros = iouThreshold <= 0.0)
+    val (adj, pairsEnumerated) = positiveIouAdjacency(bboxes, keepZeros = iouThreshold <= 0.0)
+    onStats(n, pairsEnumerated)
 
     val grouped = Array.fill(n)(false)
     val groups = Vector.newBuilder[Vector[Int]]
@@ -247,7 +259,9 @@ object BBoxGrouping {
   /** Flat index→group map, the shape the pipeline joins back
     * (street_level_grouping.py:118-124).
     */
-  def groupIndex(bboxes: IndexedSeq[BBox], iouThreshold: Double): Map[Int, Int] =
-    group(bboxes, iouThreshold).zipWithIndex
+  def groupIndex(
+      bboxes: IndexedSeq[BBox], iouThreshold: Double,
+      onStats: (Int, Long) => Unit = (_, _) => ()): Map[Int, Int] =
+    group(bboxes, iouThreshold, onStats).zipWithIndex
       .flatMap { case (members, gid) => members.map(_ -> gid) }.toMap
 }

@@ -48,11 +48,14 @@ object StreetLevel {
       imageWidth: Double = ImageWidth,
       imageHeight: Double = ImageHeight): Dataset[GroupedDetection] = {
     import detections.sparkSession.implicits._
-    detections.groupByKey(_.file_name).flatMapGroups { (_, rows) =>
+    val stats = SweepStats.forSession(detections.sparkSession)
+    val denseCutoff = SweepStats.threshold(detections.sparkSession)
+    detections.groupByKey(_.file_name).flatMapGroups { (fn, rows) =>
       val dets = rows.toIndexedSeq.sortBy(_.det_idx)
       val boxes = dets.map(d =>
         BBox((d.x1, d.y1, d.x2, d.y2), d.score, d.cls, imageWidth, imageHeight))
-      val toGroup = BBoxGrouping.groupIndex(boxes, iouThreshold)
+      val toGroup = BBoxGrouping.groupIndex(boxes, iouThreshold,
+        (n, pairs) => stats.record(fn, n, pairs, denseCutoff))
       dets.iterator.zipWithIndex.map { case (d, i) =>
         GroupedDetection(d.file_name, d.det_idx, d.x1, d.y1, d.x2, d.y2,
           d.score, d.cls, toGroup(i))

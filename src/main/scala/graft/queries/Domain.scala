@@ -86,11 +86,14 @@ object Domain {
     val spark = det.sparkSession
     import spark.implicits._
     val seamSpan = w * 0.95
+    val stats = graft.pipeline.SweepStats.forSession(spark)
+    val denseCutoff = graft.pipeline.SweepStats.threshold(spark)
     panoGroups(det)
       .flatMapGroups { (fn, it) =>
         val p = new PanoArrays(it.toArray, seamSpan)
         import p._
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
+        var pairs = 0L
         var i = 0
         while (i < n) {
           val ay2 = y2(i)
@@ -98,6 +101,7 @@ object Domain {
           // Sorted by y1 ⇒ y1(j) ≥ y1(i), so y1(j) < y2(i) is the full
           // strict y-overlap test (heights are positive).
           while (j < n && y1(j) < ay2) {
+            pairs += 1
             if (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i))) {
               val iou = org.apache.spark.sql.graft.IouKernel.compute(
                 x1(i), y1(i), x2(i), y2(i), x1(j), y1(j), x2(j), y2(j), w, h)
@@ -110,6 +114,7 @@ object Domain {
           }
           i += 1
         }
+        stats.record(fn, n, pairs, denseCutoff)
         out.iterator
       }
       .toDF("file_name", "a_idx", "b_idx", "iou_raw")
@@ -130,21 +135,25 @@ object Domain {
     * could only re-mark. Output set equality with the explode-distinct
     * form is pinned by PairEnumerationPropertySpec.
     */
-  private[queries] def sweepPartneredIds(
+  private[graft] def sweepPartneredIds(
       det: org.apache.spark.sql.DataFrame, w: Double, h: Double): org.apache.spark.sql.DataFrame = {
     val spark = det.sparkSession
     import spark.implicits._
     val seamSpan = w * 0.95
+    val stats = graft.pipeline.SweepStats.forSession(spark)
+    val denseCutoff = graft.pipeline.SweepStats.threshold(spark)
     panoGroups(det)
       .flatMapGroups { (fn, it) =>
         val p = new PanoArrays(it.toArray, seamSpan)
         import p._
         val marked = new Array[Boolean](n)
+        var pairs = 0L
         var i = 0
         while (i < n) {
           val ay2 = y2(i)
           var j = i + 1
           while (j < n && y1(j) < ay2) {
+            pairs += 1
             if (!(marked(i) && marked(j)) &&
                 (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i)))) {
               val iou = org.apache.spark.sql.graft.IouKernel.compute(
@@ -155,6 +164,7 @@ object Domain {
           }
           i += 1
         }
+        stats.record(fn, n, pairs, denseCutoff)
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         i = 0
         while (i < n) { if (marked(i)) out += ((fn, idx(i))); i += 1 }

@@ -155,6 +155,58 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, ts(10, 0), 1L, 4.0))) // session B: flushed by event-time timeout
   }
 
+  test("sessionizeStream carries open-session state across a checkpoint restart") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    // VERDICT r5 ask #4: IngestDeduper has restart coverage; the
+    // flatMapGroupsWithState sessionizer did not. Kill a REAL streaming
+    // query mid-session and restart from the same checkpoint: the open
+    // session must resume from the state store, not restart from zero.
+    val mem = MemoryStream[Ev]
+    val ckpt = java.nio.file.Files.createTempDirectory("sess-ckpt").toString
+    // foreachBatch, not the memory sink: the memory sink refuses
+    // checkpoint recovery ("does not support recovering"); foreachBatch
+    // is the fault-tolerant production shape whose offsets the
+    // checkpoint tracks across restarts.
+    def start(buf: java.util.concurrent.ConcurrentLinkedQueue[(Long, Timestamp, Long, Double)]) =
+      EventStreams.sessionizeStream(
+        mem.toDF().withWatermark("ts", "1 minute")
+          .select(col("user_id"), col("ts"), col("value"))
+          .as[EventStreams.Event],
+        gapMs = 3600 * 1000L)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .foreachBatch { (out: org.apache.spark.sql.Dataset[EventStreams.SessionOut], _: Long) =>
+          out.collect().foreach(o =>
+            buf.add((o.user_id, o.session_start, o.n_events, o.total)))
+        }
+        .start()
+    val buf1 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Timestamp, Long, Double)]
+    val q1 = start(buf1)
+    // Batch 1: user 1's session opens (00:10, 00:30) — NOT yet closed.
+    mem.addData(Ev(ts(0, 10), 1, "click", 1.0), Ev(ts(0, 30), 1, "click", 2.0))
+    q1.processAllAvailable()
+    q1.stop() // driver "crash" with the session open in the state store
+    assert(!buf1.iterator().hasNext,
+      "the open session must not have been emitted before the restart")
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Timestamp, Long, Double)]
+    val q2 = start(buf2)
+    // Post-restart batch EXTENDS the pre-restart session (00:50 is
+    // within the 1 h gap of 00:30) — only possible if state survived.
+    mem.addData(Ev(ts(0, 50), 1, "click", 4.0))
+    q2.processAllAvailable()
+    // Far-future event advances the watermark past last + gap: the
+    // session times out and flushes.
+    mem.addData(Ev(Timestamp.valueOf("2024-03-01 00:00:00"), 99, "flush", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    val got = buf2.iterator().asScala.filter(_._1 == 1L).toSet
+    assert(got == Set((1L, ts(0, 10), 3L, 7.0)),
+      s"one session starting pre-restart, spanning all three events; got $got")
+  }
+
   test("stream-static enrichment join converges to the batch rollup") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
