@@ -89,8 +89,20 @@ object Dag {
     * deriving it inside every consuming query charged the derivation
     * window to each query instead of once to the upstream job.
     */
-  def detectionsDag(sfDir: String): Seq[Stage] =
-    Seq(Stage("detections", Nil, (s, _) => Synthetic.detections(s, sfDir)))
+  def detectionsDag(sfDir: String): Seq[Stage] = {
+    import org.apache.spark.sql.functions.col
+    Seq(Stage("detections", Nil, (s, _) =>
+      // Keyed repartition + within-partition sort before the write: AQE
+      // sizes the file count from the data (the window's 32 post-shuffle
+      // partitions wrote 32 ~370 KB files at sf0.1 — footer/task overhead
+      // tripled the scan), panoramas land contiguous and sorted (better
+      // column compression, and the dominant consumers re-shuffle by
+      // file_name anyway). Row order is irrelevant to correctness: every
+      // consumer sorts or groups.
+      Synthetic.detections(s, sfDir)
+        .repartition(col("file_name"))
+        .sortWithinPartitions(col("file_name"), col("det_idx"))))
+  }
 
   /** The reference's street-level pipeline as a DAG: synthetic inputs →
     * greedy grouping → per-vertex rays → mesh hits → per-panorama summary

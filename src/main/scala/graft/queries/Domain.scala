@@ -29,14 +29,19 @@ object Domain {
       StreetLevel.groupedDetections(det, 0.01).toDF()
     }
 
+  /** One sweep-kernel input row (named fields so the relational
+    * `groupBy(col).as[K, V]` encoder binds by name).
+    */
+  private[queries] final case class PanoRow(
+      file_name: String, det_idx: Long, x1: Double, y1: Double, x2: Double, y2: Double)
+
   /** One panorama's boxes loaded into y1-sorted primitive arrays — the
     * shared prologue of both sweep kernels, so the enumeration geometry
     * (sort order, seam classification) has exactly one spelling.
     */
-  private final class PanoArrays(
-      rows: Array[(String, Long, Double, Double, Double, Double)], seamSpan: Double) {
+  private final class PanoArrays(rows: Array[PanoRow], seamSpan: Double) {
     val n: Int = rows.length
-    private val ord = Array.range(0, n).sortBy(i => rows(i)._4) // by y1
+    private val ord = Array.range(0, n).sortBy(i => rows(i).y1) // by y1
     val idx = new Array[Long](n)
     val x1 = new Array[Double](n); val y1 = new Array[Double](n)
     val x2 = new Array[Double](n); val y2 = new Array[Double](n)
@@ -45,15 +50,18 @@ object Domain {
       var k = 0
       while (k < n) {
         val r = rows(ord(k))
-        idx(k) = r._2; x1(k) = r._3; y1(k) = r._4; x2(k) = r._5; y2(k) = r._6
+        idx(k) = r.det_idx; x1(k) = r.x1; y1(k) = r.y1; x2(k) = r.x2; y2(k) = r.y2
         plain(k) = x2(k) >= x1(k) && (x2(k) - x1(k)) <= seamSpan
         k += 1
       }
     }
   }
 
-  /** The typed per-panorama grouping both kernels ride: one hash
-    * partition by file_name, no replication.
+  /** The per-panorama grouping both kernels ride: one hash partition by
+    * file_name, no replication. Relational groupBy(col).as[K, V], not
+    * typed groupByKey(_.file_name) — the typed form's key lambda
+    * deserializes every row pre-shuffle just to read the key (see
+    * StreetLevel.groupedDetections for the measurement).
     */
   private def panoGroups(det: org.apache.spark.sql.DataFrame) = {
     val spark = det.sparkSession
@@ -61,8 +69,7 @@ object Domain {
     det.select(col("file_name"), col("det_idx").cast("long"),
         col("x1").cast("double"), col("y1").cast("double"),
         col("x2").cast("double"), col("y2").cast("double"))
-      .as[(String, Long, Double, Double, Double, Double)]
-      .groupByKey(_._1)
+      .groupBy(col("file_name")).as[String, PanoRow]
   }
 
   /** Per-panorama SWEEP-LINE pair enumeration: the kernel alternative to
