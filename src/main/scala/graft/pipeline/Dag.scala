@@ -58,6 +58,16 @@ object Dag {
 
   /** Materialize the DAG; returns per-stage run reports in execution
     * order.
+    *
+    * Commit discipline (the IngestDeduper rule): a stage WRITES to
+    * `<name>.parquet.tmp` and atomically renames onto `<name>.parquet`
+    * once complete, and a stage is REUSED only when its `_SUCCESS`
+    * marker exists — a tick that crashes mid-write leaves either the
+    * tmp dir (swept on the next tick) or nothing, never a torn table
+    * that a later `refresh = false` tick would silently read as done.
+    * Refreshing an existing stage deletes the old table between the
+    * tmp write and the rename; a crash in that window costs a rebuild
+    * next tick, never a partial read.
     */
   def materialize(
       spark: SparkSession,
@@ -68,17 +78,27 @@ object Dag {
     fs.mkdirs()
     topoSort(stages).map { s =>
       val path = s"$workDir/${s.name}.parquet"
+      val tmp = s"$workDir/${s.name}.parquet.tmp"
       val t0 = System.nanoTime()
-      val exists = new java.io.File(path).exists()
-      val skipped = exists && !refresh
+      val committed = new java.io.File(path, "_SUCCESS").exists()
+      val skipped = committed && !refresh
       if (!skipped) {
+        rmTree(new java.io.File(tmp)) // stale tmp from a crashed tick
         val upstream = s.deps.map(d =>
           d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
-        s.build(spark, upstream).write.mode("overwrite").parquet(path)
+        s.build(spark, upstream).write.mode("overwrite").parquet(tmp)
+        rmTree(new java.io.File(path)) // old table (or a torn write)
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
       val rows = spark.read.parquet(path).count()
       StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped)
     }
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
   }
 
   /** The detections derivation alone, as a one-stage DAG — the input-
@@ -170,13 +190,10 @@ object DetectionsTable {
     */
   def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = synchronized {
     val dir = root(sfDir)
-    val p = s"$dir/detections.parquet"
-    // A dir without _SUCCESS is an uncommitted partial write — clear it
-    // so Dag.materialize's existence check can't reuse a torn table.
-    if (new java.io.File(p).exists() && !new java.io.File(p, "_SUCCESS").exists())
-      rmTree(new java.io.File(p))
+    // Torn writes are Dag.materialize's problem now: reuse is
+    // `_SUCCESS`-gated and writes commit via tmp + atomic rename.
     Dag.materialize(spark, Dag.detectionsDag(sfDir), dir, refresh = false)
-    p
+    s"$dir/detections.parquet"
   }
 
   /** Drop a materialization (spec hook; also the manual invalidation

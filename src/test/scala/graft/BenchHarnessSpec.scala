@@ -32,7 +32,7 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byName("zz_planted_pass").error.isEmpty)
     assert(byName("zz_planted_fail").error.isDefined,
       "a throwing query must not read as a pass")
-    val json = Bench.renderJson(runs, "/root/testdata/sf0.001")
+    val json = Bench.renderJson(runs, "/root/testdata/sf0.001", sweeps = 1)
     assert(json.contains(""""errors":{"""))
     assert(json.contains("zz_planted_fail") &&
       json.indexOf("zz_planted_fail", json.indexOf("\"errors\"")) > 0,
@@ -43,5 +43,16 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The line must stay a SINGLE parseable JSON object for the driver —
     // exception messages can carry quotes/newlines; quoting must hold.
     assert(!json.contains("\n"))
+  }
+
+  test("best-of-N merge takes per-query minima and never launders a flaky failure") {
+    def run(n: String, s: Double, e: Option[String]) = Bench.QueryRun(n, s, e)
+    val merged = Bench.mergeSweeps(Seq(
+      Seq(run("a", 5.0, None), run("b", 1.0, None), run("c", 2.0, Some("boom"))),
+      Seq(run("a", 1.5, None), run("b", 9.0, None), run("c", 0.5, None))))
+    assert(merged.map(r => r.name -> r.seconds) == Seq("a" -> 1.5, "b" -> 1.0, "c" -> 0.5))
+    assert(merged.find(_.name == "c").get.error.contains("boom"),
+      "a failure in any sweep must survive the merge")
+    assert(merged.filter(_.name != "c").forall(_.error.isEmpty))
   }
 }

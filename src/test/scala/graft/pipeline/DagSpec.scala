@@ -46,6 +46,29 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.map(_.rows) == runs.map(_.rows))
   }
 
+  test("a torn stage (no _SUCCESS) and stale tmp dirs are rebuilt, never reused") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dag-torn").toString
+    val stage = Seq(Dag.Stage("t", Nil, (sp, _) => {
+      import sp.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }))
+    // Plant a torn table (files but no _SUCCESS — a crash mid-write)
+    // and a stale tmp from the same crashed tick.
+    val torn = new java.io.File(s"$dir/t.parquet"); torn.mkdirs()
+    java.nio.file.Files.writeString(torn.toPath.resolve("part-junk.parquet"), "junk")
+    val staleTmp = new java.io.File(s"$dir/t.parquet.tmp"); staleTmp.mkdirs()
+    java.nio.file.Files.writeString(staleTmp.toPath.resolve("part-old.parquet"), "old")
+    // refresh=false must NOT reuse the torn dir — no _SUCCESS, no trust.
+    val runs = Dag.materialize(spark, stage, dir, refresh = false)
+    assert(!runs.head.skipped && runs.head.rows == 2)
+    assert(new java.io.File(s"$dir/t.parquet", "_SUCCESS").exists())
+    assert(!staleTmp.exists(), "stale tmp swept before the rebuild")
+    assert(spark.read.parquet(s"$dir/t.parquet").count() == 2)
+    // Now committed: the next tick reuses it.
+    assert(Dag.materialize(spark, stage, dir, refresh = false).head.skipped)
+  }
+
   test("detections input table: ensure materializes once, consumers read it bit-identically") {
     val sf = "/root/testdata/sf0.001"
     DetectionsTable.invalidate(sf)
