@@ -48,7 +48,13 @@ object Bench {
     sweeps.transpose.map { runs =>
       val name = runs.head.name
       require(runs.forall(_.name == name), s"sweep order diverged at $name")
-      QueryRun(name, runs.map(_.seconds).min, runs.flatMap(_.error).headOption)
+      // Minimum over ERROR-FREE runs when any exist: a fast
+      // time-to-failure (e.g. an analysis error at 0.2 s) must not
+      // replace a legitimate passing time in the total the driver
+      // compares across rounds. The error itself still reports.
+      val clean = runs.filter(_.error.isEmpty)
+      val basis = if (clean.nonEmpty) clean else runs
+      QueryRun(name, basis.map(_.seconds).min, runs.flatMap(_.error).headOption)
     }
 
   /** The driver-contract JSON line, plus an `errors` object (empty on a
@@ -63,7 +69,7 @@ object Bench {
       Jsons.quote(n) + ":" + Jsons.quote(m)
     }.mkString("{", ",", "}")
     val total = results.map(_.seconds).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -11,15 +11,17 @@ package graft
   */
 object RunDag {
   def main(args: Array[String]): Unit = {
-    val (dagName, rest) = args.headOption match {
-      case Some(n @ ("street" | "curation")) => (n, args.drop(1))
-      case _ => ("street", args)
+    // Flags and positionals partition FIRST — a positional after a flag
+    // must not silently fall back to a default.
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    flags.foreach(f => require(f == "--no-refresh", s"unknown flag $f"))
+    val (dagName, rest) = positional.headOption match {
+      case Some(n @ ("street" | "curation")) => (n, positional.drop(1))
+      case _ => ("street", positional)
     }
-    val sfDir = rest.headOption.filterNot(_.startsWith("--"))
-      .getOrElse("/root/testdata/sf0.001")
-    val workDir = rest.drop(1).headOption.filterNot(_.startsWith("--"))
-      .getOrElse(s"/tmp/graft_dag_$dagName")
-    val refresh = !args.contains("--no-refresh")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+    val workDir = rest.drop(1).headOption.getOrElse(s"/tmp/graft_dag_$dagName")
+    val refresh = !flags.contains("--no-refresh")
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val stages = dagName match {

@@ -56,18 +56,33 @@ object Dag {
     done.toSeq.map(byName)
   }
 
+  /** Our own stage-commit marker, independent of the Hadoop committer's
+    * `_SUCCESS` convention (`marksuccessfuljobs=false` disables that one
+    * — the same rule IngestDeduper's segments follow). `_SUCCESS` is
+    * still ACCEPTED on read as a legacy commit (dirs written before the
+    * marker existed), so an upgrade never silently discards a committed
+    * stage; every new commit carries the marker.
+    */
+  val CommitMarker = "_graft_commit"
+
+  private[pipeline] def isCommitted(dir: java.io.File): Boolean =
+    new java.io.File(dir, CommitMarker).exists() ||
+      new java.io.File(dir, "_SUCCESS").exists()
+
   /** Materialize the DAG; returns per-stage run reports in execution
     * order.
     *
-    * Commit discipline (the IngestDeduper rule): a stage WRITES to
-    * `<name>.parquet.tmp` and atomically renames onto `<name>.parquet`
-    * once complete, and a stage is REUSED only when its `_SUCCESS`
-    * marker exists — a tick that crashes mid-write leaves either the
-    * tmp dir (swept on the next tick) or nothing, never a torn table
-    * that a later `refresh = false` tick would silently read as done.
-    * Refreshing an existing stage deletes the old table between the
-    * tmp write and the rename; a crash in that window costs a rebuild
-    * next tick, never a partial read.
+    * Commit discipline (the IngestDeduper rule): a stage WRITES to a
+    * process-unique `<name>.parquet.tmp-*` dir, stamps [[CommitMarker]],
+    * and atomically renames onto `<name>.parquet`; a stage is REUSED
+    * only when a commit marker exists — a tick that crashes mid-write
+    * leaves the tmp dir (swept on the next tick) or an uncommitted
+    * target, never a torn table that a later `refresh = false` tick
+    * would silently read as done. Refreshing an existing stage drops
+    * its markers BEFORE its data (Fs.uncommitThenDelete) so a crash
+    * mid-delete also reads as uncommitted. Two processes racing the
+    * same stage resolve at the atomic rename: the loser detects a
+    * committed winner and reuses it.
     */
   def materialize(
       spark: SparkSession,
@@ -78,27 +93,36 @@ object Dag {
     fs.mkdirs()
     topoSort(stages).map { s =>
       val path = s"$workDir/${s.name}.parquet"
-      val tmp = s"$workDir/${s.name}.parquet.tmp"
       val t0 = System.nanoTime()
-      val committed = new java.io.File(path, "_SUCCESS").exists()
-      val skipped = committed && !refresh
+      val skipped = isCommitted(new java.io.File(path)) && !refresh
       if (!skipped) {
-        rmTree(new java.io.File(tmp)) // stale tmp from a crashed tick
+        // Sweep stale tmp dirs of THIS stage (crashed ticks); a
+        // process-unique suffix keeps concurrent writers off each
+        // other's tmp (they race only at the atomic rename below).
+        Option(fs.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(s"${s.name}.parquet.tmp-"))
+          .foreach(graft.Fs.rmTree)
+        val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
         val upstream = s.deps.map(d =>
           d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
         s.build(spark, upstream).write.mode("overwrite").parquet(tmp)
-        rmTree(new java.io.File(path)) // old table (or a torn write)
-        java.nio.file.Files.move(
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
+        graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
+        try java.nio.file.Files.move(
           java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: java.nio.file.FileSystemException =>
+          // Target reappeared: a concurrent materializer committed
+          // between our delete and rename. If ITS table is committed,
+          // reuse it (identical build inputs ⇒ identical content) and
+          // drop ours; anything else is a real failure.
+          if (isCommitted(new java.io.File(path))) graft.Fs.rmTree(new java.io.File(tmp))
+          else throw e
+        }
       }
       val rows = spark.read.parquet(path).count()
       StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped)
     }
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
   }
 
   /** The detections derivation alone, as a one-stage DAG — the input-
@@ -158,16 +182,20 @@ object Dag {
   * scheduled job wrote, and queries scan it like any other input.
   *
   * Staleness is structural, not temporal: the materialization path
-  * embeds a fingerprint of the source lineitem files (name, length,
-  * mtime), so regenerated testdata can never be read through a stale
-  * detections table — the fingerprint changes and [[ensure]] re-derives.
+  * embeds a fingerprint of BOTH the source lineitem files (name, length,
+  * mtime) and the derivation definition (the [[Synthetic.detectionsSql]]
+  * mirror text, which moves in lockstep with the Scala derivation), so
+  * neither regenerated testdata nor an edited derivation can ever be
+  * read through a stale table — the path changes and [[ensure]]
+  * re-derives.
   */
 object DetectionsTable {
 
   private def fingerprint(sfDir: String): String = {
     val files = Option(new java.io.File(s"$sfDir/lineitem.parquet").listFiles())
       .getOrElse(Array.empty).sortBy(_.getName)
-    val h = files.foldLeft(1125899906842597L) { (acc, f) =>
+    val h0 = Synthetic.detectionsSql.foldLeft(1125899906842597L)((a, c) => a * 31 + c)
+    val h = files.foldLeft(h0) { (acc, f) =>
       val s = s"${f.getName}:${f.length}:${f.lastModified}"
       s.foldLeft(acc)((a, c) => a * 31 + c)
     }
@@ -177,12 +205,12 @@ object DetectionsTable {
   private def root(sfDir: String): String =
     s"/tmp/graft_dag/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_${fingerprint(sfDir)}"
 
-  /** The committed materialization, if one exists (the parquet
-    * committer's `_SUCCESS` gate — a partial write never reads back).
+  /** The committed materialization, if one exists (Dag's commit-marker
+    * gate — a partial write never reads back).
     */
   def materializedPath(sfDir: String): Option[String] = {
     val p = s"${root(sfDir)}/detections.parquet"
-    if (new java.io.File(p, "_SUCCESS").exists()) Some(p) else None
+    if (Dag.isCommitted(new java.io.File(p))) Some(p) else None
   }
 
   /** Materialize (or reuse) the detections table for `sfDir`; returns the
@@ -197,13 +225,13 @@ object DetectionsTable {
   }
 
   /** Drop a materialization (spec hook; also the manual invalidation
-    * path).
+    * path). Markers go first: a crash mid-delete must leave an
+    * UNcommitted dir, never a torn one that still gates as a table.
     */
   def invalidate(sfDir: String): Unit = synchronized {
-    rmTree(new java.io.File(root(sfDir)))
-  }
-
-  private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
+    graft.Fs.uncommitThenDelete(
+      new java.io.File(s"${root(sfDir)}/detections.parquet"),
+      Seq(Dag.CommitMarker, "_SUCCESS"))
+    graft.Fs.rmTree(new java.io.File(root(sfDir)))
   }
 }

@@ -143,12 +143,21 @@ final class IngestDeduper(
         case TmpSeg(_) if f.isDirectory => rmTree(f)
         case _ => ()
       }
-      // A segment counts as committed only when it carries OUR marker
+      // A segment counts as committed when it carries OUR marker
       // (written just before the rename): relying on the committer's
-      // `_SUCCESS` would silently drop ALL accepted state on restart
-      // under `mapreduce.fileoutputcommitter.marksuccessfuljobs=false` —
-      // a silent re-accept instead of a loud failure.
-      if (f.isDirectory && new java.io.File(f, CommitMarker).exists()) f.getName match {
+      // `_SUCCESS` alone would silently drop ALL accepted state on
+      // restart under `marksuccessfuljobs=false` — a silent re-accept
+      // instead of a loud failure. A `_SUCCESS`-only dir matching our
+      // name pattern is a LEGACY commit (written before the marker
+      // existed — the old code both required and produced `_SUCCESS`),
+      // accepted once and stamped so the upgrade path never discards
+      // committed state either.
+      val hasMarker = f.isDirectory && new java.io.File(f, CommitMarker).exists()
+      val legacy = f.isDirectory && !hasMarker && new java.io.File(f, "_SUCCESS").exists()
+      if (legacy && (BatchSeg.matches(f.getName) || BaseSeg.matches(f.getName)))
+        try java.nio.file.Files.createFile(f.toPath.resolve(CommitMarker))
+        catch { case _: java.io.IOException => () } // best-effort stamp
+      if (hasMarker || legacy) f.getName match {
         case BatchSeg(id, seq) =>
           val (i, s) = (id.toLong, seq.toLong)
           commitSeq = math.max(commitSeq, s + 1)
@@ -241,9 +250,7 @@ final class IngestDeduper(
   private[streaming] def retainedBatchCount: Int =
     synchronized(batchDirs.size + baseDirs.size)
 
-  private def rmTree(f: java.io.File): Unit = {
-    val kids = f.listFiles(); if (kids != null) kids.foreach(rmTree); f.delete(): Unit
-  }
+  private def rmTree(f: java.io.File): Unit = graft.Fs.rmTree(f)
 
   /** The segment-maintenance job the class notes promise: fold every
     * committed segment into ONE base segment, so the per-batch

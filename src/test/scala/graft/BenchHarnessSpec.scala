@@ -48,11 +48,17 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("best-of-N merge takes per-query minima and never launders a flaky failure") {
     def run(n: String, s: Double, e: Option[String]) = Bench.QueryRun(n, s, e)
     val merged = Bench.mergeSweeps(Seq(
-      Seq(run("a", 5.0, None), run("b", 1.0, None), run("c", 2.0, Some("boom"))),
-      Seq(run("a", 1.5, None), run("b", 9.0, None), run("c", 0.5, None))))
-    assert(merged.map(r => r.name -> r.seconds) == Seq("a" -> 1.5, "b" -> 1.0, "c" -> 0.5))
+      Seq(run("a", 5.0, None), run("b", 1.0, None),
+        run("c", 0.2, Some("boom")), run("d", 0.3, Some("dead"))),
+      Seq(run("a", 1.5, None), run("b", 9.0, None),
+        run("c", 3.0, None), run("d", 0.4, Some("dead")))))
+    assert(merged.map(r => r.name -> r.seconds) ==
+      Seq("a" -> 1.5, "b" -> 1.0, "c" -> 3.0, "d" -> 0.3))
+    // c: the fast time-to-FAILURE (0.2 s) must not beat the real passing
+    // time; d: failed everywhere, so time-to-failure is all there is.
     assert(merged.find(_.name == "c").get.error.contains("boom"),
       "a failure in any sweep must survive the merge")
-    assert(merged.filter(_.name != "c").forall(_.error.isEmpty))
+    assert(merged.find(_.name == "d").get.error.contains("dead"))
+    assert(merged.filterNot(r => r.name == "c" || r.name == "d").forall(_.error.isEmpty))
   }
 }

@@ -53,16 +53,16 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
       import sp.implicits._
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     }))
-    // Plant a torn table (files but no _SUCCESS — a crash mid-write)
-    // and a stale tmp from the same crashed tick.
+    // Plant a torn table (files but no commit marker — a crash
+    // mid-write) and a stale tmp from the same crashed tick.
     val torn = new java.io.File(s"$dir/t.parquet"); torn.mkdirs()
     java.nio.file.Files.writeString(torn.toPath.resolve("part-junk.parquet"), "junk")
-    val staleTmp = new java.io.File(s"$dir/t.parquet.tmp"); staleTmp.mkdirs()
+    val staleTmp = new java.io.File(s"$dir/t.parquet.tmp-12345-67890"); staleTmp.mkdirs()
     java.nio.file.Files.writeString(staleTmp.toPath.resolve("part-old.parquet"), "old")
-    // refresh=false must NOT reuse the torn dir — no _SUCCESS, no trust.
+    // refresh=false must NOT reuse the torn dir — no marker, no trust.
     val runs = Dag.materialize(spark, stage, dir, refresh = false)
     assert(!runs.head.skipped && runs.head.rows == 2)
-    assert(new java.io.File(s"$dir/t.parquet", "_SUCCESS").exists())
+    assert(new java.io.File(s"$dir/t.parquet", Dag.CommitMarker).exists())
     assert(!staleTmp.exists(), "stale tmp swept before the rebuild")
     assert(spark.read.parquet(s"$dir/t.parquet").count() == 2)
     // Now committed: the next tick reuses it.
@@ -91,11 +91,14 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     val live = Synthetic.detections(spark, sf)
     assert(cached.exceptAll(live).count() == 0 && live.exceptAll(cached).count() == 0)
     SessionCache.release(spark, s"detections:$sf")
-    // A torn materialization (no _SUCCESS) is cleared and rebuilt.
+    // A torn materialization (neither commit marker) is cleared and
+    // rebuilt — Dag stamps its own marker AND the committer's _SUCCESS
+    // is accepted, so both must go to simulate the crash window.
     success.delete()
+    new java.io.File(p, Dag.CommitMarker).delete()
     assert(DetectionsTable.materializedPath(sf).isEmpty, "no commit marker ⇒ not a table")
     val p2 = DetectionsTable.ensure(spark, sf)
-    assert(new java.io.File(p2, "_SUCCESS").exists())
+    assert(new java.io.File(p2, Dag.CommitMarker).exists())
     DetectionsTable.invalidate(sf)
   }
 }

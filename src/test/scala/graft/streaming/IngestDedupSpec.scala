@@ -151,7 +151,7 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("rehydration sweeps orphaned tmp dirs and ignores marker-less segments") {
+  test("rehydration sweeps orphan tmps, ignores uncommitted dirs, stamps legacy segments") {
     val ss = spark; import ss.implicits._
     val statePath = java.nio.file.Files.createTempDirectory("ingest-orphan").toString
     val d1 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
@@ -163,18 +163,25 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val orphan = new java.io.File(statePath, "t9.tmp")
     orphan.mkdirs()
     java.nio.file.Files.writeString(orphan.toPath.resolve("part-0.parquet"), "junk")
-    // A dir with _SUCCESS but WITHOUT our marker must not rehydrate as a
-    // segment (the committer's _SUCCESS convention can be disabled — only
-    // our own marker proves a completed commit).
-    val foreign = new java.io.File(statePath, "b5_50")
-    foreign.mkdirs()
-    java.nio.file.Files.writeString(foreign.toPath.resolve("_SUCCESS"), "")
+    // A pattern-matching dir with NEITHER marker nor _SUCCESS is an
+    // uncommitted write — never rehydrated.
+    val torn = new java.io.File(statePath, "b6_60")
+    torn.mkdirs()
+    java.nio.file.Files.writeString(torn.toPath.resolve("part-0.parquet"), "junk")
+    // A _SUCCESS-only dir matching our pattern is a LEGACY commit (the
+    // pre-marker code produced exactly this): accepted once, stamped.
+    val legacy = new java.io.File(statePath, "b5_50")
+    legacy.mkdirs()
+    java.nio.file.Files.writeString(legacy.toPath.resolve("_SUCCESS"), "")
     val d2 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
       statePath = Some(statePath))
     try {
       assert(!orphan.exists(), "orphaned tmp dirs are swept on rehydration")
-      assert(d2.retainedBatchCount == 1, "marker-less dirs never count as committed state")
-      // The real segment still rejects its digest after the sweep.
+      assert(d2.retainedBatchCount == 2, "real + legacy rehydrate; uncommitted ignored")
+      assert(new java.io.File(legacy, "_graft_commit").exists(),
+        "legacy segment stamped with our marker")
+      // The real segment still rejects its digest after the sweep, and
+      // the empty legacy segment contributes nothing.
       assert(d2(Seq((2L, "X"), (3L, "Q")).toDF("doc_id", "digest"), 1L)
         .collect().map(_.getString(1)).toSeq == Seq("Q"))
     } finally {
