@@ -12,8 +12,40 @@ import org.apache.spark.sql.types.LongType
   * pure `(SparkSession, sfDir) => DataFrame` functions.
   */
 object Tables {
+
+  /** Analyzed-plan memo per (session, path) — the CATALOG role. Every
+    * `spark.read.parquet` call re-infers the schema from file footers
+    * (~60–100 ms per call, measured at sf0.1); a 97-query sweep makes
+    * hundreds of such calls, so the un-memoized reads alone contributed
+    * ~10 s of pure per-query floor. A registered catalog table resolves
+    * its schema once — this memo is that, for path-addressed tables.
+    * DataFrames are immutable lazy plans, so sharing one instance across
+    * queries is safe; entries evict when the owning context ends. The
+    * files under a memoized path are assumed append-only-stable for the
+    * session's life (true for the harness testdata; a mutating layout
+    * would register a real catalog table instead).
+    */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val hooked =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession])
+
+  private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (hooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          memo.filterInPlace((k, _) => k._1 != spark)
+          hooked.remove(spark): Unit
+        }
+      })
+    }
+    memo.getOrElseUpdate((spark, key), build)
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cached(spark, s"$sfDir/$name.parquet")(
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
@@ -29,7 +61,7 @@ object Tables {
     * a proper TimestampType (microsecond truncation, exact here — the
     * generator emits whole microseconds).
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = cached(s, s"$d/events.parquet#ts") {
     val raw = table(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -51,8 +83,10 @@ object Tables {
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+  // fanOut's partition-count check costs another ~40 ms per call
+  // (rdd lineage construction) — memoized with the read.
   def documents(s: SparkSession, d: String): DataFrame =
-    fanOut(table(s, d, "documents"), s)
+    cached(s, s"$d/documents.parquet#fanout")(fanOut(table(s, d, "documents"), s))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    fanOut(table(s, d, "embeddings"), s)
+    cached(s, s"$d/embeddings.parquet#fanout")(fanOut(table(s, d, "embeddings"), s))
 }
