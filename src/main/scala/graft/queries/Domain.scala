@@ -57,6 +57,17 @@ object Domain {
     }
   }
 
+  /** The best-per-group ray relation q82 declares and q86 re-casts into
+    * the mesh: identical arguments, so the 600k-row best-per-group
+    * window, the pose join, the vertex explode, and the ray UDF run
+    * ONCE per (session, sfDir) — the same materialized-intermediate
+    * pattern as `grouped`. Released with q86 (its last consumer).
+    */
+  private def bestRays(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"bestRays:$dir") {
+      StreetLevel.vertexRays(grouped(spark, dir), Synthetic.poses(spark, dir), spacing = 2)
+    }
+
   /** The per-panorama grouping both kernels ride: one hash partition by
     * file_name, no replication. Relational groupBy(col).as[K, V], not
     * typed groupByKey(_.file_name) — the typed form's key lambda
@@ -249,7 +260,7 @@ object Domain {
     // ── A4+J1+M10+U2: best-per-group → broadcast pose join → stride
     // subsample → pixel-to-3D ray. Rows-only (libm trig drift).
     QueryDef("q82_best_rays", None)( (spark, dir) =>
-      StreetLevel.vertexRays(grouped(spark, dir), Synthetic.poses(spark, dir), spacing = 2)
+      bestRays(spark, dir)
         .select(col("file_name"), col("group_idx"), col("v_idx"),
           round(col("rx"), 6).as("rx"), round(col("ry"), 6).as("ry"),
           round(col("rz"), 6).as("rz"))
@@ -273,10 +284,9 @@ object Domain {
     // pose join → rays → intersect with the synthetic building mesh.
     // Rows-only (BVH + trig); TriMeshSpec pins the kernel against
     // brute-force all-triangle intersection.
-    QueryDef("q86_mesh_intersect", None, releases = Seq("grouped"))( (spark, dir) => {
+    QueryDef("q86_mesh_intersect", None, releases = Seq("grouped", "bestRays"))( (spark, dir) => {
       // vertexRays carries ox/oy/oz through, so no second pose join here.
-      val rays = StreetLevel.vertexRays(grouped(spark, dir), Synthetic.poses(spark, dir), spacing = 2)
-      RayMesh.firstHits(rays, RayMesh.syntheticBuilding())
+      RayMesh.firstHits(bestRays(spark, dir), RayMesh.syntheticBuilding())
         .groupBy(col("file_name"))
         .agg(count(lit(1)).as("n_rays"),
           count(col("hit_x")).as("n_hits"),
