@@ -259,7 +259,11 @@ object Domain {
 
     // ── A4+J1+M10+U2: best-per-group → broadcast pose join → stride
     // subsample → pixel-to-3D ray. Rows-only (libm trig drift).
-    QueryDef("q82_best_rays", None)( (spark, dir) =>
+    // releases "grouped": with the shared bestRays relation aboard, the
+    // ray build here is grouped's LAST consumer in sweep order (q86 now
+    // reads only bestRays) — holding the 600k-row kernel output across
+    // q83/q84/q85 would be storage for no reader.
+    QueryDef("q82_best_rays", None, releases = Seq("grouped"))( (spark, dir) =>
       bestRays(spark, dir)
         .select(col("file_name"), col("group_idx"), col("v_idx"),
           round(col("rx"), 6).as("rx"), round(col("ry"), 6).as("ry"),
@@ -284,7 +288,7 @@ object Domain {
     // pose join → rays → intersect with the synthetic building mesh.
     // Rows-only (BVH + trig); TriMeshSpec pins the kernel against
     // brute-force all-triangle intersection.
-    QueryDef("q86_mesh_intersect", None, releases = Seq("grouped", "bestRays"))( (spark, dir) => {
+    QueryDef("q86_mesh_intersect", None, releases = Seq("bestRays"))( (spark, dir) => {
       // vertexRays carries ox/oy/oz through, so no second pose join here.
       RayMesh.firstHits(bestRays(spark, dir), RayMesh.syntheticBuilding())
         .groupBy(col("file_name"))

@@ -26,22 +26,37 @@ object Tables {
     * would register a real catalog table instead).
     */
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private val hooked =
-    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession])
+    scala.collection.mutable.Set.empty[SparkSession]
 
-  private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    if (hooked.add(spark)) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          memo.filterInPlace((k, _) => k._1 != spark)
-          hooked.remove(spark): Unit
+  /** Deliberately NOT SessionCache: that machinery exists for builds
+    * that run whole Spark JOBS and therefore needs per-entry build
+    * locks + explicit release points; these builds are driver-side plan
+    * construction (~100 ms worst case), so ONE lock covering
+    * lookup+hook+insert+evict is simpler and closes the insert-after-
+    * evict race a lock-free map would have (an entry inserted after
+    * onApplicationEnd's sweep would pin the stopped session forever).
+    * A stopped context is never memoized — the listener that would
+    * evict it can no longer fire.
+    */
+  private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      if (spark.sparkContext.isStopped) build
+      else {
+        if (hooked.add(spark)) {
+          spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              Tables.synchronized {
+                memo.filterInPlace((k, _) => k._1 != spark)
+                hooked.remove(spark): Unit
+              }
+          })
         }
-      })
+        memo.getOrElseUpdate((spark, key), build)
+      }
     }
-    memo.getOrElseUpdate((spark, key), build)
-  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cached(spark, s"$sfDir/$name.parquet")(

@@ -208,8 +208,17 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // session times out and flushes.
     mem.addData(Ev(Timestamp.valueOf("2024-03-01 00:00:00"), 99, "flush", 0.0))
     q2.processAllAvailable()
-    q2.stop()
     import scala.jdk.CollectionConverters._
+    // When a non-default provider was requested, prove it actually ran
+    // — otherwise conf-key drift would silently degrade this test to a
+    // duplicate of the default-provider scenario.
+    providerConf.foreach { p =>
+      val metrics = q2.lastProgress.stateOperators.toSeq
+        .flatMap(_.customMetrics.keySet.asScala)
+      assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+        s"expected RocksDB state-store metrics for provider $p, saw: $metrics")
+    }
+    q2.stop()
     val got = buf2.iterator().asScala.filter(_._1 == 1L).toSet
     assert(got == Set((1L, ts(0, 10), 3L, 7.0)),
       s"one session starting pre-restart, spanning all three events; got $got")
