@@ -202,8 +202,11 @@ object DetectionsTable {
     java.lang.Long.toHexString(h)
   }
 
+  private def sanitize(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
   private def root(sfDir: String): String =
-    s"/tmp/graft_dag/${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_${fingerprint(sfDir)}"
+    s"/tmp/graft_dag/${sanitize(sfDir)}_${fingerprint(sfDir)}"
 
   /** The committed materialization, if one exists (Dag's commit-marker
     * gate — a partial write never reads back).
@@ -218,8 +221,21 @@ object DetectionsTable {
     */
   def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = synchronized {
     val dir = root(sfDir)
-    // Torn writes are Dag.materialize's problem now: reuse is
-    // `_SUCCESS`-gated and writes commit via tmp + atomic rename.
+    // Same-sfDir siblings under a DIFFERENT fingerprint are stale
+    // materializations (regenerated testdata, edited derivation) that
+    // nothing will ever read again — sweep them so /tmp doesn't grow
+    // one dead table per regeneration.
+    val prefix = s"${sanitize(sfDir)}_"
+    Option(new java.io.File("/tmp/graft_dag").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix)
+        && f.getName != new java.io.File(dir).getName)
+      .foreach { f =>
+        graft.Fs.uncommitThenDelete(
+          new java.io.File(f, "detections.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
+        graft.Fs.rmTree(f)
+      }
+    // Torn writes are Dag.materialize's problem: reuse is marker-gated
+    // and writes commit via tmp + atomic rename.
     Dag.materialize(spark, Dag.detectionsDag(sfDir), dir, refresh = false)
     s"$dir/detections.parquet"
   }

@@ -99,6 +99,15 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(DetectionsTable.materializedPath(sf).isEmpty, "no commit marker ⇒ not a table")
     val p2 = DetectionsTable.ensure(spark, sf)
     assert(new java.io.File(p2, Dag.CommitMarker).exists())
+    // A stale sibling materialization (different fingerprint — e.g.
+    // regenerated testdata) is swept by the next ensure.
+    val stale = new java.io.File(
+      new java.io.File(p2).getParentFile.getParentFile,
+      "_root_testdata_sf0.001_deadbeef/detections.parquet")
+    stale.mkdirs()
+    java.nio.file.Files.writeString(stale.toPath.resolve("part-0.parquet"), "old")
+    DetectionsTable.ensure(spark, sf)
+    assert(!stale.getParentFile.exists(), "stale fingerprint dirs are swept")
     DetectionsTable.invalidate(sf)
   }
 }
