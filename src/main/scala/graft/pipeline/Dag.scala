@@ -69,16 +69,47 @@ object Dag {
     new java.io.File(dir, CommitMarker).exists() ||
       new java.io.File(dir, "_SUCCESS").exists()
 
+  /** Name of the per-stage stamp file: line 1 is the stage's own commit
+    * stamp (process id + nanos — unique per commit), the rest are
+    * `dep=stamp` lines recording the upstream commits this table was
+    * BUILT FROM. Reuse requires the recorded upstream stamps to equal
+    * the upstreams' CURRENT stamps, so rebuilding any upstream
+    * invalidates everything downstream transitively — without the
+    * chain, a `refresh = false` tick after an upstream rebuild would
+    * silently serve downstream tables derived from the OLD upstream.
+    */
+  private val StampFile = "_graft_stamp"
+
+  private def readStamp(dir: java.io.File): Option[(String, Map[String, String])] = {
+    val f = new java.io.File(dir, StampFile)
+    if (!f.isFile) None
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      if (lines.isEmpty) None
+      else Some((lines.get(0),
+        lines.asScala.drop(1).map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap))
+    }
+  }
+
+  private implicit class JListOps(val l: java.util.List[String]) extends AnyVal {
+    def asScala: Seq[String] = { val b = Seq.newBuilder[String]; l.forEach(b += _); b.result() }
+  }
+
   /** Materialize the DAG; returns per-stage run reports in execution
     * order.
     *
     * Commit discipline (the IngestDeduper rule): a stage WRITES to a
-    * process-unique `<name>.parquet.tmp-*` dir, stamps [[CommitMarker]],
-    * and atomically renames onto `<name>.parquet`; a stage is REUSED
-    * only when a commit marker exists — a tick that crashes mid-write
-    * leaves the tmp dir (swept on the next tick) or an uncommitted
-    * target, never a torn table that a later `refresh = false` tick
-    * would silently read as done. Refreshing an existing stage drops
+    * process-unique `<name>.parquet.tmp-*` dir, stamps [[CommitMarker]]
+    * and its stamp chain, and atomically renames onto `<name>.parquet`;
+    * a stage is REUSED only when a commit marker exists AND its
+    * recorded upstream stamps match the upstreams' current stamps (see
+    * [[StampFile]]) — a tick that crashes mid-write leaves the tmp dir
+    * (swept on the next tick) or an uncommitted target, never a torn
+    * table that a later `refresh = false` tick would silently read as
+    * done, and an upstream rebuild cascades downstream instead of
+    * leaving stale derived tables. Refreshing an existing stage drops
     * its markers BEFORE its data (Fs.uncommitThenDelete) so a crash
     * mid-delete also reads as uncommitted. Two processes racing the
     * same stage resolve at the atomic rename: the loser detects a
@@ -91,10 +122,18 @@ object Dag {
       refresh: Boolean = true): Seq[StageRun] = {
     val fs = new java.io.File(workDir)
     fs.mkdirs()
+    val stamps = scala.collection.mutable.Map.empty[String, String]
     topoSort(stages).map { s =>
       val path = s"$workDir/${s.name}.parquet"
       val t0 = System.nanoTime()
-      val skipped = isCommitted(new java.io.File(path)) && !refresh
+      val upstreamNow = s.deps.map(d => d -> stamps(d)).toMap
+      val recorded = readStamp(new java.io.File(path))
+      // Legacy dirs (committed before stamps existed) have no stamp
+      // chain: reusable only as ROOTS (no upstreams to be stale
+      // against) — a dependent stage without provenance rebuilds once.
+      val chainFresh = recorded.exists(_._2 == upstreamNow) ||
+        (recorded.isEmpty && s.deps.isEmpty)
+      val skipped = isCommitted(new java.io.File(path)) && chainFresh && !refresh
       if (!skipped) {
         // Sweep stale tmp dirs of THIS stage (crashed ticks); a
         // process-unique suffix keeps concurrent writers off each
@@ -106,6 +145,10 @@ object Dag {
         val upstream = s.deps.map(d =>
           d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
         s.build(spark, upstream).write.mode("overwrite").parquet(tmp)
+        val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
+        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
+          (own +: upstreamNow.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
         graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
         try java.nio.file.Files.move(
@@ -120,6 +163,10 @@ object Dag {
           else throw e
         }
       }
+      // The stage's CURRENT stamp for downstream chain checks: what the
+      // committed dir records (ours after a rebuild, the winner's after
+      // a lost race, the legacy-root sentinel otherwise).
+      stamps(s.name) = readStamp(new java.io.File(path)).map(_._1).getOrElse("legacy")
       val rows = spark.read.parquet(path).count()
       StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped)
     }

@@ -46,6 +46,30 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.map(_.rows) == runs.map(_.rows))
   }
 
+  test("an upstream rebuild cascades downstream under refresh=false (stamp chain)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dag-chain").toString
+    val stages = Seq(
+      Dag.Stage("a", Nil, (sp, _) => { import sp.implicits._; Seq(1L, 2L).toDF("id") }),
+      Dag.Stage("b", Seq("a"), (_, up) => up("a").selectExpr("id * 10 AS id")),
+      Dag.Stage("c", Seq("b"), (_, up) => up("b").selectExpr("id + 1 AS id")))
+    assert(Dag.materialize(spark, stages, dir).forall(!_.skipped))
+    // Quiet tick: everything reuses.
+    assert(Dag.materialize(spark, stages, dir, refresh = false).forall(_.skipped))
+    // Upstream a is invalidated (deleted): the refresh=false tick must
+    // rebuild a AND cascade to b and c — their persisted tables were
+    // built from the old a, and reusing them would serve stale data.
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$dir/a.parquet"))
+    val tick = Dag.materialize(spark, stages, dir, refresh = false)
+    assert(tick.forall(!_.skipped), s"expected full cascade, got $tick")
+    // And the system quiesces again.
+    assert(Dag.materialize(spark, stages, dir, refresh = false).forall(_.skipped))
+    rm(new java.io.File(dir))
+  }
+
   test("a torn stage (no _SUCCESS) and stale tmp dirs are rebuilt, never reused") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dag-torn").toString
