@@ -81,20 +81,17 @@ object Dag {
   private val StampFile = "_graft_stamp"
 
   private def readStamp(dir: java.io.File): Option[(String, Map[String, String])] = {
+    import scala.jdk.CollectionConverters._
     val f = new java.io.File(dir, StampFile)
     if (!f.isFile) None
     else {
-      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      val lines = java.nio.file.Files.readAllLines(f.toPath).asScala
       if (lines.isEmpty) None
-      else Some((lines.get(0),
-        lines.asScala.drop(1).map(_.split("=", 2)).collect {
+      else Some((lines.head,
+        lines.drop(1).map(_.split("=", 2)).collect {
           case Array(k, v) => k -> v
         }.toMap))
     }
-  }
-
-  private implicit class JListOps(val l: java.util.List[String]) extends AnyVal {
-    def asScala: Seq[String] = { val b = Seq.newBuilder[String]; l.forEach(b += _); b.result() }
   }
 
   /** Materialize the DAG; returns per-stage run reports in execution
