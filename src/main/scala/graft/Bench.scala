@@ -114,7 +114,9 @@ object Bench {
     // must degrade to the in-query derivation, not kill the sweep
     // before a single query has run.
     try graft.pipeline.DetectionsTable.ensure(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal: an OOM'd JVM must die loudly, not continue into a
+      // sweep that would manufacture garbage numbers.
       System.err.println(s"[bench] detections table unavailable, deriving in-query: $e")
     }
     // Best-of-N sweeps (default 2): single-sweep numbers manufactured

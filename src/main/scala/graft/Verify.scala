@@ -17,7 +17,9 @@ object Verify {
     // degrades to the in-query derivation (value-identical), never to a
     // dead sweep.
     try graft.pipeline.DetectionsTable.ensure(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal: a fatal VM error must abort the dump, not produce a
+      // partial sweep the driver would compare as if complete.
       System.err.println(s"[verify] detections table unavailable, deriving in-query: $e")
     }
     // Optional trailing args restrict the dump to named queries — the

@@ -266,13 +266,22 @@ object DetectionsTable {
   def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = synchronized {
     val dir = root(sfDir)
     // Same-sfDir siblings under a DIFFERENT fingerprint are stale
-    // materializations (regenerated testdata, edited derivation) that
-    // nothing will ever read again — sweep them so /tmp doesn't grow
-    // one dead table per regeneration.
+    // materializations (regenerated testdata, edited derivation) —
+    // sweep them so /tmp doesn't grow one dead table per regeneration.
+    // Two guards keep the sweep from eating LIVE tables: the remainder
+    // after the prefix must be a bare hex fingerprint (sanitize maps
+    // '-'/' '/'/' all to '_', so "…sf0.1_v2_<fp>" of a DIFFERENT corpus
+    // also starts with "…sf0.1_"), and only dirs quiet for over an hour
+    // go — another still-running process may hold scans of a
+    // just-superseded fingerprint (this lock is JVM-local only).
     val prefix = s"${sanitize(sfDir)}_"
+    val hex = "^[0-9a-f]+$".r
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
     Option(new java.io.File("/tmp/graft_dag").listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix)
-        && f.getName != new java.io.File(dir).getName)
+        && hex.matches(f.getName.stripPrefix(prefix))
+        && f.getName != new java.io.File(dir).getName
+        && f.lastModified() < cutoff)
       .foreach { f =>
         graft.Fs.uncommitThenDelete(
           new java.io.File(f, "detections.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))

@@ -59,15 +59,12 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     // Upstream a is invalidated (deleted): the refresh=false tick must
     // rebuild a AND cascade to b and c — their persisted tables were
     // built from the old a, and reusing them would serve stale data.
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-    }
-    rm(new java.io.File(s"$dir/a.parquet"))
+    graft.Fs.rmTree(new java.io.File(s"$dir/a.parquet"))
     val tick = Dag.materialize(spark, stages, dir, refresh = false)
     assert(tick.forall(!_.skipped), s"expected full cascade, got $tick")
     // And the system quiesces again.
     assert(Dag.materialize(spark, stages, dir, refresh = false).forall(_.skipped))
-    rm(new java.io.File(dir))
+    graft.Fs.rmTree(new java.io.File(dir))
   }
 
   test("a torn stage (no _SUCCESS) and stale tmp dirs are rebuilt, never reused") {
@@ -124,14 +121,25 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = DetectionsTable.ensure(spark, sf)
     assert(new java.io.File(p2, Dag.CommitMarker).exists())
     // A stale sibling materialization (different fingerprint — e.g.
-    // regenerated testdata) is swept by the next ensure.
-    val stale = new java.io.File(
-      new java.io.File(p2).getParentFile.getParentFile,
-      "_root_testdata_sf0.001_deadbeef/detections.parquet")
-    stale.mkdirs()
-    java.nio.file.Files.writeString(stale.toPath.resolve("part-0.parquet"), "old")
+    // regenerated testdata) is swept by the next ensure ONCE it has
+    // been quiet past the grace window; a FRESH sibling survives (a
+    // concurrently-running process may still scan it), and a non-hex
+    // suffix (a DIFFERENT corpus whose sanitized name extends this
+    // one) is never touched.
+    val dagRoot = new java.io.File(p2).getParentFile.getParentFile
+    val old = new java.io.File(dagRoot, "_root_testdata_sf0.001_deadbeef")
+    new java.io.File(old, "detections.parquet").mkdirs()
+    old.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
+    val fresh = new java.io.File(dagRoot, "_root_testdata_sf0.001_cafebabe")
+    new java.io.File(fresh, "detections.parquet").mkdirs()
+    val otherCorpus = new java.io.File(dagRoot, "_root_testdata_sf0.001_v2_aaaa")
+    new java.io.File(otherCorpus, "detections.parquet").mkdirs()
+    otherCorpus.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
     DetectionsTable.ensure(spark, sf)
-    assert(!stale.getParentFile.exists(), "stale fingerprint dirs are swept")
+    assert(!old.exists(), "quiet stale fingerprint dirs are swept")
+    assert(fresh.exists(), "fresh sibling survives the grace window")
+    assert(otherCorpus.exists(), "a different corpus's dir is never swept")
+    graft.Fs.rmTree(fresh); graft.Fs.rmTree(otherCorpus)
     DetectionsTable.invalidate(sf)
   }
 }

@@ -59,10 +59,7 @@ class CurationDagSpec extends AnyFunSuite with BeforeAndAfterAll {
       "pack output files untouched by the incremental tick")
     // A deleted downstream stage rebuilds ALONE from persisted inputs —
     // the retry/backfill boundary the parquet handoff exists for.
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
-    }
-    rm(new java.io.File(s"$work/curated.parquet"))
+    graft.Fs.rmTree(new java.io.File(s"$work/curated.parquet"))
     val third = graft.pipeline.Dag.materialize(
       spark, CurationDag.stages(sf), work, refresh = false)
     releaseShared()
@@ -71,6 +68,6 @@ class CurationDagSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rebuilt = spark.read.parquet(s"$work/curated.parquet")
       .orderBy("doc_id").collect().toSeq
     assert(rebuilt == fromQuery)
-    rm(new java.io.File(work))
+    graft.Fs.rmTree(new java.io.File(work))
   }
 }
