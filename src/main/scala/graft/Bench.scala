@@ -22,9 +22,14 @@ object Bench {
       // Honest materialization: the noop sink evaluates EVERY column of
       // every row (unlike count(), which lets Catalyst prune unreferenced
       // projections and drop final sorts) without paying file-write I/O.
+      // NonFatal only: a fatal VM error (OOME, StackOverflow) must kill
+      // the sweep loudly — recording it as an ordinary query error and
+      // continuing on a corrupted JVM would manufacture garbage timings
+      // for every later query (the same rationale as the detections-
+      // ensure guard in main).
       val err =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -98,7 +103,7 @@ object Bench {
           SparkEntry.queries(q)(spark, warmDir)
             .write.format("noop").mode("overwrite").save())
       }
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // The warm-up built SessionCache entries keyed with the warm dir;
     // the sweep's releases are keyed with sfDir and would never drop
     // them. Outside the try — a half-failed warm-up must still clean

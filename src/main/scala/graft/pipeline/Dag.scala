@@ -147,17 +147,35 @@ object Dag {
           (own +: upstreamNow.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
             .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
-        graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
-        try java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case e: java.nio.file.FileSystemException =>
-          // Target reappeared: a concurrent materializer committed
-          // between our delete and rename. If ITS table is committed,
-          // reuse it (identical build inputs ⇒ identical content) and
-          // drop ours; anything else is a real failure.
-          if (isCommitted(new java.io.File(path))) graft.Fs.rmTree(new java.io.File(tmp))
-          else throw e
+        // Cross-process race check BEFORE touching the target: a
+        // concurrent materializer may have committed a fresh table since
+        // our skip check (DetectionsTable's lock is JVM-local while the
+        // work dir is shared across bench/verify/test processes).
+        // Deleting first would destroy the winner's just-committed table
+        // non-atomically — a third-process reader could observe a
+        // partially-deleted dir. A RACED winner is one whose stamp
+        // CHANGED from what we read at the skip check AND whose chain
+        // matches our upstream stamps (identical build inputs ⇒
+        // identical content): reuse it and drop ours. An unchanged
+        // stamp is the stale table we set out to replace.
+        val nowStamp = readStamp(new java.io.File(path))
+        val racedWinner = isCommitted(new java.io.File(path)) &&
+          nowStamp.exists { case (own, chain) =>
+            !recorded.map(_._1).contains(own) && chain == upstreamNow
+          }
+        if (racedWinner) graft.Fs.rmTree(new java.io.File(tmp))
+        else {
+          graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
+          try java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case e: java.nio.file.FileSystemException =>
+            // Target reappeared inside the unavoidable delete→rename
+            // window. If the winner's table is committed, reuse it and
+            // drop ours; anything else is a real failure.
+            if (isCommitted(new java.io.File(path))) graft.Fs.rmTree(new java.io.File(tmp))
+            else throw e
+          }
         }
       }
       // The stage's CURRENT stamp for downstream chain checks: what the
@@ -217,28 +235,43 @@ object Dag {
   }
 }
 
-/** The materialized detections INPUT TABLE (VERDICT r5 ask #1): q80's
-  * residual cost was the shared derivation window rebuilt per session,
-  * not the grouping kernel. [[ensure]] materializes [[Dag.detectionsDag]]
-  * once per (sfDir, source-table fingerprint) under /tmp, and
-  * [[Synthetic.detectionsCached]] reads the persisted parquet when it is
-  * present — the 100 TB shape, where detections is a table an upstream
+/** A materialized INPUT TABLE: a derivation persisted once per (sfDir,
+  * fingerprint) under /tmp and read by consumers as a plain parquet scan
+  * — the 100 TB shape, where the relation is a table an upstream
   * scheduled job wrote, and queries scan it like any other input.
   *
   * Staleness is structural, not temporal: the materialization path
-  * embeds a fingerprint of BOTH the source lineitem files (name, length,
-  * mtime) and the derivation definition (the [[Synthetic.detectionsSql]]
-  * mirror text, which moves in lockstep with the Scala derivation), so
-  * neither regenerated testdata nor an edited derivation can ever be
-  * read through a stale table — the path changes and [[ensure]]
-  * re-derives.
+  * embeds a fingerprint of the source table files (name, length, mtime),
+  * the derivation definition text (the DuckDB mirror, which moves in
+  * lockstep with the Scala derivation), AND an explicit derivation
+  * version (bumped with any Scala-side change the mirror text cannot
+  * see — e.g. a write-layout change), so neither regenerated testdata
+  * nor an edited derivation can ever be read through a stale table —
+  * the path changes and [[ensure]] re-derives.
   */
-object DetectionsTable {
+abstract class InputTable(
+    /** Stage/table name; the persisted dir is `<root>/<name>.parquet`. */
+    val tableName: String,
+    /** Source table (under sfDir) whose files fingerprint the inputs. */
+    sourceTable: String,
+    /** The derivation's mirror text — part of the fingerprint. By-name:
+      * evaluated per fingerprint call, never at object-init (mirror text
+      * may reference sibling objects still initializing).
+      */
+    derivationText: => String,
+    /** Explicit version for Scala-side changes invisible to the mirror
+      * text (ADVICE r6: the text alone is a convention, not a guarantee).
+      */
+    version: Int) {
+
+  /** The one-stage DAG that builds the table. */
+  protected def dag(sfDir: String): Seq[Dag.Stage]
 
   private def fingerprint(sfDir: String): String = {
-    val files = Option(new java.io.File(s"$sfDir/lineitem.parquet").listFiles())
+    val files = Option(new java.io.File(s"$sfDir/$sourceTable.parquet").listFiles())
       .getOrElse(Array.empty).sortBy(_.getName)
-    val h0 = Synthetic.detectionsSql.foldLeft(1125899906842597L)((a, c) => a * 31 + c)
+    val h0 = s"v$version:$derivationText"
+      .foldLeft(1125899906842597L)((a, c) => a * 31 + c)
     val h = files.foldLeft(h0) { (acc, f) =>
       val s = s"${f.getName}:${f.length}:${f.lastModified}"
       s.foldLeft(acc)((a, c) => a * 31 + c)
@@ -249,19 +282,25 @@ object DetectionsTable {
   private def sanitize(sfDir: String): String =
     sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
 
+  /** Per-table namespace: sibling-sweeping below must never see ANOTHER
+    * table's materializations (their fingerprints differ by construction,
+    * so a shared namespace would sweep live tables as "stale siblings").
+    */
+  private def tableRoot: String = s"/tmp/graft_dag/$tableName"
+
   private def root(sfDir: String): String =
-    s"/tmp/graft_dag/${sanitize(sfDir)}_${fingerprint(sfDir)}"
+    s"$tableRoot/${sanitize(sfDir)}_${fingerprint(sfDir)}"
 
   /** The committed materialization, if one exists (Dag's commit-marker
     * gate — a partial write never reads back).
     */
   def materializedPath(sfDir: String): Option[String] = {
-    val p = s"${root(sfDir)}/detections.parquet"
+    val p = s"${root(sfDir)}/$tableName.parquet"
     if (Dag.isCommitted(new java.io.File(p))) Some(p) else None
   }
 
-  /** Materialize (or reuse) the detections table for `sfDir`; returns the
-    * parquet path. Synchronized: one materialization per JVM at a time.
+  /** Materialize (or reuse) the table for `sfDir`; returns the parquet
+    * path. Synchronized: one materialization per JVM at a time.
     */
   def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = synchronized {
     val dir = root(sfDir)
@@ -277,20 +316,20 @@ object DetectionsTable {
     val prefix = s"${sanitize(sfDir)}_"
     val hex = "^[0-9a-f]+$".r
     val cutoff = System.currentTimeMillis() - 3600L * 1000
-    Option(new java.io.File("/tmp/graft_dag").listFiles()).getOrElse(Array.empty)
+    Option(new java.io.File(tableRoot).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(prefix)
         && hex.matches(f.getName.stripPrefix(prefix))
         && f.getName != new java.io.File(dir).getName
         && f.lastModified() < cutoff)
       .foreach { f =>
         graft.Fs.uncommitThenDelete(
-          new java.io.File(f, "detections.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
+          new java.io.File(f, s"$tableName.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
         graft.Fs.rmTree(f)
       }
     // Torn writes are Dag.materialize's problem: reuse is marker-gated
     // and writes commit via tmp + atomic rename.
-    Dag.materialize(spark, Dag.detectionsDag(sfDir), dir, refresh = false)
-    s"$dir/detections.parquet"
+    Dag.materialize(spark, dag(sfDir), dir, refresh = false)
+    s"$dir/$tableName.parquet"
   }
 
   /** Drop a materialization (spec hook; also the manual invalidation
@@ -299,8 +338,18 @@ object DetectionsTable {
     */
   def invalidate(sfDir: String): Unit = synchronized {
     graft.Fs.uncommitThenDelete(
-      new java.io.File(s"${root(sfDir)}/detections.parquet"),
+      new java.io.File(s"${root(sfDir)}/$tableName.parquet"),
       Seq(Dag.CommitMarker, "_SUCCESS"))
     graft.Fs.rmTree(new java.io.File(root(sfDir)))
   }
+}
+
+/** The materialized detections input table (VERDICT r5 ask #1): q80's
+  * residual cost was the shared derivation window rebuilt per session,
+  * not the grouping kernel. [[Synthetic.detectionsCached]] reads the
+  * persisted parquet when it is present.
+  */
+object DetectionsTable extends InputTable(
+    "detections", "lineitem", Synthetic.detectionsSql, version = 1) {
+  protected def dag(sfDir: String): Seq[Dag.Stage] = Dag.detectionsDag(sfDir)
 }

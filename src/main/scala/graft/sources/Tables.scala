@@ -33,29 +33,40 @@ object Tables {
   /** Deliberately NOT SessionCache: that machinery exists for builds
     * that run whole Spark JOBS and therefore needs per-entry build
     * locks + explicit release points; these builds are driver-side plan
-    * construction (~100 ms worst case), so ONE lock covering
-    * lookup+hook+insert+evict is simpler and closes the insert-after-
-    * evict race a lock-free map would have (an entry inserted after
-    * onApplicationEnd's sweep would pin the stopped session forever).
-    * A stopped context is never memoized — the listener that would
-    * evict it can no longer fire.
+    * construction (~100 ms worst case). The BUILD runs OUTSIDE the
+    * monitor (ADVICE r6: schema inference can launch a distributed
+    * footer-reading job for multi-file tables, and holding the global
+    * lock across it would serialize every concurrent Tables caller
+    * behind that job); only lookup/hook/insert/evict hold the lock.
+    * Two threads may race the same build — both produce equivalent
+    * immutable plans and the first insert wins, so every caller shares
+    * one instance afterwards. The insert-after-evict race stays closed:
+    * `isStopped` is re-checked INSIDE the insert lock, and
+    * SparkContext.stop() sets its stopped flag BEFORE posting
+    * ApplicationEnd, so if the eviction sweep has already run the
+    * stopped check must see it and the entry is never inserted.
     */
   private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    synchronized {
-      if (spark.sparkContext.isStopped) build
-      else {
-        if (hooked.add(spark)) {
-          spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              Tables.synchronized {
-                memo.filterInPlace((k, _) => k._1 != spark)
-                hooked.remove(spark): Unit
-              }
-          })
+    synchronized(memo.get((spark, key))) match {
+      case Some(df) => df
+      case None =>
+        val df = build
+        synchronized {
+          if (spark.sparkContext.isStopped) df
+          else {
+            if (hooked.add(spark)) {
+              spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+                override def onApplicationEnd(
+                    e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+                  Tables.synchronized {
+                    memo.filterInPlace((k, _) => k._1 != spark)
+                    hooked.remove(spark): Unit
+                  }
+              })
+            }
+            memo.getOrElseUpdate((spark, key), df)
+          }
         }
-        memo.getOrElseUpdate((spark, key), build)
-      }
     }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
