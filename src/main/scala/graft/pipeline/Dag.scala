@@ -25,11 +25,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Dag {
 
-  /** @param build (session, upstream name → materialized DataFrame). */
+  /** @param build (session, upstream name → materialized DataFrame).
+    * @param partitionBy hive-style partition columns for the persisted
+    *   handoff (e.g. a manifest partitioned by split): downstream
+    *   readers filtering on these columns plan a PartitionFilters-pruned
+    *   scan instead of reading the whole table — the boundary that
+    *   matters when the handoff is 100 TB and a consumer wants one
+    *   split.
+    */
   final case class Stage(
       name: String,
       deps: Seq[String],
-      build: (SparkSession, Map[String, DataFrame]) => DataFrame)
+      build: (SparkSession, Map[String, DataFrame]) => DataFrame,
+      partitionBy: Seq[String] = Nil)
 
   final case class StageRun(name: String, rows: Long, millis: Long, skipped: Boolean)
 
@@ -94,8 +102,42 @@ object Dag {
     }
   }
 
-  /** Materialize the DAG; returns per-stage run reports in execution
+  /** Exact row count from parquet file footers — metadata only, NO Spark
+    * job. `materialize` reports every stage's rows through this, so a
+    * `refresh = false` tick over reused stages runs zero jobs: at 100 TB
+    * a daily tick must not pay a full scan of every table just to report
+    * row counts (parquet footers already carry them exactly). Recursive:
+    * hive-partitioned layouts nest `col=value/` dirs.
+    */
+  private[pipeline] def footerRowCount(dir: java.io.File): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def walk(d: java.io.File): Long =
+      Option(d.listFiles()).getOrElse(Array.empty).iterator.map { f =>
+        if (f.isDirectory) walk(f)
+        else if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_")
+            && !f.getName.startsWith(".")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try r.getRecordCount finally r.close()
+        } else 0L
+      }.sum
+    walk(dir)
+  }
+
+  /** Materialize the DAG; returns per-stage run reports in topological
     * order.
+    *
+    * Ready stages run CONCURRENTLY on a bounded pool (`parallelism`
+    * threads): independent roots are each a full corpus scan at
+    * production scale, and running them serially leaves the cluster
+    * idle between stages — the scheduler overlaps them and the shuffle
+    * scheduler interleaves their tasks. A stage starts the moment its
+    * last dependency commits (no global barrier between "levels").
+    * Failure: dependents of a failed stage never start (their
+    * dependency future fails through), independent in-flight stages run
+    * to completion, and the first failure in topological order rethrows
+    * after all settle — never a pool shot down under a live Spark job.
     *
     * Commit discipline (the IngestDeduper rule): a stage WRITES to a
     * process-unique `<name>.parquet.tmp-*` dir, stamps [[CommitMarker]]
@@ -109,82 +151,116 @@ object Dag {
     * leaving stale derived tables. Refreshing an existing stage drops
     * its markers BEFORE its data (Fs.uncommitThenDelete) so a crash
     * mid-delete also reads as uncommitted. Two processes racing the
-    * same stage resolve at the atomic rename: the loser detects a
-    * committed winner and reuses it.
+    * same stage resolve before/at the atomic rename: the loser detects
+    * a committed winner and reuses it.
     */
   def materialize(
       spark: SparkSession,
       stages: Seq[Stage],
       workDir: String,
-      refresh: Boolean = true): Seq[StageRun] = {
-    val fs = new java.io.File(workDir)
-    fs.mkdirs()
-    val stamps = scala.collection.mutable.Map.empty[String, String]
-    topoSort(stages).map { s =>
-      val path = s"$workDir/${s.name}.parquet"
-      val t0 = System.nanoTime()
-      val upstreamNow = s.deps.map(d => d -> stamps(d)).toMap
-      val recorded = readStamp(new java.io.File(path))
-      // Legacy dirs (committed before stamps existed) have no stamp
-      // chain: reusable only as ROOTS (no upstreams to be stale
-      // against) — a dependent stage without provenance rebuilds once.
-      val chainFresh = recorded.exists(_._2 == upstreamNow) ||
-        (recorded.isEmpty && s.deps.isEmpty)
-      val skipped = isCommitted(new java.io.File(path)) && chainFresh && !refresh
-      if (!skipped) {
-        // Sweep stale tmp dirs of THIS stage (crashed ticks); a
-        // process-unique suffix keeps concurrent writers off each
-        // other's tmp (they race only at the atomic rename below).
-        Option(fs.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.startsWith(s"${s.name}.parquet.tmp-"))
-          .foreach(graft.Fs.rmTree)
-        val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
-        val upstream = s.deps.map(d =>
-          d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
-        s.build(spark, upstream).write.mode("overwrite").parquet(tmp)
-        val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
-        java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
-          (own +: upstreamNow.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
-            .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
-        // Cross-process race check BEFORE touching the target: a
-        // concurrent materializer may have committed a fresh table since
-        // our skip check (DetectionsTable's lock is JVM-local while the
-        // work dir is shared across bench/verify/test processes).
-        // Deleting first would destroy the winner's just-committed table
-        // non-atomically — a third-process reader could observe a
-        // partially-deleted dir. A RACED winner is one whose stamp
-        // CHANGED from what we read at the skip check AND whose chain
-        // matches our upstream stamps (identical build inputs ⇒
-        // identical content): reuse it and drop ours. An unchanged
-        // stamp is the stale table we set out to replace.
-        val nowStamp = readStamp(new java.io.File(path))
-        val racedWinner = isCommitted(new java.io.File(path)) &&
-          nowStamp.exists { case (own, chain) =>
-            !recorded.map(_._1).contains(own) && chain == upstreamNow
-          }
-        if (racedWinner) graft.Fs.rmTree(new java.io.File(tmp))
-        else {
-          graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
-          try java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case e: java.nio.file.FileSystemException =>
-            // Target reappeared inside the unavoidable delete→rename
-            // window. If the winner's table is committed, reuse it and
-            // drop ours; anything else is a real failure.
-            if (isCommitted(new java.io.File(path))) graft.Fs.rmTree(new java.io.File(tmp))
-            else throw e
-          }
+      refresh: Boolean = true,
+      parallelism: Int = 4): Seq[StageRun] = {
+    new java.io.File(workDir).mkdirs()
+    val ordered = topoSort(stages)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, ordered.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val done = scala.collection.mutable.Map
+        .empty[String, scala.concurrent.Future[(StageRun, String)]]
+      // Registration in topo order: deps are always registered first,
+      // and root stages enqueue in declaration order (deterministic
+      // startup under a small pool).
+      ordered.foreach { s =>
+        val deps = s.deps.map(done)
+        done(s.name) = scala.concurrent.Future.sequence(deps).map { ups =>
+          runStage(spark, s, workDir, refresh,
+            s.deps.zip(ups.map(_._2)).toMap)
         }
       }
-      // The stage's CURRENT stamp for downstream chain checks: what the
-      // committed dir records (ours after a rebuild, the winner's after
-      // a lost race, the legacy-root sentinel otherwise).
-      stamps(s.name) = readStamp(new java.io.File(path)).map(_._1).getOrElse("legacy")
-      val rows = spark.read.parquet(path).count()
-      StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped)
+      val settled = ordered.map(s => scala.concurrent.Await
+        .ready(done(s.name), scala.concurrent.duration.Duration.Inf).value.get)
+      settled.foreach { case scala.util.Failure(e) => throw e; case _ => () }
+      settled.map(_.get._1)
+    } finally pool.shutdown()
+  }
+
+  /** One stage's materialize-or-reuse (thread-confined: all cross-stage
+    * coordination flows through the upstream stamp map the scheduler
+    * passes in). Returns the run report plus this stage's CURRENT commit
+    * stamp for downstream chain checks.
+    */
+  private def runStage(
+      spark: SparkSession,
+      s: Stage,
+      workDir: String,
+      refresh: Boolean,
+      upstreamNow: Map[String, String]): (StageRun, String) = {
+    val fs = new java.io.File(workDir)
+    val path = s"$workDir/${s.name}.parquet"
+    val t0 = System.nanoTime()
+    val recorded = readStamp(new java.io.File(path))
+    // Legacy dirs (committed before stamps existed) have no stamp
+    // chain: reusable only as ROOTS (no upstreams to be stale
+    // against) — a dependent stage without provenance rebuilds once.
+    val chainFresh = recorded.exists(_._2 == upstreamNow) ||
+      (recorded.isEmpty && s.deps.isEmpty)
+    val skipped = isCommitted(new java.io.File(path)) && chainFresh && !refresh
+    if (!skipped) {
+      // Sweep stale tmp dirs of THIS stage (crashed ticks); a
+      // process-unique suffix keeps concurrent writers off each
+      // other's tmp (they race only at the atomic rename below).
+      Option(fs.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith(s"${s.name}.parquet.tmp-"))
+        .foreach(graft.Fs.rmTree)
+      val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
+      val upstream = s.deps.map(d =>
+        d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
+      s.build(spark, upstream).write.mode("overwrite")
+        .partitionBy(s.partitionBy: _*).parquet(tmp)
+      val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
+      java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
+        (own +: upstreamNow.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+          .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
+      // Cross-process race check BEFORE touching the target: a
+      // concurrent materializer may have committed a fresh table since
+      // our skip check (DetectionsTable's lock is JVM-local while the
+      // work dir is shared across bench/verify/test processes).
+      // Deleting first would destroy the winner's just-committed table
+      // non-atomically — a third-process reader could observe a
+      // partially-deleted dir. A RACED winner is one whose stamp
+      // CHANGED from what we read at the skip check AND whose chain
+      // matches our upstream stamps (identical build inputs ⇒
+      // identical content): reuse it and drop ours. An unchanged
+      // stamp is the stale table we set out to replace.
+      val nowStamp = readStamp(new java.io.File(path))
+      val racedWinner = isCommitted(new java.io.File(path)) &&
+        nowStamp.exists { case (own2, chain) =>
+          !recorded.map(_._1).contains(own2) && chain == upstreamNow
+        }
+      if (racedWinner) graft.Fs.rmTree(new java.io.File(tmp))
+      else {
+        graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case e: java.nio.file.FileSystemException =>
+          // Target reappeared inside the unavoidable delete→rename
+          // window. If the winner's table is committed, reuse it and
+          // drop ours; anything else is a real failure.
+          if (isCommitted(new java.io.File(path))) graft.Fs.rmTree(new java.io.File(tmp))
+          else throw e
+        }
+      }
     }
+    // The stage's CURRENT stamp for downstream chain checks: what the
+    // committed dir records (ours after a rebuild, the winner's after
+    // a lost race, the legacy-root sentinel otherwise).
+    val ownStamp = readStamp(new java.io.File(path)).map(_._1).getOrElse("legacy")
+    val rows = footerRowCount(new java.io.File(path))
+    (StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped), ownStamp)
   }
 
   /** The detections derivation alone, as a one-stage DAG — the input-

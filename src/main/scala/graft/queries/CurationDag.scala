@@ -77,13 +77,21 @@ object CurationDag {
         up("keepers").select(col("doc_id"), col("n_tokens")), 4096L, 512L)),
 
     // ── Final corpus manifest: split assignment joined back to the pack
-    // layout — byte-for-byte the q99 statement's output.
+    // layout — value-for-value the q99 statement's output. Persisted
+    // PARTITIONED BY split: the manifest's consumers (a trainer reading
+    // `train`, an eval job reading `val`) filter on exactly that column,
+    // and the hive layout turns the filter into partition pruning — at
+    // 100 TB a split-read must list one directory, not scan the table
+    // (the reference's DuckDB-persisted asset boundary, hg/__init__.py:
+    // 11-15, is the same handoff shape). Parquet appends partition
+    // columns after data columns on read-back; consumers select by name.
     Dag.Stage("curated", Seq("packed", "keepers"), (s, up) =>
       up("packed")
         .join(up("keepers").select(col("doc_id"), col("lang")), "doc_id")
         .select(col("doc_id"), col("lang"), TextAnalysis.splitName.as("split"),
           col("n_tokens"), col("pack_id"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id")),
+      partitionBy = Seq("split")))
 
   /** SessionCache keys the root stages build through the shared relation
     * builders — a standalone DAG run (RunDag, specs) releases them after

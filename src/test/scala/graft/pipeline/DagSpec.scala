@@ -90,6 +90,68 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dag.materialize(spark, stage, dir, refresh = false).head.skipped)
   }
 
+  test("independent ready stages materialize concurrently (bounded pool)") {
+    // Both roots rendezvous on a barrier INSIDE their build functions:
+    // serial materialization would block the first build forever, so a
+    // timed-out barrier (→ materialize throws) is the failure signal.
+    val dir = java.nio.file.Files.createTempDirectory("dag-par").toString
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def gated(n: Long) = (sp: SparkSession, up: Map[String, org.apache.spark.sql.DataFrame]) => {
+      barrier.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      sp.range(n).toDF()
+    }
+    val runs = Dag.materialize(spark, Seq(
+      Dag.Stage("x", Nil, gated(3)),
+      Dag.Stage("y", Nil, gated(4)),
+      // A dependent of both still sees committed upstreams.
+      Dag.Stage("z", Seq("x", "y"), (_, up) => up("x").union(up("y")))), dir)
+    assert(runs.map(r => r.name -> r.rows) == Seq("x" -> 3L, "y" -> 4L, "z" -> 7L))
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("a refresh=false tick over reused stages runs ZERO Spark jobs (footer row counts)") {
+    val dir = java.nio.file.Files.createTempDirectory("dag-zerojobs").toString
+    val stages = Seq(
+      Dag.Stage("a", Nil, (sp, _) => sp.range(5).toDF()),
+      Dag.Stage("b", Seq("a"), (_, up) => up("a").selectExpr("id * 2 AS id")))
+    val first = Dag.materialize(spark, stages, dir)
+    assert(first.map(_.rows) == Seq(5L, 5L))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val tick = Dag.materialize(spark, stages, dir, refresh = false)
+      assert(tick.forall(_.skipped) && tick.map(_.rows) == Seq(5L, 5L))
+      // Listener events post asynchronously — settle before asserting.
+      val deadline = System.nanoTime() + 2L * 1000 * 1000 * 1000
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(jobs.get() == 0,
+        s"a reused tick must not launch jobs (row counts come from parquet footers), saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("a failing stage fails the run; its dependents never build") {
+    val dir = java.nio.file.Files.createTempDirectory("dag-fail").toString
+    val downstreamRan = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[RuntimeException](Dag.materialize(spark, Seq(
+      Dag.Stage("ok", Nil, (sp, _) => sp.range(2).toDF()),
+      Dag.Stage("boom", Seq("ok"), (_, _) => throw new RuntimeException("stage boom")),
+      Dag.Stage("after", Seq("boom"), (sp, _) => {
+        downstreamRan.set(true); sp.range(1).toDF()
+      })), dir))
+    assert(e.getMessage == "stage boom")
+    assert(!downstreamRan.get(), "a dependent of a failed stage must never start")
+    // The independent upstream still committed — a retry tick resumes
+    // from it instead of rebuilding the world.
+    assert(Dag.isCommitted(new java.io.File(s"$dir/ok.parquet")))
+    assert(!new java.io.File(s"$dir/boom.parquet").exists())
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("detections input table: ensure materializes once, consumers read it bit-identically") {
     val sf = "/root/testdata/sf0.001"
     DetectionsTable.invalidate(sf)
