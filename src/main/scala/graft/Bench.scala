@@ -118,11 +118,13 @@ object Bench {
     // Best-effort: a failed materialization (full /tmp, permissions)
     // must degrade to the in-query derivation, not kill the sweep
     // before a single query has run.
-    try graft.pipeline.DetectionsTable.ensure(spark, sfDir)
-    catch { case scala.util.control.NonFatal(e) =>
-      // NonFatal: an OOM'd JVM must die loudly, not continue into a
-      // sweep that would manufacture garbage numbers.
-      System.err.println(s"[bench] detections table unavailable, deriving in-query: $e")
+    Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable).foreach { t =>
+      try { t.ensure(spark, sfDir); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal: an OOM'd JVM must die loudly, not continue into a
+        // sweep that would manufacture garbage numbers.
+        System.err.println(s"[bench] ${t.tableName} table unavailable, deriving in-query: $e")
+      }
     }
     // Best-of-N sweeps (default 2): single-sweep numbers manufactured
     // 1.5–11× phantom regressions in three consecutive rounds, every

@@ -16,11 +16,13 @@ object Verify {
     // table round-trip end-to-end. Best-effort: a failed materialization
     // degrades to the in-query derivation (value-identical), never to a
     // dead sweep.
-    try graft.pipeline.DetectionsTable.ensure(spark, sfDir)
-    catch { case scala.util.control.NonFatal(e) =>
-      // NonFatal: a fatal VM error must abort the dump, not produce a
-      // partial sweep the driver would compare as if complete.
-      System.err.println(s"[verify] detections table unavailable, deriving in-query: $e")
+    Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable).foreach { t =>
+      try { t.ensure(spark, sfDir); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal: a fatal VM error must abort the dump, not produce a
+        // partial sweep the driver would compare as if complete.
+        System.err.println(s"[verify] ${t.tableName} table unavailable, deriving in-query: $e")
+      }
     }
     // Optional trailing args restrict the dump to named queries — the
     // local fast loop (tools/check_subset.py); the driver passes none.

@@ -182,6 +182,30 @@ object Synthetic {
        FROM part"""
   }
 
+  /** The wall-plane FEATURE relation ([[WallPlanes.scaledFeatures]] over
+    * [[meshCells]], pruned to the clustering contract's ten columns) —
+    * the derivation [[WallFeaturesTable]] materializes.
+    */
+  def wallFeaturesDerived(spark: SparkSession, sfDir: String): DataFrame =
+    graft.pipeline.WallPlanes.scaledFeatures(meshCells(spark, sfDir))
+      .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
+        col("cx"), col("cy"), col("cz"), col("f0"), col("f1"), col("f2"))
+
+  /** The feature relation consumers use: a column-pruned scan of the
+    * committed [[WallFeaturesTable]] materialization when one exists
+    * (Bench/Verify ensure it up front — the 100 TB shape, where the
+    * feature derivation ran once in the upstream Dag job), else the live
+    * derivation (value-identical: parquet round-trips doubles
+    * bit-exactly). No SessionCache layer: the table-read path is already
+    * a cheap scan, and [[WallPlanes.wallPlanesScaled]]'s tiled branch
+    * persists its input internally for its own multi-consumer window.
+    */
+  def wallFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    WallFeaturesTable.materializedPath(sfDir) match {
+      case Some(p) => graft.sources.Tables.atPath(spark, p)
+      case None => wallFeaturesDerived(spark, sfDir)
+    }
+
   /** Mesh-cell features for the wall-plane pipeline (MeshWallExtractror
     * shape): one cell per part row, normals in 4 azimuth families with
     * key-derived jitter, centroids clustered by family — so DBSCAN has

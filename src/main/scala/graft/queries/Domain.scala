@@ -275,9 +275,11 @@ object Domain {
     // (DBSCAN); kernel pinned by DbscanSpec; the prologue is oracled by
     // q93. tiles=8 runs the margin-merge tiled path (multi-task DBSCAN —
     // the 100 TB shape), label-identical to the global fit per
-    // WallPlanesTilingSpec.
+    // WallPlanesTilingSpec. Features come through Synthetic.wallFeatures:
+    // a scan of the materialized input table when Bench/Verify ensured
+    // one (the upstream-job shape), the live derivation otherwise.
     QueryDef("q83_wall_planes", None)( (spark, dir) =>
-      WallPlanes.wallPlanes(Synthetic.meshCells(spark, dir), tiles = 8)
+      WallPlanes.wallPlanesScaled(Synthetic.wallFeatures(spark, dir), tiles = 8)
         .select(col("cluster"), col("n"),
           round(col("avg_nx"), 6).as("avg_nx"), round(col("avg_ny"), 6).as("avg_ny"),
           round(col("avg_cx"), 6).as("avg_cx"), round(col("avg_cy"), 6).as("avg_cy"),

@@ -210,7 +210,11 @@ object DomainOracles {
                round((w2 - m2) / (CASE WHEN s2 = 0.0 THEN 1.0 ELSE s2 END), 6) AS f2
         FROM feat, stats ORDER BY cell_id"""
       }))( (spark, dir) =>
-      WallPlanes.scaledFeatures(Synthetic.meshCells(spark, dir))
+      // Through Synthetic.wallFeatures: when the input table is
+      // materialized, this oracle checks the PERSISTED feature relation
+      // end-to-end (parquet round-trips doubles bit-exactly, so the
+      // derivation mirror still matches).
+      Synthetic.wallFeatures(spark, dir)
         .select(col("cell_id"),
           round(col("f0"), 6).as("f0"), round(col("f1"), 6).as("f1"),
           round(col("f2"), 6).as("f2"))

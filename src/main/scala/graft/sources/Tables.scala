@@ -73,6 +73,14 @@ object Tables {
     cached(spark, s"$sfDir/$name.parquet")(
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Path-addressed variant for tables OUTSIDE the sfDir layout — the
+    * materialized input tables under /tmp/graft_dag. Same memo, same
+    * stability assumption (a fingerprinted input-table path is
+    * immutable by construction: content changes move the path).
+    */
+  def atPath(spark: SparkSession, path: String): DataFrame =
+    cached(spark, path)(spark.read.parquet(path))
+
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")

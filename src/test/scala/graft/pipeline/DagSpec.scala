@@ -152,6 +152,26 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("wall-features input table: ensure materializes, consumers read it bit-identically") {
+    val sf = "/root/testdata/sf0.001"
+    WallFeaturesTable.invalidate(sf)
+    assert(WallFeaturesTable.materializedPath(sf).isEmpty)
+    // No table committed: the resolver serves the live derivation.
+    val derivedPlan = Synthetic.wallFeatures(spark, sf)
+    assert(!derivedPlan.inputFiles.exists(_.contains("graft_dag")))
+    val p = WallFeaturesTable.ensure(spark, sf)
+    assert(WallFeaturesTable.materializedPath(sf).contains(p))
+    // Committed: the resolver becomes a scan of the persisted table…
+    val cached = Synthetic.wallFeatures(spark, sf)
+    assert(cached.inputFiles.nonEmpty && cached.inputFiles.forall(_.contains("graft_dag")),
+      s"expected a parquet scan of the materialized table, got inputs: ${cached.inputFiles.toSeq}")
+    // …bit-identical to the live derivation (doubles included), so the
+    // q93 oracle is unaffected by which path serves a given run.
+    val live = Synthetic.wallFeaturesDerived(spark, sf)
+    assert(cached.exceptAll(live).count() == 0 && live.exceptAll(cached).count() == 0)
+    WallFeaturesTable.invalidate(sf)
+  }
+
   test("detections input table: ensure materializes once, consumers read it bit-identically") {
     val sf = "/root/testdata/sf0.001"
     DetectionsTable.invalidate(sf)
