@@ -64,17 +64,24 @@ object Bench {
 
   /** The driver-contract JSON line, plus an `errors` object (empty on a
     * clean sweep) so a throwing query is visibly reported instead of
-    * masquerading as a speedup, and a `sweeps` count documenting the
-    * best-of-N basis.
+    * masquerading as a speedup, a `sweeps` count documenting the
+    * best-of-N basis, and the sweep-kernel skew accumulators (VERDICT r6
+    * ask #6: a skewed future testdata regeneration must be visible in
+    * the artifact trail, not just an executor-log WARN).
     */
-  private[graft] def renderJson(results: Seq[QueryRun], sfDir: String, sweeps: Int): String = {
+  private[graft] def renderJson(
+      results: Seq[QueryRun], sfDir: String, sweeps: Int,
+      sweepStats: Option[(Long, Long, Long)] = None): String = {
     val qs = results.map(r => Jsons.quote(r.name) + ":" + r.seconds)
       .mkString("{", ",", "}")
     val errs = results.collect { case QueryRun(n, _, Some(m)) =>
       Jsons.quote(n) + ":" + Jsons.quote(m)
     }.mkString("{", ",", "}")
+    val ss = sweepStats.map { case (maxGroup, pairs, dense) =>
+      s""","sweep_stats":{"max_group_boxes":$maxGroup,"pairs_enumerated":$pairs,"dense_groups":$dense}"""
+    }.getOrElse("")
     val total = results.map(_.seconds).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps,"sf":${Jsons.quote(sfDir)}}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -135,7 +142,12 @@ object Bench {
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "2").toInt.max(1)
     val results = mergeSweeps(
       (1 to sweeps).map(_ => runSweep(spark, sfDir, SparkEntry.queries.toSeq)))
-    println(renderJson(results, sfDir, sweeps))
+    // Accumulated across all sweeps: worst single group, total enumerated
+    // pairs, groups over the dense threshold — the driver artifact now
+    // records whether the sweep kernels saw skew.
+    val h = graft.pipeline.SweepStats.forSession(spark)
+    println(renderJson(results, sfDir, sweeps,
+      Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value))))
     spark.stop()
   }
 }

@@ -69,9 +69,20 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Thread-safe for Structured Streaming's sequential foreachBatch
   * contract (one batch at a time; synchronized defensively).
   */
+/** @param autoCompactSegments when > 0, [[compact]] runs automatically
+  *   as soon as the retained segment count would exceed it, folding all
+  *   segments EXCEPT the batch just committed (whose returned relation
+  *   must stay readable, and whose retry must stay idempotent) — so a
+  *   long-running stream bounds its per-batch probe fan-out at
+  *   `autoCompactSegments + 1` directories without operator
+  *   intervention. The compaction-point contracts (see [[compact]])
+  *   shift to PRE-current batches only, which is exactly the set the
+  *   streaming engine never retries once a later batch has committed.
+  *   0 (default) disables: compaction stays caller-driven.
+  */
 final class IngestDeduper(
     corpusDigests: DataFrame, expectedItems: Long, fpp: Double = 0.01,
-    statePath: Option[String] = None)
+    statePath: Option[String] = None, autoCompactSegments: Int = 0)
     extends Serializable {
 
   private val spark = corpusDigests.sparkSession
@@ -240,6 +251,13 @@ final class IngestDeduper(
     val superseded = batchDirs.get(batchId)
     batchDirs(batchId) = dir
     superseded.foreach(d => rmTree(new java.io.File(d)))
+    // Auto-compaction: fold everything EXCEPT the segment just
+    // committed — the relation returned below stays a valid leaf read,
+    // and a foreachBatch retry of THIS batchId keeps its idempotence
+    // (its own segment is still excluded-and-superseded on the retry).
+    if (autoCompactSegments > 0 &&
+        batchDirs.size + baseDirs.size > autoCompactSegments)
+      compactExcept(Some(batchId))
     spark.read.schema(stateSchema).parquet(dir)
   }
 
@@ -269,9 +287,17 @@ final class IngestDeduper(
     * returned for pre-compaction batches are superseded — materialize
     * them first if still needed.
     */
-  def compact(): Unit = synchronized {
-    if (batchDirs.size + baseDirs.size > 1) {
-      val olds = baseDirs ++ batchDirs.values
+  def compact(): Unit = synchronized { compactExcept(None) }
+
+  /** The fold itself; `keep` excludes one batch's segment (the auto-
+    * compaction path: the just-committed batch stays a standalone
+    * segment so its returned relation and its retry contract survive).
+    * Caller holds the monitor.
+    */
+  private def compactExcept(keep: Option[Long]): Unit = {
+    val fold = keep.fold(batchDirs.toList)(k => (batchDirs - k).toList)
+    if (fold.size + baseDirs.size > 1) {
+      val olds = baseDirs ++ fold.map(_._2)
       val tmp = s"$stateDir/t$commitSeq.tmp"
       // distinct(): segments can hold exact row duplicates after a
       // crash between a commit and its cleanup (same batch replayed ⇒
@@ -283,7 +309,7 @@ final class IngestDeduper(
       commitSegment(tmp, dir)
       commitSeq += 1
       baseDirs = List(dir)
-      batchDirs.clear()
+      fold.foreach { case (id, _) => batchDirs.remove(id): Unit }
       olds.foreach(d => rmTree(new java.io.File(d)))
     }
   }

@@ -43,6 +43,11 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The line must stay a SINGLE parseable JSON object for the driver —
     // exception messages can carry quotes/newlines; quoting must hold.
     assert(!json.contains("\n"))
+    // With skew accumulators attached, the stats object rides along.
+    val withStats = Bench.renderJson(runs, "/root/testdata/sf0.001", 1, Some((150L, 9000L, 0L)))
+    assert(withStats.contains(
+      """"sweep_stats":{"max_group_boxes":150,"pairs_enumerated":9000,"dense_groups":0}"""))
+    assert(!withStats.contains("\n"))
   }
 
   test("best-of-N merge takes per-query minima and never launders a flaky failure") {

@@ -112,6 +112,34 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d.close()
   }
 
+  test("auto-compaction bounds segment fan-out across a long run with state intact") {
+    val ss = spark; import ss.implicits._
+    val N = 3
+    val d = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
+      autoCompactSegments = N)
+    try {
+      // 2N batches, one fresh digest each plus a dup of batch 1's digest
+      // from batch 2 on — every batch exercises cross-batch rejection
+      // across the compaction boundary.
+      for (b <- 1 to 2 * N) {
+        val rows = Seq((b.toLong, s"g$b")) ++ (if (b > 1) Seq((100L + b, "g1")) else Nil)
+        val got = d(rows.toDF("doc_id", "digest"), b.toLong)
+          .collect().map(_.getString(1)).toSeq
+        assert(got == Seq(s"g$b"),
+          s"batch $b: fresh digest accepted, compacted-away g1 still rejected; got $got")
+        assert(d.retainedBatchCount <= N + 1,
+          s"batch $b: segment count ${d.retainedBatchCount} exceeds N+1=${N + 1}")
+      }
+      // Every digest ever accepted still rejects after multiple folds.
+      val reoffer = (1 to 2 * N).map(i => (1000L + i, s"g$i")).toDF("doc_id", "digest")
+      assert(d(reoffer, (2 * N + 1).toLong).count() == 0)
+      // The just-committed batch's relation survives its own
+      // auto-compaction (it is excluded from the fold).
+      val out = d(Seq((5000L, "fresh")).toDF("doc_id", "digest"), (2 * N + 2).toLong)
+      assert(out.collect().map(_.getString(1)).toSeq == Seq("fresh"))
+    } finally d.close()
+  }
+
   test("explicit batchId is idempotent: a retried batch reproduces its output") {
     val ss = spark; import ss.implicits._
     val d = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10)
