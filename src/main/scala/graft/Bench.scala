@@ -140,12 +140,14 @@ object Bench {
     // fire per sweep), so sweep 2 measures the same work minus one-time
     // JVM state — exactly the noise the min is meant to cut.
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "2").toInt.max(1)
+    // The warm-up above ran sweep kernels against the WARM corpus —
+    // reset the skew accumulators so the reported stats describe sfDir's
+    // timed sweeps only (a dense group in warm data must not send a
+    // reader hunting skew in the wrong dataset).
+    val h = graft.pipeline.SweepStats.forSession(spark)
+    h.maxGroupBoxes.reset(); h.pairsEnumerated.reset(); h.denseGroups.reset()
     val results = mergeSweeps(
       (1 to sweeps).map(_ => runSweep(spark, sfDir, SparkEntry.queries.toSeq)))
-    // Accumulated across all sweeps: worst single group, total enumerated
-    // pairs, groups over the dense threshold — the driver artifact now
-    // records whether the sweep kernels saw skew.
-    val h = graft.pipeline.SweepStats.forSession(spark)
     println(renderJson(results, sfDir, sweeps,
       Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value))))
     spark.stop()

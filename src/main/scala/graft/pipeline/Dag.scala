@@ -48,6 +48,8 @@ object Dag {
     val byName = stages.map(s => s.name -> s).toMap
     require(byName.size == stages.size,
       s"duplicate stage names: ${stages.map(_.name).diff(byName.keys.toSeq).mkString(",")}")
+    stages.foreach(s => require(!s.name.startsWith("_"),
+      s"stage name ${s.name} may not start with '_' (reserved stamp keys)"))
     stages.foreach(s => s.deps.foreach(d =>
       require(byName.contains(d), s"stage ${s.name}: unknown dependency $d")))
     val done = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -80,13 +82,24 @@ object Dag {
   /** Name of the per-stage stamp file: line 1 is the stage's own commit
     * stamp (process id + nanos — unique per commit), the rest are
     * `dep=stamp` lines recording the upstream commits this table was
-    * BUILT FROM. Reuse requires the recorded upstream stamps to equal
-    * the upstreams' CURRENT stamps, so rebuilding any upstream
-    * invalidates everything downstream transitively — without the
-    * chain, a `refresh = false` tick after an upstream rebuild would
-    * silently serve downstream tables derived from the OLD upstream.
+    * BUILT FROM, plus a reserved `_partitionBy=` line when the stage
+    * declares a partition layout. Reuse requires the recorded upstream
+    * stamps to equal the upstreams' CURRENT stamps, so rebuilding any
+    * upstream invalidates everything downstream transitively — without
+    * the chain, a `refresh = false` tick after an upstream rebuild
+    * would silently serve downstream tables derived from the OLD
+    * upstream. The layout line makes a partitioning change part of the
+    * same contract: a pre-change committed table records no (or a
+    * different) layout, so the next tick rebuilds it into the declared
+    * layout instead of serving the old file shape forever.
     */
   private val StampFile = "_graft_stamp"
+
+  /** Reserved stamp-chain key for the stage's declared partition layout
+    * (stage names may not start with '_' — enforced in [[topoSort]] —
+    * so it can never collide with a dependency name).
+    */
+  private val LayoutKey = "_partitionBy"
 
   private def readStamp(dir: java.io.File): Option[(String, Map[String, String])] = {
     import scala.jdk.CollectionConverters._
@@ -181,7 +194,22 @@ object Dag {
       }
       val settled = ordered.map(s => scala.concurrent.Await
         .ready(done(s.name), scala.concurrent.duration.Duration.Inf).value.get)
-      settled.foreach { case scala.util.Failure(e) => throw e; case _ => () }
+      settled.foreach {
+        case scala.util.Failure(e) =>
+          // Scala Futures BOX fatal throwables (OOME, StackOverflow)
+          // into ExecutionException("Boxed Exception") — which NonFatal
+          // matches, so rethrowing the box would let callers'
+          // best-effort NonFatal guards (Bench/Verify ensure) swallow a
+          // corrupted-JVM error and keep running. Unwrap and rethrow
+          // the raw fatal so it still kills the process loudly.
+          throw (e match {
+            case ee: java.util.concurrent.ExecutionException
+                if ee.getCause != null && !scala.util.control.NonFatal(ee.getCause) =>
+              ee.getCause
+            case other => other
+          })
+        case _ => ()
+      }
       settled.map(_.get._1)
     } finally pool.shutdown()
   }
@@ -201,18 +229,37 @@ object Dag {
     val path = s"$workDir/${s.name}.parquet"
     val t0 = System.nanoTime()
     val recorded = readStamp(new java.io.File(path))
+    // The full reuse contract: upstream stamps AND the declared
+    // partition layout (a layout edit must rebuild the table into the
+    // new shape — a pre-edit stamp records no/another layout and
+    // fails this equality once).
+    val expectedChain = upstreamNow ++
+      (if (s.partitionBy.nonEmpty) Map(LayoutKey -> s.partitionBy.mkString(","))
+       else Map.empty[String, String])
     // Legacy dirs (committed before stamps existed) have no stamp
     // chain: reusable only as ROOTS (no upstreams to be stale
-    // against) — a dependent stage without provenance rebuilds once.
-    val chainFresh = recorded.exists(_._2 == upstreamNow) ||
-      (recorded.isEmpty && s.deps.isEmpty)
+    // against, no layout to honor) — a dependent stage without
+    // provenance rebuilds once.
+    val chainFresh = recorded.exists(_._2 == expectedChain) ||
+      (recorded.isEmpty && s.deps.isEmpty && s.partitionBy.isEmpty)
     val skipped = isCommitted(new java.io.File(path)) && chainFresh && !refresh
     if (!skipped) {
-      // Sweep stale tmp dirs of THIS stage (crashed ticks); a
-      // process-unique suffix keeps concurrent writers off each
-      // other's tmp (they race only at the atomic rename below).
+      // Sweep stale tmp dirs of THIS stage (crashed ticks). The tmp
+      // name embeds the writer's pid: only OUR OWN tmps (a failed
+      // earlier tick of this JVM) and tmps whose owning process is DEAD
+      // (a crashed tick) are swept — a live sibling process may be
+      // mid-write into its tmp right now (the InputTable lock is
+      // JVM-local), and deleting it would fail its write after the
+      // racedWinner path below exists precisely to let both finish.
+      val TmpOwner = (java.util.regex.Pattern.quote(s"${s.name}.parquet.tmp-") +
+        "(\\d+)-\\d+").r
+      val selfPid = ProcessHandle.current.pid
       Option(fs.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith(s"${s.name}.parquet.tmp-"))
+        .filter(f => f.getName match {
+          case TmpOwner(pid) =>
+            pid.toLong == selfPid || ProcessHandle.of(pid.toLong).isEmpty
+          case _ => false
+        })
         .foreach(graft.Fs.rmTree)
       val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
       val upstream = s.deps.map(d =>
@@ -221,7 +268,7 @@ object Dag {
         .partitionBy(s.partitionBy: _*).parquet(tmp)
       val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
       java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
-        (own +: upstreamNow.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
+        (own +: expectedChain.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
           .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
       // Cross-process race check BEFORE touching the target: a
@@ -238,7 +285,7 @@ object Dag {
       val nowStamp = readStamp(new java.io.File(path))
       val racedWinner = isCommitted(new java.io.File(path)) &&
         nowStamp.exists { case (own2, chain) =>
-          !recorded.map(_._1).contains(own2) && chain == upstreamNow
+          !recorded.map(_._1).contains(own2) && chain == expectedChain
         }
       if (racedWinner) graft.Fs.rmTree(new java.io.File(tmp))
       else {
@@ -402,10 +449,29 @@ abstract class InputTable(
           new java.io.File(f, s"$tableName.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
         graft.Fs.rmTree(f)
       }
+    // One-time reclamation of the PRE-per-table layout (tables used to
+    // live directly under /tmp/graft_dag/<sanitized>_<fp>): those dirs
+    // are unreachable under the new root and would otherwise leak
+    // sf-scale parquet until reboot. Same guards: bare-hex suffix,
+    // quiet past the grace window.
+    Option(new java.io.File("/tmp/graft_dag").listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix)
+        && hex.matches(f.getName.stripPrefix(prefix))
+        && f.lastModified() < cutoff)
+      .foreach { f =>
+        graft.Fs.uncommitThenDelete(
+          new java.io.File(f, s"$tableName.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
+        graft.Fs.rmTree(f)
+      }
     // Torn writes are Dag.materialize's problem: reuse is marker-gated
     // and writes commit via tmp + atomic rename.
-    Dag.materialize(spark, dag(sfDir), dir, refresh = false)
-    s"$dir/$tableName.parquet"
+    val runs = Dag.materialize(spark, dag(sfDir), dir, refresh = false)
+    val p = s"$dir/$tableName.parquet"
+    // A REBUILD at this (fingerprint-stable) path writes fresh
+    // part-file names — drop any session's memoized plan over the old
+    // files (the invalidate → re-ensure sequence).
+    if (runs.exists(!_.skipped)) graft.sources.Tables.evictPath(p)
+    p
   }
 
   /** Drop a materialization (spec hook; also the manual invalidation
@@ -413,10 +479,10 @@ abstract class InputTable(
     * UNcommitted dir, never a torn one that still gates as a table.
     */
   def invalidate(sfDir: String): Unit = synchronized {
-    graft.Fs.uncommitThenDelete(
-      new java.io.File(s"${root(sfDir)}/$tableName.parquet"),
-      Seq(Dag.CommitMarker, "_SUCCESS"))
+    val p = s"${root(sfDir)}/$tableName.parquet"
+    graft.Fs.uncommitThenDelete(new java.io.File(p), Seq(Dag.CommitMarker, "_SUCCESS"))
     graft.Fs.rmTree(new java.io.File(root(sfDir)))
+    graft.sources.Tables.evictPath(p)
   }
 }
 

@@ -74,12 +74,21 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** Path-addressed variant for tables OUTSIDE the sfDir layout — the
-    * materialized input tables under /tmp/graft_dag. Same memo, same
-    * stability assumption (a fingerprinted input-table path is
-    * immutable by construction: content changes move the path).
+    * materialized input tables under /tmp/graft_dag. Same memo. The
+    * stability assumption (content changes move the fingerprinted
+    * path) has one exception: InputTable.invalidate + re-ensure
+    * rebuilds AT the same path with fresh part-file names — those call
+    * [[evictPath]] so a memoized plan never outlives its files.
     */
   def atPath(spark: SparkSession, path: String): DataFrame =
     cached(spark, path)(spark.read.parquet(path))
+
+  /** Drop every session's memo for `path` (the rebuilt-in-place case
+    * above). Cheap and exact: keys are full paths.
+    */
+  private[graft] def evictPath(path: String): Unit = synchronized {
+    memo.filterInPlace((k, _) => k._2 != path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

@@ -78,13 +78,21 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     // mid-write) and a stale tmp from the same crashed tick.
     val torn = new java.io.File(s"$dir/t.parquet"); torn.mkdirs()
     java.nio.file.Files.writeString(torn.toPath.resolve("part-junk.parquet"), "junk")
-    val staleTmp = new java.io.File(s"$dir/t.parquet.tmp-12345-67890"); staleTmp.mkdirs()
+    // Owner pid beyond the kernel's pid range: provably dead, so the
+    // owner-aware sweep (live siblings' tmps survive) must reclaim it.
+    val staleTmp = new java.io.File(s"$dir/t.parquet.tmp-4999999999-67890"); staleTmp.mkdirs()
     java.nio.file.Files.writeString(staleTmp.toPath.resolve("part-old.parquet"), "old")
+    // A LIVE sibling process's in-flight tmp (owner pid alive — pid 1
+    // always exists) must SURVIVE the sweep: deleting it would fail
+    // that process's mid-write.
+    val liveTmp = new java.io.File(s"$dir/t.parquet.tmp-1-1"); liveTmp.mkdirs()
     // refresh=false must NOT reuse the torn dir — no marker, no trust.
     val runs = Dag.materialize(spark, stage, dir, refresh = false)
     assert(!runs.head.skipped && runs.head.rows == 2)
     assert(new java.io.File(s"$dir/t.parquet", Dag.CommitMarker).exists())
     assert(!staleTmp.exists(), "stale tmp swept before the rebuild")
+    assert(liveTmp.exists(), "a live process's tmp is never swept")
+    graft.Fs.rmTree(liveTmp)
     assert(spark.read.parquet(s"$dir/t.parquet").count() == 2)
     // Now committed: the next tick reuses it.
     assert(Dag.materialize(spark, stage, dir, refresh = false).head.skipped)
@@ -152,6 +160,22 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("a partition-layout change rebuilds a committed stage once under refresh=false") {
+    val dir = java.nio.file.Files.createTempDirectory("dag-layout").toString
+    def stages(pb: Seq[String]) = Seq(Dag.Stage("m", Nil, (sp, _) =>
+      sp.range(6).selectExpr("id", "CAST(id % 2 AS STRING) AS par"), partitionBy = pb))
+    assert(!Dag.materialize(spark, stages(Nil), dir).head.skipped)
+    assert(Dag.materialize(spark, stages(Nil), dir, refresh = false).head.skipped)
+    // The layout edit is part of the stamp contract: the committed
+    // unpartitioned table rebuilds ONCE into the declared hive layout…
+    val tick = Dag.materialize(spark, stages(Seq("par")), dir, refresh = false)
+    assert(!tick.head.skipped && tick.head.rows == 6)
+    assert(new java.io.File(s"$dir/m.parquet/par=0").isDirectory)
+    // …then quiesces.
+    assert(Dag.materialize(spark, stages(Seq("par")), dir, refresh = false).head.skipped)
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("wall-features input table: ensure materializes, consumers read it bit-identically") {
     val sf = "/root/testdata/sf0.001"
     WallFeaturesTable.invalidate(sf)
@@ -169,6 +193,12 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     // q93 oracle is unaffected by which path serves a given run.
     val live = Synthetic.wallFeaturesDerived(spark, sf)
     assert(cached.exceptAll(live).count() == 0 && live.exceptAll(cached).count() == 0)
+    // invalidate → re-ensure rebuilds at the SAME fingerprint path with
+    // fresh part-file names: the path memo must evict, or this read
+    // would plan over the deleted files and fail at execution.
+    WallFeaturesTable.invalidate(sf)
+    WallFeaturesTable.ensure(spark, sf)
+    assert(Synthetic.wallFeatures(spark, sf).count() == live.count())
     WallFeaturesTable.invalidate(sf)
   }
 
