@@ -75,6 +75,13 @@ object Dag {
     */
   val CommitMarker = "_graft_commit"
 
+  /** Tmp dirs this JVM is currently writing — the same-pid exclusion
+    * for the stale-tmp sweep (two materialize calls in one JVM may
+    * overlap on a shared workDir; pid alone cannot tell a crashed
+    * earlier tick's tmp from a sibling thread's live one).
+    */
+  private val liveTmps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private[pipeline] def isCommitted(dir: java.io.File): Boolean =
     new java.io.File(dir, CommitMarker).exists() ||
       new java.io.File(dir, "_SUCCESS").exists()
@@ -100,6 +107,13 @@ object Dag {
     * so it can never collide with a dependency name).
     */
   private val LayoutKey = "_partitionBy"
+
+  /** The committed dir's own commit stamp (line 1 of the stamp file) —
+    * the table-identity token [[InputTable]] watches to detect that a
+    * table was REPLACED in place (same path, fresh files).
+    */
+  private[pipeline] def commitStamp(dir: java.io.File): Option[String] =
+    readStamp(dir).map(_._1)
 
   private def readStamp(dir: java.io.File): Option[(String, Map[String, String])] = {
     import scala.jdk.CollectionConverters._
@@ -246,22 +260,29 @@ object Dag {
     if (!skipped) {
       // Sweep stale tmp dirs of THIS stage (crashed ticks). The tmp
       // name embeds the writer's pid: only OUR OWN tmps (a failed
-      // earlier tick of this JVM) and tmps whose owning process is DEAD
-      // (a crashed tick) are swept — a live sibling process may be
+      // earlier tick of this JVM, and not currently in-flight — two
+      // same-JVM materialize calls may overlap, so live tmps register
+      // in [[liveTmps]]) and tmps whose owning process is DEAD (a
+      // crashed tick) are swept — a live sibling process may be
       // mid-write into its tmp right now (the InputTable lock is
       // JVM-local), and deleting it would fail its write after the
       // racedWinner path below exists precisely to let both finish.
+      // Bounded pid digits: an unparseable name is left alone rather
+      // than crashing the tick on Long overflow.
       val TmpOwner = (java.util.regex.Pattern.quote(s"${s.name}.parquet.tmp-") +
-        "(\\d+)-\\d+").r
+        "(\\d{1,18})-\\d+").r
       val selfPid = ProcessHandle.current.pid
       Option(fs.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName match {
+        .filter(f => !liveTmps.contains(f.getAbsolutePath) && (f.getName match {
           case TmpOwner(pid) =>
             pid.toLong == selfPid || ProcessHandle.of(pid.toLong).isEmpty
           case _ => false
-        })
+        }))
         .foreach(graft.Fs.rmTree)
       val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
+      val tmpAbs = new java.io.File(tmp).getAbsolutePath
+      liveTmps.add(tmpAbs)
+      try {
       val upstream = s.deps.map(d =>
         d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
       s.build(spark, upstream).write.mode("overwrite")
@@ -301,6 +322,7 @@ object Dag {
           else throw e
         }
       }
+      } finally liveTmps.remove(tmpAbs)
     }
     // The stage's CURRENT stamp for downstream chain checks: what the
     // committed dir records (ours after a rebuild, the winner's after
@@ -414,12 +436,62 @@ abstract class InputTable(
   private def root(sfDir: String): String =
     s"$tableRoot/${sanitize(sfDir)}_${fingerprint(sfDir)}"
 
+  /** Per-path last-seen commit stamp: the staleness watch. Any caller
+    * that might hand a cached plan over this path (Tables.atPath memo,
+    * a SessionCache entry built over it) goes through a method that
+    * first calls [[watchStamp]], so a table REPLACED IN PLACE — same
+    * fingerprint path, fresh part-file names, whether by this JVM's
+    * invalidate→ensure or by a SIBLING PROCESS's — is detected at the
+    * next resolve and every cached plan over the old files is dropped
+    * before it can be served.
+    */
+  private val seenStamps = scala.collection.mutable.Map.empty[String, String]
+
+  /** Subclass hook: the table at `sfDir` was replaced or removed — drop
+    * any session-level caches holding plans over its old files.
+    */
+  protected def onReplaced(sfDir: String): Unit = ()
+
+  private def watchStamp(sfDir: String, p: String): Unit =
+    Dag.commitStamp(new java.io.File(p)).foreach { st =>
+      if (seenStamps.get(p).exists(_ != st)) {
+        graft.sources.Tables.evictPath(p)
+        onReplaced(sfDir)
+      }
+      seenStamps(p) = st
+    }
+
   /** The committed materialization, if one exists (Dag's commit-marker
     * gate — a partial write never reads back).
     */
-  def materializedPath(sfDir: String): Option[String] = {
+  def materializedPath(sfDir: String): Option[String] = synchronized {
     val p = s"${root(sfDir)}/$tableName.parquet"
-    if (Dag.isCommitted(new java.io.File(p))) Some(p) else None
+    if (Dag.isCommitted(new java.io.File(p))) { watchStamp(sfDir, p); Some(p) }
+    else None
+  }
+
+  /** Sweep fingerprinted dirs under `parent` that are NOT `exclude`:
+    * stale materializations (regenerated testdata, edited derivation).
+    * Guards shared by both call sites: the remainder after the prefix
+    * must be a bare hex fingerprint (sanitize maps '-'/' '/'/' all to
+    * '_', so "…sf0.1_v2_<fp>" of a DIFFERENT corpus also starts with
+    * "…sf0.1_"), and only dirs quiet for over an hour go — another
+    * still-running process may hold scans of a just-superseded
+    * fingerprint (this lock is JVM-local only).
+    */
+  private def sweepStale(parent: java.io.File, prefix: String, exclude: Option[String]): Unit = {
+    val hex = "^[0-9a-f]+$".r
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix)
+        && hex.matches(f.getName.stripPrefix(prefix))
+        && !exclude.contains(f.getName)
+        && f.lastModified() < cutoff)
+      .foreach { f =>
+        graft.Fs.uncommitThenDelete(
+          new java.io.File(f, s"$tableName.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
+        graft.Fs.rmTree(f)
+      }
   }
 
   /** Materialize (or reuse) the table for `sfDir`; returns the parquet
@@ -427,62 +499,36 @@ abstract class InputTable(
     */
   def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String = synchronized {
     val dir = root(sfDir)
-    // Same-sfDir siblings under a DIFFERENT fingerprint are stale
-    // materializations (regenerated testdata, edited derivation) —
-    // sweep them so /tmp doesn't grow one dead table per regeneration.
-    // Two guards keep the sweep from eating LIVE tables: the remainder
-    // after the prefix must be a bare hex fingerprint (sanitize maps
-    // '-'/' '/'/' all to '_', so "…sf0.1_v2_<fp>" of a DIFFERENT corpus
-    // also starts with "…sf0.1_"), and only dirs quiet for over an hour
-    // go — another still-running process may hold scans of a
-    // just-superseded fingerprint (this lock is JVM-local only).
     val prefix = s"${sanitize(sfDir)}_"
-    val hex = "^[0-9a-f]+$".r
-    val cutoff = System.currentTimeMillis() - 3600L * 1000
-    Option(new java.io.File(tableRoot).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix)
-        && hex.matches(f.getName.stripPrefix(prefix))
-        && f.getName != new java.io.File(dir).getName
-        && f.lastModified() < cutoff)
-      .foreach { f =>
-        graft.Fs.uncommitThenDelete(
-          new java.io.File(f, s"$tableName.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
-        graft.Fs.rmTree(f)
-      }
-    // One-time reclamation of the PRE-per-table layout (tables used to
-    // live directly under /tmp/graft_dag/<sanitized>_<fp>): those dirs
-    // are unreachable under the new root and would otherwise leak
-    // sf-scale parquet until reboot. Same guards: bare-hex suffix,
-    // quiet past the grace window.
-    Option(new java.io.File("/tmp/graft_dag").listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix)
-        && hex.matches(f.getName.stripPrefix(prefix))
-        && f.lastModified() < cutoff)
-      .foreach { f =>
-        graft.Fs.uncommitThenDelete(
-          new java.io.File(f, s"$tableName.parquet"), Seq(Dag.CommitMarker, "_SUCCESS"))
-        graft.Fs.rmTree(f)
-      }
+    // Same-sfDir siblings under a DIFFERENT fingerprint, plus the
+    // PRE-per-table legacy layout (tables used to live directly under
+    // /tmp/graft_dag/<sanitized>_<fp> — unreachable under the new root,
+    // they would leak sf-scale parquet until reboot).
+    sweepStale(new java.io.File(tableRoot), prefix, Some(new java.io.File(dir).getName))
+    sweepStale(new java.io.File("/tmp/graft_dag"), prefix, None)
     // Torn writes are Dag.materialize's problem: reuse is marker-gated
     // and writes commit via tmp + atomic rename.
-    val runs = Dag.materialize(spark, dag(sfDir), dir, refresh = false)
+    Dag.materialize(spark, dag(sfDir), dir, refresh = false)
     val p = s"$dir/$tableName.parquet"
-    // A REBUILD at this (fingerprint-stable) path writes fresh
-    // part-file names — drop any session's memoized plan over the old
-    // files (the invalidate → re-ensure sequence).
-    if (runs.exists(!_.skipped)) graft.sources.Tables.evictPath(p)
+    // The stamp watch detects a rebuild here too (our own OR a sibling
+    // process's since the last resolve) and drops cached plans over the
+    // replaced files before any consumer reads through them.
+    watchStamp(sfDir, p)
     p
   }
 
   /** Drop a materialization (spec hook; also the manual invalidation
     * path). Markers go first: a crash mid-delete must leave an
     * UNcommitted dir, never a torn one that still gates as a table.
+    * Caches over the removed files are dropped NOW — consumers fall
+    * back to the live derivation until the next ensure.
     */
   def invalidate(sfDir: String): Unit = synchronized {
     val p = s"${root(sfDir)}/$tableName.parquet"
     graft.Fs.uncommitThenDelete(new java.io.File(p), Seq(Dag.CommitMarker, "_SUCCESS"))
     graft.Fs.rmTree(new java.io.File(root(sfDir)))
     graft.sources.Tables.evictPath(p)
+    onReplaced(sfDir)
   }
 }
 
@@ -494,6 +540,13 @@ abstract class InputTable(
 object DetectionsTable extends InputTable(
     "detections", "lineitem", Synthetic.detectionsSql, version = 1) {
   protected def dag(sfDir: String): Seq[Dag.Stage] = Dag.detectionsDag(sfDir)
+  /** [[Synthetic.detectionsCached]] persists a SCAN of this table under
+    * SessionCache — a replace-in-place (invalidate→ensure, or a sibling
+    * process's rebuild) must drop that entry in every session, or the
+    * next consumer recomputes the cache over deleted part files.
+    */
+  override protected def onReplaced(sfDir: String): Unit =
+    SessionCache.releaseAll(s"detections:$sfDir")
 }
 
 /** The materialized wall-plane FEATURE table (VERDICT r6 ask #4 — the

@@ -100,4 +100,19 @@ object SessionCache {
   def liveKeys(spark: SparkSession): Set[String] = synchronized {
     cache.keysIterator.filter(_._1 eq spark).map(_._2).toSet
   }
+
+  /** Drop `key` for EVERY live session. The input-table rebuilt-in-place
+    * case: the table's files changed identity under the same path, so
+    * any session's entry caching a scan of them is stale — consumers
+    * rebuild through [[getOrPersist]] against the current files.
+    */
+  def releaseAll(key: String): Unit = synchronized {
+    cache.filterInPlace { case ((_, k), e) =>
+      if (k == key) {
+        val d = e.built
+        if (d != null) d.unpersist(blocking = false)
+        false
+      } else true
+    }
+  }
 }

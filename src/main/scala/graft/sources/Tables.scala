@@ -29,6 +29,11 @@ object Tables {
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   private val hooked =
     scala.collection.mutable.Set.empty[SparkSession]
+  /** Bumped by [[evictPath]]; a build that straddles ANY eviction is
+    * served un-memoized (see [[cached]]) so a plan over just-replaced
+    * files can never be inserted after its eviction ran.
+    */
+  private var evictEpoch = 0L
 
   /** Deliberately NOT SessionCache: that machinery exists for builds
     * that run whole Spark JOBS and therefore needs per-entry build
@@ -47,12 +52,17 @@ object Tables {
     * stopped check must see it and the entry is never inserted.
     */
   private def cached(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    synchronized(memo.get((spark, key))) match {
-      case Some(df) => df
-      case None =>
+    synchronized((memo.get((spark, key)), evictEpoch)) match {
+      case (Some(df), _) => df
+      case (None, epoch0) =>
         val df = build
         synchronized {
-          if (spark.sparkContext.isStopped) df
+          // Epoch check: an evictPath that ran while we were building
+          // may have targeted OUR path — memoizing now would resurrect
+          // a plan over the replaced files forever. Serve this result
+          // un-memoized instead (evictions are rare; the next caller
+          // rebuilds and memoizes cleanly).
+          if (spark.sparkContext.isStopped || evictEpoch != epoch0) df
           else {
             if (hooked.add(spark)) {
               spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -84,10 +94,12 @@ object Tables {
     cached(spark, path)(spark.read.parquet(path))
 
   /** Drop every session's memo for `path` (the rebuilt-in-place case
-    * above). Cheap and exact: keys are full paths.
+    * above). Cheap and exact: keys are full paths. Bumps the epoch so
+    * an in-flight build over the old files cannot memoize afterwards.
     */
   private[graft] def evictPath(path: String): Unit = synchronized {
     memo.filterInPlace((k, _) => k._2 != path)
+    evictEpoch += 1
   }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")

@@ -176,6 +176,25 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("detections replace-in-place drops the SessionCache table scan automatically") {
+    val sf = "/root/testdata/sf0.001"
+    DetectionsTable.invalidate(sf)
+    DetectionsTable.ensure(spark, sf)
+    val n = Synthetic.detectionsCached(spark, sf).count()
+    assert(SessionCache.liveKeys(spark).contains(s"detections:$sf"))
+    // invalidate drops the cached scan in every session…
+    DetectionsTable.invalidate(sf)
+    assert(!SessionCache.liveKeys(spark).contains(s"detections:$sf"),
+      "a removed table must not leave a cached plan over its files")
+    // …and after the rebuild (same fingerprint path, FRESH part files)
+    // the consumer reads the new table — without the eviction hooks the
+    // old entry would recompute over deleted files and throw.
+    DetectionsTable.ensure(spark, sf)
+    assert(Synthetic.detectionsCached(spark, sf).count() == n)
+    SessionCache.release(spark, s"detections:$sf")
+    DetectionsTable.invalidate(sf)
+  }
+
   test("wall-features input table: ensure materializes, consumers read it bit-identically") {
     val sf = "/root/testdata/sf0.001"
     WallFeaturesTable.invalidate(sf)
