@@ -176,6 +176,35 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("two same-JVM materialize calls racing one stage both succeed; one table commits") {
+    // The liveTmps registry + racedWinner/rename-catch resolution: two
+    // threads build the same stage over one workDir with refresh=true;
+    // neither may sweep the other's in-flight tmp, and both must
+    // return a consistent committed table.
+    val dir = java.nio.file.Files.createTempDirectory("dag-race").toString
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    val stage = Seq(Dag.Stage("r", Nil, (sp, _) => {
+      gate.await(30, java.util.concurrent.TimeUnit.SECONDS) // both in-flight at once
+      sp.range(9).toDF()
+    }))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val runs = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(
+          scala.concurrent.Future(Dag.materialize(spark, stage, dir)),
+          scala.concurrent.Future(Dag.materialize(spark, stage, dir)))),
+        scala.concurrent.duration.Duration(60, "s"))
+      assert(runs.flatten.forall(r => r.rows == 9 && !r.skipped))
+      assert(Dag.isCommitted(new java.io.File(s"$dir/r.parquet")))
+      assert(spark.read.parquet(s"$dir/r.parquet").count() == 9)
+      // No orphaned tmps survive the race.
+      assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")))
+    } finally pool.shutdown()
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("detections replace-in-place drops the SessionCache table scan automatically") {
     val sf = "/root/testdata/sf0.001"
     DetectionsTable.invalidate(sf)
