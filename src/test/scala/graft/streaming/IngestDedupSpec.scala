@@ -140,6 +140,36 @@ class IngestDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d.close()
   }
 
+  test("restart after auto-compaction rehydrates base + batch segments with state intact") {
+    val ss = spark; import ss.implicits._
+    val statePath = java.nio.file.Files.createTempDirectory("ingest-ac-restart").toString
+    val d1 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
+      statePath = Some(statePath), autoCompactSegments = 2)
+    try {
+      // Four batches with threshold 2: state on disk ends as a compacted
+      // base segment plus the last batch's own segment.
+      for (b <- 1 to 4)
+        assert(d1(Seq((b.toLong, s"h$b")).toDF("doc_id", "digest"), b.toLong).count() == 1)
+      assert(d1.retainedBatchCount <= 3)
+    } finally d1.close()
+    // Driver restart over the same path: everything accepted before —
+    // whether folded into the base or still in a batch segment — must
+    // keep rejecting, and the auto-id high-water must not reset (a
+    // fresh auto-id batch would otherwise supersede an existing one).
+    val d2 = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10,
+      statePath = Some(statePath), autoCompactSegments = 2)
+    try {
+      val got = d2((1 to 4).map(i => (100L + i, s"h$i")).toDF("doc_id", "digest"))
+        .collect()
+      assert(got.isEmpty, s"all pre-restart digests must reject; got ${got.toSeq}")
+      assert(d2(Seq((200L, "fresh")).toDF("doc_id", "digest"))
+        .collect().map(_.getString(1)).toSeq == Seq("fresh"))
+    } finally {
+      d2.close()
+      graft.Fs.rmTree(new java.io.File(statePath))
+    }
+  }
+
   test("explicit batchId is idempotent: a retried batch reproduces its output") {
     val ss = spark; import ss.implicits._
     val d = new IngestDeduper(Seq("A").toDF("digest"), expectedItems = 10)
