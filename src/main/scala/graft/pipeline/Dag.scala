@@ -82,6 +82,15 @@ object Dag {
     */
   private val liveTmps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Per-target commit/read locks (same-JVM): the commit swap and the
+    * post-commit stamp/row read serialize per table path, so a racing
+    * sibling thread can neither delete a just-committed table out from
+    * under another thread's footer read nor tear the reported
+    * stamp/rows. Cross-process racers still resolve through the
+    * racedWinner/rename protocol below (that window is unavoidable).
+    */
+  private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[pipeline] def isCommitted(dir: java.io.File): Boolean =
     new java.io.File(dir, CommitMarker).exists() ||
       new java.io.File(dir, "_SUCCESS").exists()
@@ -302,34 +311,45 @@ object Dag {
       // CHANGED from what we read at the skip check AND whose chain
       // matches our upstream stamps (identical build inputs ⇒
       // identical content): reuse it and drop ours. An unchanged
-      // stamp is the stale table we set out to replace.
-      val nowStamp = readStamp(new java.io.File(path))
-      val racedWinner = isCommitted(new java.io.File(path)) &&
-        nowStamp.exists { case (own2, chain) =>
-          !recorded.map(_._1).contains(own2) && chain == expectedChain
-        }
-      if (racedWinner) graft.Fs.rmTree(new java.io.File(tmp))
-      else {
-        graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
-        try java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case e: java.nio.file.FileSystemException =>
-          // Target reappeared inside the unavoidable delete→rename
-          // window. If the winner's table is committed, reuse it and
-          // drop ours; anything else is a real failure.
-          if (isCommitted(new java.io.File(path))) graft.Fs.rmTree(new java.io.File(tmp))
-          else throw e
+      // stamp is the stale table we set out to replace. Same-JVM
+      // racers serialize on the path lock, so the check-then-swap is
+      // atomic against them.
+      pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
+        val nowStamp = readStamp(new java.io.File(path))
+        val racedWinner = isCommitted(new java.io.File(path)) &&
+          nowStamp.exists { case (own2, chain) =>
+            !recorded.map(_._1).contains(own2) && chain == expectedChain
+          }
+        if (racedWinner) graft.Fs.rmTree(new java.io.File(tmp))
+        else {
+          graft.Fs.uncommitThenDelete(new java.io.File(path), Seq(CommitMarker, "_SUCCESS"))
+          try java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case e: java.nio.file.FileSystemException =>
+            // Target reappeared inside the unavoidable delete→rename
+            // window (a sibling PROCESS — same-JVM racers hold the
+            // lock). If the winner's table is committed, reuse it and
+            // drop ours; anything else is a real failure.
+            if (isCommitted(new java.io.File(path))) graft.Fs.rmTree(new java.io.File(tmp))
+            else throw e
+          }
         }
       }
       } finally liveTmps.remove(tmpAbs)
     }
     // The stage's CURRENT stamp for downstream chain checks: what the
     // committed dir records (ours after a rebuild, the winner's after
-    // a lost race, the legacy-root sentinel otherwise).
-    val ownStamp = readStamp(new java.io.File(path)).map(_._1).getOrElse("legacy")
-    val rows = footerRowCount(new java.io.File(path))
-    (StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped), ownStamp)
+    // a lost race, the legacy-root sentinel otherwise). Under the path
+    // lock: a same-JVM racer between its delete and rename must not be
+    // mid-swap during this read — footerRowCount over a half-deleted
+    // dir would throw or report 0, and a torn stamp would poison the
+    // downstream chain.
+    pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val ownStamp = readStamp(new java.io.File(path)).map(_._1).getOrElse("legacy")
+      val rows = footerRowCount(new java.io.File(path))
+      (StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped), ownStamp)
+    }
   }
 
   /** The detections derivation alone, as a one-stage DAG — the input-
@@ -436,35 +456,54 @@ abstract class InputTable(
   private def root(sfDir: String): String =
     s"$tableRoot/${sanitize(sfDir)}_${fingerprint(sfDir)}"
 
-  /** Per-path last-seen commit stamp: the staleness watch. Any caller
-    * that might hand a cached plan over this path (Tables.atPath memo,
-    * a SessionCache entry built over it) goes through a method that
-    * first calls [[watchStamp]], so a table REPLACED IN PLACE — same
-    * fingerprint path, fresh part-file names, whether by this JVM's
-    * invalidate→ensure or by a SIBLING PROCESS's — is detected at the
-    * next resolve and every cached plan over the old files is dropped
-    * before it can be served.
+  /** Per-path last-seen commit stamp: the staleness watch. A table
+    * REPLACED IN PLACE — same fingerprint path, fresh part-file names,
+    * whether by this JVM's invalidate→ensure or by a SIBLING PROCESS's
+    * — is detected at the next [[watchStamp]] call and every cached
+    * plan over the old files is dropped before being served. Detection
+    * points: every [[materializedPath]] resolve (per-consumer for
+    * plain readers like wallFeatures) and every [[ensure]] (sweep
+    * start for SessionCache-wrapped readers like detectionsCached,
+    * whose cache hit legitimately short-circuits the resolve — so a
+    * sibling replacing MID-sweep is out of contract there, the same
+    * exposure any shared-/tmp mutation under a running query has).
     */
   private val seenStamps = scala.collection.mutable.Map.empty[String, String]
+  /** Guards [[seenStamps]] alone — NOT the object monitor: [[ensure]]
+    * holds that across an entire Spark materialization, and a consumer
+    * resolving mid-ensure must fall back to the live derivation
+    * immediately, not block behind the build (it did, briefly, when
+    * materializedPath synchronized on the object).
+    */
+  private val stampLock = new Object
 
   /** Subclass hook: the table at `sfDir` was replaced or removed — drop
     * any session-level caches holding plans over its old files.
     */
   protected def onReplaced(sfDir: String): Unit = ()
 
-  private def watchStamp(sfDir: String, p: String): Unit =
-    Dag.commitStamp(new java.io.File(p)).foreach { st =>
-      if (seenStamps.get(p).exists(_ != st)) {
-        graft.sources.Tables.evictPath(p)
-        onReplaced(sfDir)
-      }
+  private def watchStamp(sfDir: String, p: String): Unit = {
+    // A marker-committed dir with no stamp file is a legacy commit:
+    // record a sentinel so a later REPLACEMENT by a stamped table
+    // still reads as a change (None-vs-None first-seen would not).
+    val st = Dag.commitStamp(new java.io.File(p)).getOrElse("legacy-unstamped")
+    val replaced = stampLock.synchronized {
+      val r = seenStamps.get(p).exists(_ != st)
       seenStamps(p) = st
+      r
     }
+    if (replaced) {
+      graft.sources.Tables.evictPath(p)
+      onReplaced(sfDir)
+    }
+  }
 
   /** The committed materialization, if one exists (Dag's commit-marker
-    * gate — a partial write never reads back).
+    * gate — a partial write never reads back). Deliberately NOT under
+    * the object monitor (see [[stampLock]]): a resolve during a
+    * concurrent ensure returns instantly.
     */
-  def materializedPath(sfDir: String): Option[String] = synchronized {
+  def materializedPath(sfDir: String): Option[String] = {
     val p = s"${root(sfDir)}/$tableName.parquet"
     if (Dag.isCommitted(new java.io.File(p))) { watchStamp(sfDir, p); Some(p) }
     else None

@@ -105,6 +105,14 @@ object SessionCache {
     * case: the table's files changed identity under the same path, so
     * any session's entry caching a scan of them is stale — consumers
     * rebuild through [[getOrPersist]] against the current files.
+    * Residual edge (same family as Entry.df's release-during-build
+    * note): a build in flight DURING this call completes over the old
+    * files, and because its plan is NOT sameResult with the successor's
+    * (different file listing), its self-unpersist guard retains the
+    * orphan's storage until application end — bounded at one stale
+    * entry per replace, and a replace only happens through
+    * invalidate/ensure, which the harnesses run between sweeps, not
+    * under live queries.
     */
   def releaseAll(key: String): Unit = synchronized {
     cache.filterInPlace { case ((_, k), e) =>
