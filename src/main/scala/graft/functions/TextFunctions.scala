@@ -34,6 +34,17 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"))
 
+  /** Scrub patterns for the q74 redaction pass. Both are RE2-safe (no
+    * backreferences/lookaround) so Java regex (Spark) and RE2 (DuckDB)
+    * match identically. Email is the canonical PII shape — it fires
+    * nowhere in the synthetic corpus, and the count column proves that
+    * negative end-to-end; the denylist is the configurable knob that
+    * DOES fire here, exercising count + replace on real rows. A real
+    * deployment swaps patterns (phone, SSN, credit-card), not plumbing.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val DenyPattern  = "\\b(customer|supplier|vector)\\b"
+
   /** Whitespace tokenization of the lowercased text; empty tokens from
     * leading/trailing/repeated whitespace are dropped so the array is
     * identical to DuckDB's regexp_split_to_array + list_filter.

@@ -421,6 +421,76 @@ object TextAnalysis {
             .as("rep_ratio"))
         .orderBy(col("doc_id"))),
 
+    // ── PII/denylist scrubbing: the redaction pass every training-data
+    // pipeline runs before text leaves curation — count pattern hits,
+    // replace them with redaction tokens, and fingerprint the scrubbed
+    // text so downstream stages can verify they received the scrubbed
+    // version. Two patterns: the email regex (canonical PII shape; hits
+    // nothing in this synthetic corpus — the all-zero count column
+    // proves the negative through the full compare) and a term denylist
+    // that DOES fire, so replace+count are exercised on real rows. Pure
+    // codegen'd regexp column ops — map-only at any scale, no shuffle;
+    // patterns are RE2-safe so both engines match identically.
+    QueryDef(
+      "q74_scrub_redact",
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '${TF.EmailPattern}')) AS n_email,
+                 len(regexp_extract_all(text, '${TF.DenyPattern}')) AS n_deny,
+                 regexp_replace(regexp_replace(text, '${TF.EmailPattern}', '[EMAIL]', 'g'),
+                                '${TF.DenyPattern}', '[TERM]', 'g') AS scrubbed
+          FROM documents)
+        SELECT doc_id, n_email, n_deny,
+               length(scrubbed)::BIGINT AS n_chars_scrubbed,
+               ${TS.fingerprintExpr("scrubbed")} AS scrubbed_fp
+        FROM s ORDER BY doc_id"""))( (spark, dir) =>
+      documents(spark, dir)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(TF.EmailPattern))
+            .cast("long").as("n_email"),
+          regexp_count(col("text"), lit(TF.DenyPattern))
+            .cast("long").as("n_deny"),
+          regexp_replace(
+            regexp_replace(col("text"), TF.EmailPattern, "[EMAIL]"),
+            TF.DenyPattern, "[TERM]").as("scrubbed"))
+        .select(col("doc_id"), col("n_email"), col("n_deny"),
+          length(col("scrubbed")).cast("long").as("n_chars_scrubbed"),
+          TF.fingerprint(col("scrubbed")).as("scrubbed_fp"))
+        .orderBy(col("doc_id"))),
+
+    // ── Per-source document cap: the domain-balancing step of corpus
+    // curation — no source may contribute more than K documents, and the
+    // K kept are the best by quality score (q31's exact spelling, rounded
+    // to the 6dp both engines agree on, doc_id tie-break). One shuffle by
+    // source for the window; the qrank<=K filter over row_number is
+    // recognized by Spark's WindowGroupLimit rule, which keeps only K
+    // rows per group BEFORE the shuffle's sort on each map task — so at
+    // 100 TB a giant source never materializes its full partition just
+    // to discard all but K rows.
+    QueryDef(
+      "q79_source_cap",
+      Some(s"""
+        WITH t AS (SELECT doc_id, source, text, ${TS.toksExpr("text")} AS toks FROM documents),
+        q AS (SELECT doc_id, source, round(${TS.qualityExpr("text", "toks")}, 6) AS quality FROM t),
+        r AS (SELECT doc_id, source, quality,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS qrank
+              FROM q)
+        SELECT doc_id, source, quality, qrank FROM r
+        WHERE qrank <= 15 ORDER BY doc_id"""))( (spark, dir) => {
+      val q = documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          round(TF.qualityScore(col("text"), col("toks")), 6).as("quality"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("qrank", row_number().over(w).cast("long"))
+        .filter(col("qrank") <= 15)
+        .orderBy(col("doc_id"))
+    }),
+
     // ── TF-IDF: per-document top term by tf·idf weight — two-pass agg
     // (doc-frequency broadcast back onto the term explosion).
     QueryDef(

@@ -48,6 +48,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q50_knn_brute").contains("WindowGroupLimit"))
   }
 
+  test("q79: per-source cap pushes the rank limit below the window shuffle") {
+    // The qrank <= 15 filter over row_number must plan a WindowGroupLimit:
+    // each map task keeps only 15 rows per source BEFORE the shuffle, so
+    // a giant source never materializes its full partition at scale.
+    assert(planOf("q79_source_cap").contains("WindowGroupLimit"))
+  }
+
+  test("q74: scrub pass is map-only — no key shuffle anywhere") {
+    val p = planOf("q74_scrub_redact")
+    // The redaction (counts + replaces + fingerprint) adds NO exchange of
+    // its own: the only ones allowed are the reader's round-robin scan
+    // fan-out and the final ORDER BY's range repartition — never a
+    // hashpartitioning (per-key shuffle) step.
+    assert(!p.contains("hashpartitioning"), s"scrub must stay map-only:\n$p")
+  }
+
   test("q78: rate table broadcasts onto the corpus — no corpus-side merge join") {
     val p = planOf("q78_mix_sample")
     assert(p.contains("BroadcastHashJoin"), "rates must broadcast")
