@@ -60,6 +60,22 @@ object DedupFunctions {
         (element_at(sig, b * R + 1) * P + element_at(sig, b * R + 2)).as("key"))
     }: _*)
 
+  /** (doc_id, shingles) → the exploded LSH band relation (doc_id, band,
+    * key): signature kernel + band explode in one place, shared by the
+    * q42/q69 session cache and the streaming [[graft.streaming.NearDupIngestDeduper]]
+    * so the banding scheme has exactly one spelling. A document whose
+    * shingle set is EMPTY (fewer than n tokens) produces null band keys
+    * (array_min over nothing), and null keys never equi-join — such
+    * docs are structurally candidate-free, which is the right semantics
+    * for a doc with no n-gram identity.
+    */
+  def bandRows(shingleRel: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    shingleRel
+      .select(col("doc_id"),
+        minhashSignature(TextFunctions.shingleHashes(col("shingles"))).as("sig"))
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
   /** Set Jaccard of two string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

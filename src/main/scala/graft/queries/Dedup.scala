@@ -74,11 +74,7 @@ object Dedup {
     */
   private[queries] def minhashBands(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.pipeline.SessionCache.getOrPersist(spark, s"mhBands:$dir") {
-      shingleSets(spark, dir)
-        .select(col("doc_id"),
-          DF.minhashSignature(TF.shingleHashes(col("shingles"))).as("sig"))
-        .select(col("doc_id"), explode(DF.bandKeys(col("sig"))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      DF.bandRows(shingleSets(spark, dir))
     }
 
   /** 5-token shingle sets (decontamination granularity), persisted per

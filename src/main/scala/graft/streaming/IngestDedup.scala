@@ -49,15 +49,12 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * corpus snapshot periodically is the complementary table-maintenance
   * job — neither is a correctness dependency.
   *
-  * Commit discipline — NOTHING committed is deleted before its
-  * replacement commits: every commit (batch or compaction) writes to a
-  * fresh `.tmp` and renames it to a FRESH segment name (`b<id>_<seq>` /
-  * `base_<seq>`, seq strictly increasing), then superseded segments are
-  * deleted best-effort AFTER the driver state points at the new one. A
-  * crash in any window leaves either the old segments, or old + new —
-  * and duplicate accepted rows across segments are harmless to the
-  * rejection semi join, so restart-rehydration over the union is exact
-  * in every case.
+  * Commit discipline, rehydration, and segment retirement live in
+  * [[SegmentStore]] (extracted round 8, shared with
+  * [[NearDupIngestDeduper]]): nothing committed is deleted before its
+  * replacement commits, so duplicate accepted rows across segments can
+  * exist after a crash window — harmless to the rejection semi join,
+  * and restart-rehydration over the union is exact in every case.
   *
   * Retries: `apply(batch, batchId)` (the foreachBatch signature) is
   * idempotent — a re-run of a batchId excludes that batch's own prior
@@ -93,101 +90,11 @@ final class IngestDeduper(
   private val stateSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("digest", StringType)))
 
-  /** Segment dirs live under here; removed in [[close]] only when this
-    * deduper created it (a caller-provided path is theirs).
+  /** Segment commit/rehydrate/retire state machine (shared with
+    * [[NearDupIngestDeduper]]); this deduper's segments are FLAT — the
+    * accepted (doc_id, digest) parquet lives at the segment root.
     */
-  private val selfOwnedState = statePath.isEmpty
-  private val stateDir: String = statePath.getOrElse(
-    java.nio.file.Files.createTempDirectory("ingest-dedup-state-").toString)
-
-  private val BatchSeg = "^b(\\d{1,18})_(\\d{1,18})$".r // ASCII digits only
-  // base_<commitSeq>_<nextAutoId>: the auto-id high-water rides in the
-  // name because compaction erases the per-batch segments it would
-  // otherwise be recovered from.
-  private val BaseSeg = "^base_(\\d{1,18})_(\\d{1,18})$".r
-  private val TmpSeg = "^t(\\d{1,18})\\.tmp$".r
-
-  /** Our own commit marker, independent of the Hadoop committer's
-    * `_SUCCESS` convention (which `marksuccessfuljobs=false` disables).
-    */
-  private val CommitMarker = "_graft_commit"
-
-  /** Commit a fully-written tmp dir as segment `dir`: stamp the marker,
-    * then atomically rename. ATOMIC_MOVE (not `File.renameTo`) so a
-    * cross-device statePath fails with a real error message instead of a
-    * bare `false`; statePath must live on one filesystem — a real
-    * deployment would go through the FileSystem API / a committer.
-    */
-  private def commitSegment(tmp: String, dir: String): Unit = {
-    java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
-
-  /** batchId → latest committed segment dir; plus the base segments
-    * compaction produced. The ONLY per-segment driver state is one path
-    * string (the accepted digests themselves live in the table).
-    * REHYDRATED from the on-disk layout when a caller-provided
-    * statePath already holds committed segments — a restarted stream
-    * (driver crash, redeploy) must keep rejecting everything accepted
-    * before the restart, which is the point of table-backed state.
-    * Foreign directory names are ignored, never parsed blindly; for a
-    * batchId with several committed attempts (a crash between commit
-    * and cleanup) the attempts hold identical rows — foreachBatch
-    * replays the same offsets sequentially — so keeping the latest and
-    * best-effort-deleting the rest loses nothing.
-    */
-  private val batchDirs = scala.collection.mutable.SortedMap.empty[Long, String]
-  private var baseDirs: List[String] = Nil
-  private var commitSeq = 0L
-  private var nextAutoId = 0L
-  locally {
-    val committed = scala.collection.mutable.Map.empty[Long, (Long, java.io.File)]
-    val kids = new java.io.File(stateDir).listFiles()
-    if (kids != null) kids.foreach { f =>
-      // Orphaned write-side temp dirs (a crash between the parquet write
-      // and the commit rename) are by construction uncommitted — sweep
-      // them here so a long-lived caller-provided statePath doesn't leak
-      // one batch of parquet per crash forever.
-      f.getName match {
-        case TmpSeg(_) if f.isDirectory => rmTree(f)
-        case _ => ()
-      }
-      // A segment counts as committed when it carries OUR marker
-      // (written just before the rename): relying on the committer's
-      // `_SUCCESS` alone would silently drop ALL accepted state on
-      // restart under `marksuccessfuljobs=false` — a silent re-accept
-      // instead of a loud failure. A `_SUCCESS`-only dir matching our
-      // name pattern is a LEGACY commit (written before the marker
-      // existed — the old code both required and produced `_SUCCESS`),
-      // accepted once and stamped so the upgrade path never discards
-      // committed state either.
-      val hasMarker = f.isDirectory && new java.io.File(f, CommitMarker).exists()
-      val legacy = f.isDirectory && !hasMarker && new java.io.File(f, "_SUCCESS").exists()
-      if (legacy && (BatchSeg.matches(f.getName) || BaseSeg.matches(f.getName)))
-        try java.nio.file.Files.createFile(f.toPath.resolve(CommitMarker))
-        catch { case _: java.io.IOException => () } // best-effort stamp
-      if (hasMarker || legacy) f.getName match {
-        case BatchSeg(id, seq) =>
-          val (i, s) = (id.toLong, seq.toLong)
-          commitSeq = math.max(commitSeq, s + 1)
-          nextAutoId = math.max(nextAutoId, i + 1)
-          committed.get(i) match {
-            case Some((prevSeq, prev)) if prevSeq < s =>
-              committed(i) = (s, f); rmTree(prev) // stale attempt, same rows
-            case Some(_) => rmTree(f)
-            case None => committed(i) = (s, f)
-          }
-        case BaseSeg(seq, hiId) =>
-          commitSeq = math.max(commitSeq, seq.toLong + 1)
-          nextAutoId = math.max(nextAutoId, hiId.toLong)
-          baseDirs = f.toString :: baseDirs
-        case _ => () // not ours
-      }
-    }
-    committed.foreach { case (id, (_, f)) => batchDirs(id) = f.toString }
-  }
+  private val store = new SegmentStore(statePath)
 
   /** Accepted rows of this batch: (doc_id, digest), new against corpus,
     * prior batches, and itself. The returned relation is a lazy leaf
@@ -196,7 +103,7 @@ final class IngestDeduper(
     * self-owned state dir; materialize first if held across those.
     */
   def apply(batch: DataFrame): DataFrame = synchronized {
-    runBatch(batch, nextAutoId)
+    runBatch(batch, store.nextAutoId)
   }
 
   /** foreachBatch-shaped entry point: idempotent per batchId (see class
@@ -207,14 +114,12 @@ final class IngestDeduper(
   }
 
   private def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
-    // The recovery regex can only read back what it can parse — refuse
-    // to commit state a restart would silently drop.
-    require(batchId >= 0 && batchId <= 999999999999999999L,
-      s"batchId $batchId outside the recoverable range [0, 10^18)")
+    // Refuse unparseable ids BEFORE any Spark work (the recovery regex
+    // can only read back what it can parse).
+    store.checkBatchId(batchId)
     // A retry of the same batchId must not see its own earlier attempt;
     // everything committed stays on disk until the replacement commits.
-    val priorDirs = baseDirs ++ (batchDirs - batchId).values
-    val tmp = s"$stateDir/t$commitSeq.tmp"
+    val priorDirs = store.priorDirs(excluding = batchId)
     val b = batch.filter(col("digest").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
         col("digest").cast("string").as("digest"))
@@ -224,40 +129,30 @@ final class IngestDeduper(
     // try/finally: a failed micro-batch (executor loss, fetch failure)
     // retries through foreachBatch — without the finally each attempt
     // would leak one persisted batch relation for the stream's life.
-    try {
-      val maybeDigests = b
-        .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
-        .select(col("digest")).distinct()
-      val batchDigests = b.select(col("digest"))
-      val acceptedPrior =
-        if (priorDirs.isEmpty) spark.createDataFrame(spark.emptyDataFrame.rdd, stateSchema)
-        else spark.read.schema(stateSchema).parquet(priorDirs: _*)
-      val present = corpus
-        .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
-        .unionByName(acceptedPrior.select(col("digest"))
-          .join(broadcast(batchDigests), Seq("digest"), "left_semi"))
-        .distinct()
-      b.join(broadcast(present), Seq("digest"), "left_anti")
-        .select(col("doc_id"), col("digest"))
-        .write.mode("overwrite").parquet(tmp)
-    } finally b.unpersist(blocking = false)
-    // Commit to a FRESH segment name (never renaming onto an existing
-    // dir — no delete-before-commit window), then retire the superseded
-    // attempt best-effort.
-    val dir = s"$stateDir/b${batchId}_$commitSeq"
-    commitSegment(tmp, dir)
-    commitSeq += 1
-    nextAutoId = math.max(nextAutoId, batchId + 1)
-    val superseded = batchDirs.get(batchId)
-    batchDirs(batchId) = dir
-    superseded.foreach(d => rmTree(new java.io.File(d)))
+    val dir =
+      try store.commitBatch(batchId) { tmp =>
+        val maybeDigests = b
+          .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
+          .select(col("digest")).distinct()
+        val batchDigests = b.select(col("digest"))
+        val acceptedPrior =
+          if (priorDirs.isEmpty) spark.createDataFrame(spark.emptyDataFrame.rdd, stateSchema)
+          else spark.read.schema(stateSchema).parquet(priorDirs: _*)
+        val present = corpus
+          .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
+          .unionByName(acceptedPrior.select(col("digest"))
+            .join(broadcast(batchDigests), Seq("digest"), "left_semi"))
+          .distinct()
+        b.join(broadcast(present), Seq("digest"), "left_anti")
+          .select(col("doc_id"), col("digest"))
+          .write.mode("overwrite").parquet(tmp)
+      } finally b.unpersist(blocking = false)
     // Auto-compaction: fold everything EXCEPT the segment just
     // committed — the relation returned below stays a valid leaf read,
     // and a foreachBatch retry of THIS batchId keeps its idempotence
     // (its own segment is still excluded-and-superseded on the retry).
-    if (autoCompactSegments > 0 &&
-        batchDirs.size + baseDirs.size > autoCompactSegments)
-      compactExcept(Some(batchId))
+    if (autoCompactSegments > 0 && store.segmentCount > autoCompactSegments)
+      compactFold(Some(batchId))
     spark.read.schema(stateSchema).parquet(dir)
   }
 
@@ -266,9 +161,7 @@ final class IngestDeduper(
     * driver structure to measure).
     */
   private[streaming] def retainedBatchCount: Int =
-    synchronized(batchDirs.size + baseDirs.size)
-
-  private def rmTree(f: java.io.File): Unit = graft.Fs.rmTree(f)
+    synchronized(store.segmentCount)
 
   /** The segment-maintenance job the class notes promise: fold every
     * committed segment into ONE base segment, so the per-batch
@@ -287,32 +180,22 @@ final class IngestDeduper(
     * returned for pre-compaction batches are superseded — materialize
     * them first if still needed.
     */
-  def compact(): Unit = synchronized { compactExcept(None) }
+  def compact(): Unit = synchronized { compactFold(None) }
 
   /** The fold itself; `keep` excludes one batch's segment (the auto-
     * compaction path: the just-committed batch stays a standalone
     * segment so its returned relation and its retry contract survive).
     * Caller holds the monitor.
     */
-  private def compactExcept(keep: Option[Long]): Unit = {
-    val fold = keep.fold(batchDirs.toList)(k => (batchDirs - k).toList)
-    if (fold.size + baseDirs.size > 1) {
-      val olds = baseDirs ++ fold.map(_._2)
-      val tmp = s"$stateDir/t$commitSeq.tmp"
+  private def compactFold(keep: Option[Long]): Unit =
+    store.compactExcept(keep) { (olds, tmp) =>
       // distinct(): segments can hold exact row duplicates after a
       // crash between a commit and its cleanup (same batch replayed ⇒
       // identical rows) — fold them here so a crash window costs
       // nothing for the stream's remaining life.
       spark.read.schema(stateSchema).parquet(olds: _*).distinct()
         .write.mode("overwrite").parquet(tmp) // materializes before the swap
-      val dir = s"$stateDir/base_${commitSeq}_$nextAutoId"
-      commitSegment(tmp, dir)
-      commitSeq += 1
-      baseDirs = List(dir)
-      fold.foreach { case (id, _) => batchDirs.remove(id): Unit }
-      olds.foreach(d => rmTree(new java.io.File(d)))
     }
-  }
 
   /** Release the corpus cache and (when self-created) the state dir.
     * NOTE: relations returned by [[apply]] are lazy leaf reads over the
@@ -323,6 +206,6 @@ final class IngestDeduper(
     */
   def close(): Unit = synchronized {
     corpus.unpersist(blocking = false)
-    if (selfOwnedState) rmTree(new java.io.File(stateDir))
+    store.close()
   }
 }

@@ -1,0 +1,216 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType, StructField, StructType}
+import graft.functions.{DedupFunctions => DF, TextFunctions => TF}
+
+/** Streaming NEAR-dup ingest: the continuous form of q69's incremental
+  * MinHash/LSH check, running the SAME hash family, shingling, and
+  * banding as the batch queries (q41/q42/q69 — one spelling, via
+  * [[graft.functions.DedupFunctions.bandRows]]). Each micro-batch of
+  * (doc_id, text) keeps only documents that are NOT near-duplicates
+  * (Jaccard ≥ `threshold` on 3-token shingle sets) of the persistent
+  * corpus, of anything accepted in an earlier batch, or of a smaller-id
+  * document in the same batch.
+  *
+  * Flow per batch — the q69 probe shape, plus table-backed state:
+  *   1. batch docs → shingle sets → MinHash band keys (map-only; a
+  *      micro-batch, so this relation is small by construction);
+  *   2. CANDIDATES = docs sharing ≥1 band with a batch doc, from three
+  *      places: the corpus band index, the accepted-state band index,
+  *      and the batch itself (smaller-id side only). The two big sides
+  *      are scanned and pruned MAP-SIDE against the broadcast batch
+  *      bands — neither the corpus nor the accepted state ever
+  *      shuffles (BandIndexBucketingSpec's layout claim: at scale the
+  *      corpus index is a bucketed table and this probe plans zero
+  *      corpus-side exchanges);
+  *   3. VERIFY: only candidate pairs pay the exact Jaccard — the big
+  *      shingle relations are scanned once each, joined map-side
+  *      against the broadcast (candidate ids × batch shingles) set;
+  *   4. accepted rows (shingles + their band keys) are WRITTEN to the
+  *      state segment and the returned relation is a leaf read of that
+  *      committed segment. Doc BODIES never enter the state table —
+  *      state is shingles and band keys only, the same "text never
+  *      enters a handoff table" rule as the curation DAG.
+  *
+  * Within-batch policy: a doc is rejected when a verified near-dup
+  * SMALLER id exists in the same batch — one round of q55's min-label
+  * rule (a node with a smaller neighbor is not its component's min).
+  * Chains inside one micro-batch (B dups A, C dups B but not A) keep
+  * only the component head, matching q55's cluster-collapse semantics,
+  * not sequential-greedy's "C survives because B died" — micro-batches
+  * are small, and full transitive resolution over the accumulated state
+  * is q55's periodic batch kernel, not a per-batch job.
+  *
+  * Recall contract (exactly q42/q69's): rejection is exact over the
+  * LSH CANDIDATE set — a true near-dup pair missed by every band is not
+  * seen (the banding's recall is itself differentially verified by
+  * q42/q69's oracles). Docs with FEWER than 3 tokens have an empty
+  * shingle set, hence no n-gram identity: they produce null band keys,
+  * are never candidates, and are always accepted.
+  *
+  * Scale notes: the corpus shingle/band relations are persisted here at
+  * construction (one corpus pass builds the index — "written once per
+  * corpus version", q69's artifact). At 100 TB both live as bucketed
+  * parquet tables instead; every per-batch plan above already treats
+  * them as scan-only (map-side pruned, never shuffled), so swapping the
+  * persist for a bucketed read changes no join shape. Driver state is
+  * one path string per segment ([[SegmentStore]]); per-batch broadcasts
+  * are bounded by micro-batch size × candidate count, never by corpus
+  * size.
+  *
+  * Commit discipline, rehydration, retries, compaction: all inherited
+  * from [[SegmentStore]] — `apply(batch, batchId)` is idempotent per
+  * batchId, restart over a caller-provided statePath rehydrates, and
+  * `autoCompactSegments` bounds segment fan-out exactly as in
+  * [[IngestDeduper]].
+  */
+final class NearDupIngestDeduper(
+    corpusShingles: DataFrame, // (doc_id, shingles array<string>), distinct shingles
+    threshold: Double = 0.5,
+    statePath: Option[String] = None,
+    autoCompactSegments: Int = 0)
+    extends Serializable {
+
+  private val spark = corpusShingles.sparkSession
+
+  private val corpusSh = corpusShingles
+    .select(col("doc_id").cast("long").as("doc_id"), col("shingles"))
+    .persist()
+  /** The corpus band index — q69's persistent artifact, built in one
+    * pass at construction.
+    */
+  private val corpusBands = DF.bandRows(corpusSh).persist()
+
+  private val shSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shingles", ArrayType(StringType))))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("band", IntegerType),
+    StructField("key", LongType)))
+
+  private val store = new SegmentStore(statePath)
+
+  /** Shingle relation of a batch of (doc_id, text): null texts are
+    * dropped explicitly up front (no text ⇒ no shingle identity to
+    * dedup on; silent three-valued filtering would lose them without a
+    * trace), duplicate ids are the caller's contract violation.
+    */
+  private def shingleRel(batch: DataFrame): DataFrame =
+    batch.filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
+
+  /** Accepted documents of this batch: (doc_id, shingles), near-dup-free
+    * against corpus, prior batches, and smaller batch ids. Leaf read of
+    * the committed segment — same stability contract as
+    * [[IngestDeduper.apply]].
+    */
+  def apply(batch: DataFrame): DataFrame = synchronized {
+    runBatch(batch, store.nextAutoId)
+  }
+
+  /** foreachBatch-shaped entry point: idempotent per batchId. */
+  def apply(batch: DataFrame, batchId: Long): DataFrame = synchronized {
+    runBatch(batch, batchId)
+  }
+
+  private def emptyOr(dirs: Seq[String], schema: StructType): DataFrame =
+    if (dirs.isEmpty) spark.createDataFrame(spark.emptyDataFrame.rdd, schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+
+  private def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
+    store.checkBatchId(batchId)
+    val priorDirs = store.priorDirs(excluding = batchId)
+    // Persisted: consumed by the band build, three verify arms, and the
+    // anti join; recomputing the shingle kernel per consumer would also
+    // re-read the (possibly already-gone) streaming source.
+    val b = shingleRel(batch).persist()
+    val bBands = DF.bandRows(b).persist()
+    val dir =
+      try store.commitBatch(batchId) { tmp =>
+        val priorSh = emptyOr(priorDirs.map(_ + "/sh"), shSchema)
+        val priorBands = emptyOr(priorDirs.map(_ + "/bands"), bandSchema)
+
+        // Candidate batch↔big pairs: the big band index is scanned and
+        // pruned map-side by the broadcast batch bands (never shuffled).
+        def candsAgainst(big: DataFrame): DataFrame =
+          big.as("c").join(broadcast(bBands.as("p")),
+              col("c.band") === col("p.band") && col("c.key") === col("p.key"))
+            .select(col("p.doc_id").as("b_id"), col("c.doc_id").as("c_id"))
+            .distinct()
+
+        // Exact verify: candidate ids pick up the batch doc's shingles
+        // (broadcast — bounded by candidates × shingle size), then the
+        // big shingle relation is scanned once, joined map-side.
+        def verified(cands: DataFrame, bigSh: DataFrame): DataFrame = {
+          val withB = cands
+            .join(b.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+          bigSh.select(col("doc_id").as("c_id"), col("shingles").as("c_sh"))
+            .join(broadcast(withB), "c_id")
+            .filter(DF.jaccard(col("b_sh"), col("c_sh")) >= threshold)
+            .select(col("b_id"))
+        }
+
+        // Within-batch: both sides tiny; smaller-id partner rejects.
+        val selfCands = bBands.as("x").join(bBands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") > col("y.doc_id"))
+          .select(col("x.doc_id").as("b_id"), col("y.doc_id").as("c_id"))
+          .distinct()
+
+        val rejected = verified(candsAgainst(corpusBands), corpusSh)
+          .unionByName(verified(candsAgainst(priorBands), priorSh))
+          .unionByName(verified(selfCands, b))
+          .distinct()
+
+        b.join(broadcast(rejected.withColumnRenamed("b_id", "doc_id")),
+            Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$tmp/sh")
+        // Band rows of exactly what was written (read back, semi join
+        // the persisted batch bands): the state index can never drift
+        // from the state shingles, even across a partial failure.
+        bBands.join(
+            broadcast(spark.read.schema(shSchema).parquet(s"$tmp/sh")
+              .select(col("doc_id"))),
+            Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$tmp/bands")
+      } finally {
+        bBands.unpersist(blocking = false)
+        b.unpersist(blocking = false)
+      }
+    if (autoCompactSegments > 0 && store.segmentCount > autoCompactSegments)
+      compactFold(Some(batchId))
+    spark.read.schema(shSchema).parquet(s"$dir/sh")
+  }
+
+  private[streaming] def retainedBatchCount: Int =
+    synchronized(store.segmentCount)
+
+  /** Fold all committed segments into one base segment (see
+    * [[IngestDeduper.compact]] for the compaction-point contracts).
+    */
+  def compact(): Unit = synchronized { compactFold(None) }
+
+  private def compactFold(keep: Option[Long]): Unit =
+    store.compactExcept(keep) { (olds, tmp) =>
+      // distinct() folds the exact-duplicate rows a crash-between-
+      // commit-and-cleanup window can leave across segments.
+      spark.read.schema(shSchema).parquet(olds.map(_ + "/sh"): _*).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/sh")
+      spark.read.schema(bandSchema).parquet(olds.map(_ + "/bands"): _*).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
+
+  /** Release the corpus caches and (when self-created) the state dir —
+    * the [[IngestDeduper.close]] contract.
+    */
+  def close(): Unit = synchronized {
+    corpusBands.unpersist(blocking = false)
+    corpusSh.unpersist(blocking = false)
+    store.close()
+  }
+}
