@@ -491,6 +491,63 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // ── Token-budget selection: keep the BEST-quality documents until a
+    // global token budget is exhausted — the "curate an N-token training
+    // set" selection step (here N = 20000: docs whose exclusive running
+    // token count, in (quality DESC, doc_id) order, is still under
+    // budget). SEMANTICS are a global ordered cumsum (the oracle's one
+    // window); the PLAN must not be Spark's unpartitioned window (one
+    // task holds the corpus — the q66 scale-killer, but over a VALUE
+    // ordering instead of dense ids, so the q66 block trick doesn't
+    // apply). Instead: range-bucket the sort key (bucket = floor((1 −
+    // quality)·256), monotone with the ordering since floor is
+    // monotone and ties resolve inside one bucket), per-bucket token
+    // sums (256 rows) take the exclusive-offset window, offsets
+    // broadcast back, and the within-bucket running sum is a window
+    // PARTITIONED by bucket — bit-identical to the global cumsum (long
+    // addition over the same total order). At 100 TB the fixed split
+    // points would come from an approx-quantile pass so value skew
+    // can't overload one bucket; the shape is otherwise unchanged.
+    QueryDef(
+      "q100_budget_select",
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, ${TS.toksExpr("text")} AS toks FROM documents),
+        q AS (SELECT doc_id, round(${TS.qualityExpr("text", "toks")}, 6) AS quality,
+                     len(toks)::BIGINT AS n_tokens
+              FROM t),
+        r AS (SELECT doc_id, quality, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                       AS tok_before
+              FROM q)
+        SELECT doc_id, quality, n_tokens, tok_before FROM r
+        WHERE tok_before < 20000 ORDER BY doc_id"""))( (spark, dir) => {
+      val d0 = documents(spark, dir)
+        .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          round(TF.qualityScore(col("text"), col("toks")), 6).as("quality"),
+          size(col("toks")).cast("long").as("n_tokens"))
+      // quality ∈ [0,1]: bucket ascends as quality descends; the q = 0
+      // edge (bucket 256) clamps into 255, still order-consistent.
+      val bucketed = d0.withColumn("bkt",
+        least(floor((lit(1.0) - col("quality")) * 256), lit(255.0)).cast("int"))
+      val wOff = Window.orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1) // ≤256 rows, never the corpus
+      val offsets = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("s"))
+        .withColumn("off", coalesce(sum(col("s")).over(wOff), lit(0L)))
+        .select(col("bkt"), col("off"))
+      val wIn = Window.partitionBy(col("bkt"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed
+        .withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+        .join(broadcast(offsets), "bkt")
+        .withColumn("tok_before", col("within") + col("off"))
+        .filter(col("tok_before") < 20000L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("tok_before"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ── TF-IDF: per-document top term by tf·idf weight — two-pass agg
     // (doc-frequency broadcast back onto the term explosion).
     QueryDef(

@@ -66,11 +66,22 @@ import graft.functions.{DedupFunctions => DF, TextFunctions => TF}
   * `autoCompactSegments` bounds segment fan-out exactly as in
   * [[IngestDeduper]].
   */
+/** @param corpusBandIndex when given, used as the corpus band index
+  *   (doc_id, band, key) INSTEAD of deriving it from `corpusShingles` —
+  *   the production shape: the index is a persisted artifact written
+  *   once per corpus version (bucketed by (band, key), the
+  *   BandIndexBucketingSpec layout), and a restarted stream reads it
+  *   rather than re-running the signature kernel over the corpus. Must
+  *   be the SAME banding family ([[graft.functions.DedupFunctions.bandRows]])
+  *   over the same corpus — NearDupIngestSpec pins result equality
+  *   between the two constructions.
+  */
 final class NearDupIngestDeduper(
     corpusShingles: DataFrame, // (doc_id, shingles array<string>), distinct shingles
     threshold: Double = 0.5,
     statePath: Option[String] = None,
-    autoCompactSegments: Int = 0)
+    autoCompactSegments: Int = 0,
+    corpusBandIndex: Option[DataFrame] = None)
     extends Serializable {
 
   private val spark = corpusShingles.sparkSession
@@ -79,9 +90,12 @@ final class NearDupIngestDeduper(
     .select(col("doc_id").cast("long").as("doc_id"), col("shingles"))
     .persist()
   /** The corpus band index — q69's persistent artifact, built in one
-    * pass at construction.
+    * pass at construction when not provided pre-built.
     */
-  private val corpusBands = DF.bandRows(corpusSh).persist()
+  private val corpusBands = corpusBandIndex
+    .map(_.select(col("doc_id").cast("long").as("doc_id"), col("band"), col("key")))
+    .getOrElse(DF.bandRows(corpusSh))
+    .persist()
 
   private val shSchema = StructType(Seq(
     StructField("doc_id", LongType),

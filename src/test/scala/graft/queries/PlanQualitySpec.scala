@@ -55,6 +55,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q79_source_cap").contains("WindowGroupLimit"))
   }
 
+  test("q100: budget-selection cumsum runs bucket-partitioned, never corpus-global") {
+    val p = planOf("q100_budget_select")
+    // The corpus-sized running sum must be the bkt-PARTITIONED window;
+    // the only unpartitioned window is the ≤256-row bucket-offset one.
+    assert(p.contains("windowspecdefinition(bkt"),
+      s"within-bucket window must partition by bkt:\n$p")
+  }
+
   test("q74: scrub pass is map-only — no key shuffle anywhere") {
     val p = planOf("q74_scrub_redact")
     // The redaction (counts + replaces + fingerprint) adds NO exchange of

@@ -264,6 +264,31 @@ class NearDupIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally d.close()
   }
 
+  test("a pre-built corpus band index yields identical decisions") {
+    val ss = spark; import ss.implicits._
+    val corpus = corpusShingles(Seq((1L, tA), (2L, tFresh2)))
+    // The production shape: the index is a persisted artifact (here a
+    // parquet round-trip standing in for the bucketed table) handed to
+    // the deduper instead of re-deriving signatures at construction.
+    val idxDir = java.nio.file.Files.createTempDirectory("neardup-idx").toString
+    graft.functions.DedupFunctions.bandRows(corpus)
+      .write.mode("overwrite").parquet(idxDir)
+    val derived = new NearDupIngestDeduper(corpus)
+    val prebuilt = new NearDupIngestDeduper(corpus,
+      corpusBandIndex = Some(spark.read.parquet(idxDir)))
+    try {
+      val batch = Seq((10L, tB), (11L, tFresh1), (12L, tFresh2 + " pp1"))
+        .toDF("doc_id", "text")
+      val a = derived(batch, 0L).collect().map(_.getLong(0)).sorted.toSeq
+      val b = prebuilt(batch, 0L).collect().map(_.getLong(0)).sorted.toSeq
+      assert(a == b, s"derived=$a prebuilt=$b")
+      assert(a == Seq(11L), s"corpus near-dups tB and tFresh2+' pp1' must reject; got $a")
+    } finally {
+      derived.close(); prebuilt.close()
+      graft.Fs.rmTree(new java.io.File(idxDir))
+    }
+  }
+
   test("explicit batchId retry is idempotent") {
     val ss = spark; import ss.implicits._
     val d = new NearDupIngestDeduper(corpusShingles(Seq((1L, tA))))
