@@ -95,6 +95,10 @@ final class NearDupIngestDeduper(
   private val corpusBands = corpusBandIndex
     .map(_.select(col("doc_id").cast("long").as("doc_id"), col("band"), col("key")))
     .getOrElse(DF.bandRows(corpusSh))
+    // Empty-shingle docs carry null band keys; null never equi-joins,
+    // so the rows are dead weight in an index scanned every batch —
+    // drop them here (and on the state-side write below).
+    .filter(col("key").isNotNull)
     .persist()
 
   private val shSchema = StructType(Seq(
@@ -187,7 +191,10 @@ final class NearDupIngestDeduper(
         // Band rows of exactly what was written (read back, semi join
         // the persisted batch bands): the state index can never drift
         // from the state shingles, even across a partial failure.
-        bBands.join(
+        // Null keys (empty-shingle docs) never match — keep them out of
+        // the index the next thousand batches will scan.
+        bBands.filter(col("key").isNotNull)
+          .join(
             broadcast(spark.read.schema(shSchema).parquet(s"$tmp/sh")
               .select(col("doc_id"))),
             Seq("doc_id"), "left_semi")

@@ -128,16 +128,29 @@ class NearDupIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("null texts drop explicitly; empty-shingle docs never become candidates") {
     val ss = spark; import ss.implicits._
-    val d = new NearDupIngestDeduper(corpusShingles(Seq((1L, tA))))
+    val statePath = java.nio.file.Files.createTempDirectory("neardup-null").toString
+    val d = new NearDupIngestDeduper(corpusShingles(Seq((1L, tA))),
+      statePath = Some(statePath))
     try {
       val out = d(Seq((1L, Option("one two")), (2L, Option.empty[String]),
         (3L, Option("one two")), (4L, Option(tFresh1)))
-        .toDF("doc_id", "text")).collect().map(_.getLong(0)).sorted
+        .toDF("doc_id", "text"), 0L).collect().map(_.getLong(0)).sorted
       // 1 and 3 are IDENTICAL two-token docs — but with no 3-shingles
       // they have no n-gram identity, so BOTH pass (exact dedup is the
       // digest deduper's job); the null row vanishes.
       assert(out.toSeq == Seq(1L, 3L, 4L), s"got ${out.toSeq}")
-    } finally d.close()
+      // The state BAND INDEX carries no dead rows: empty-shingle docs
+      // contribute nothing (null keys never join), so only doc 4's six
+      // band rows persist for the next thousand batches to scan.
+      val seg = new java.io.File(statePath).listFiles()
+        .filter(_.getName.startsWith("b")).head
+      val bands = spark.read.parquet(s"$seg/bands")
+      assert(bands.filter(col("key").isNull).count() == 0)
+      assert(bands.select("doc_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(4L))
+    } finally {
+      d.close()
+      graft.Fs.rmTree(new java.io.File(statePath))
+    }
   }
 
   test("within-batch chain collapses to the component head (one-round min-label)") {
