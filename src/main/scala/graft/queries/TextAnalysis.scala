@@ -110,6 +110,36 @@ object TextAnalysis {
         expr(s"before div ${budget}L").as("pack_id"))
   }
 
+  /** q100's range-bucketed exclusive prefix sum: (doc_id, quality,
+    * n_tokens) → + tok_before, the exclusive running token count in
+    * (quality DESC, doc_id) order — bit-identical to a single global
+    * ordered window (long addition over the same total order) while the
+    * only unpartitioned window spans ≤256 bucket rows. Exposed for the
+    * adversarial-distribution equivalence spec (all-mass-in-one-bucket,
+    * boundary values, random): the q66 rule that a plan-shape trick is
+    * pinned against its obviously-correct definition.
+    */
+  private[queries] def budgetBefore(d0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // quality ∈ [0,1]: bucket ascends as quality descends; the q = 0
+    // edge (bucket 256) clamps into 255, still order-consistent.
+    val bucketed = d0.withColumn("bkt",
+      least(floor((lit(1.0) - col("quality")) * 256), lit(255.0)).cast("int"))
+    val wOff = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1) // ≤256 rows, never the corpus
+    val offsets = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("s"))
+      .withColumn("off", coalesce(sum(col("s")).over(wOff), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wIn = Window.partitionBy(col("bkt"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), "bkt")
+      .withColumn("tok_before", col("within") + col("off"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col("tok_before"))
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Token counting: whitespace tokens + BPE-ish subword units.
@@ -527,24 +557,8 @@ object TextAnalysis {
         .select(col("doc_id"),
           round(TF.qualityScore(col("text"), col("toks")), 6).as("quality"),
           size(col("toks")).cast("long").as("n_tokens"))
-      // quality ∈ [0,1]: bucket ascends as quality descends; the q = 0
-      // edge (bucket 256) clamps into 255, still order-consistent.
-      val bucketed = d0.withColumn("bkt",
-        least(floor((lit(1.0) - col("quality")) * 256), lit(255.0)).cast("int"))
-      val wOff = Window.orderBy(col("bkt"))
-        .rowsBetween(Window.unboundedPreceding, -1) // ≤256 rows, never the corpus
-      val offsets = bucketed.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("s"))
-        .withColumn("off", coalesce(sum(col("s")).over(wOff), lit(0L)))
-        .select(col("bkt"), col("off"))
-      val wIn = Window.partitionBy(col("bkt"))
-        .orderBy(col("quality").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      bucketed
-        .withColumn("within", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
-        .join(broadcast(offsets), "bkt")
-        .withColumn("tok_before", col("within") + col("off"))
+      budgetBefore(d0)
         .filter(col("tok_before") < 20000L)
-        .select(col("doc_id"), col("quality"), col("n_tokens"), col("tok_before"))
         .orderBy(col("doc_id"))
     }),
 

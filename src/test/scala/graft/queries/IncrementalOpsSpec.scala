@@ -147,6 +147,38 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "window must be partitioned by blk:\n" + plan.take(800))
   }
 
+  test("q100 budgetBefore ≡ the global ordered window on adversarial quality layouts") {
+    val ss = spark
+    import ss.implicits._
+    val rng = new scala.util.Random(7)
+    // The layouts that stress the range bucketing: all mass in ONE
+    // bucket (equal quality — the within-bucket window carries
+    // everything, correctness must hold even where the parallelism
+    // argument doesn't), the {0.0, 1.0} boundary values (the clamped
+    // 256→255 edge), a cluster of near-identical qualities straddling a
+    // bucket boundary, and uniform random with gapped ids.
+    val cases: Seq[Seq[(Long, Double, Long)]] = Seq(
+      (1 to 300).map(i => (i * 7L, 0.5, (i % 17 + 1).toLong)),
+      (1 to 300).map(i => (i * 3L, if (i % 2 == 0) 0.0 else 1.0, (i % 11 + 1).toLong)),
+      (1 to 300).map(i => (i.toLong, 0.50390625 + (i % 5 - 2) * 1e-6, (i % 13 + 1).toLong)),
+      Seq.tabulate(500)(i =>
+        (rng.nextInt(1000000).toLong, math.rint(rng.nextDouble() * 1e6) / 1e6,
+          rng.nextInt(50).toLong)).distinctBy(_._1)
+    )
+    for ((rows, ci) <- cases.zipWithIndex) {
+      val df = rows.toDF("doc_id", "quality", "n_tokens")
+      val got = TextAnalysis.budgetBefore(df)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val want = df
+        .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("quality"), col("n_tokens"), col("tok_before"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        s"case $ci diverged from the global-window definition")
+    }
+  }
+
   test("packTokens handles gapped/sparse ids and block-boundary budgets exactly") {
     val ss = spark
     import ss.implicits._
