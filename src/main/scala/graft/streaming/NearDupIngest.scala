@@ -148,6 +148,10 @@ final class NearDupIngestDeduper(
     // re-read the (possibly already-gone) streaming source.
     val b = shingleRel(batch).persist()
     val bBands = DF.bandRows(b).persist()
+    // Per-arm candidate sets persist for (count → verify → write) and
+    // release with the batch — tracked here so a failed batch can't
+    // leak one cached relation per arm per retry.
+    val candCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val dir =
       try store.commitBatch(batchId) { tmp =>
         val priorSh = emptyOr(priorDirs.map(_ + "/sh"), shSchema)
@@ -163,14 +167,24 @@ final class NearDupIngestDeduper(
 
         // Exact verify: candidate ids pick up the batch doc's shingles
         // (broadcast — bounded by candidates × shingle size), then the
-        // big shingle relation is scanned once, joined map-side.
-        def verified(cands: DataFrame, bigSh: DataFrame): DataFrame = {
-          val withB = cands
-            .join(b.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
-          bigSh.select(col("doc_id").as("c_id"), col("shingles").as("c_sh"))
-            .join(broadcast(withB), "c_id")
-            .filter(DF.jaccard(col("b_sh"), col("c_sh")) >= threshold)
-            .select(col("b_id"))
+        // big shingle relation is scanned once, joined map-side. Each
+        // arm's candidate set is persisted and COUNTED first: when a
+        // probe finds no band collisions (the common case for a clean
+        // micro-batch), the arm's shingle relation is never scanned at
+        // all — without the branch an empty broadcast side still pays
+        // the full corpus-side scan of the verify join.
+        def verified(cands0: DataFrame, bigSh: => DataFrame): Option[DataFrame] = {
+          val cands = cands0.persist()
+          candCaches += cands
+          if (cands.count() == 0) None
+          else Some {
+            val withB = cands
+              .join(b.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
+            bigSh.select(col("doc_id").as("c_id"), col("shingles").as("c_sh"))
+              .join(broadcast(withB), "c_id")
+              .filter(DF.jaccard(col("b_sh"), col("c_sh")) >= threshold)
+              .select(col("b_id"))
+          }
         }
 
         // Within-batch: both sides tiny; smaller-id partner rejects.
@@ -180,10 +194,14 @@ final class NearDupIngestDeduper(
           .select(col("x.doc_id").as("b_id"), col("y.doc_id").as("c_id"))
           .distinct()
 
-        val rejected = verified(candsAgainst(corpusBands), corpusSh)
-          .unionByName(verified(candsAgainst(priorBands), priorSh))
-          .unionByName(verified(selfCands, b))
-          .distinct()
+        val arms = Seq(
+          verified(candsAgainst(corpusBands), corpusSh),
+          verified(candsAgainst(priorBands), priorSh),
+          verified(selfCands, b)).flatten
+        val rejected = arms
+          .reduceOption(_ unionByName _).map(_.distinct())
+          .getOrElse(spark.createDataFrame(spark.emptyDataFrame.rdd,
+            StructType(Seq(StructField("b_id", LongType)))))
 
         b.join(broadcast(rejected.withColumnRenamed("b_id", "doc_id")),
             Seq("doc_id"), "left_anti")
@@ -200,6 +218,7 @@ final class NearDupIngestDeduper(
             Seq("doc_id"), "left_semi")
           .write.mode("overwrite").parquet(s"$tmp/bands")
       } finally {
+        candCaches.foreach(_.unpersist(blocking = false))
         bBands.unpersist(blocking = false)
         b.unpersist(blocking = false)
       }
