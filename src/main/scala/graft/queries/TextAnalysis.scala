@@ -551,12 +551,19 @@ object TextAnalysis {
                        AS tok_before
               FROM q)
         SELECT doc_id, quality, n_tokens, tok_before FROM r
-        WHERE tok_before < 20000 ORDER BY doc_id"""))( (spark, dir) => {
-      val d0 = documents(spark, dir)
-        .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          round(TF.qualityScore(col("text"), col("toks")), 6).as("quality"),
-          size(col("toks")).cast("long").as("n_tokens"))
+        WHERE tok_before < 20000 ORDER BY doc_id"""),
+      // budgetBefore consumes d0 from two subtrees (the offsets groupBy
+      // and the main window path); without the cache the full
+      // tokenize+quality kernel would run twice per execution. Sole
+      // consumer → released right after this query materializes.
+      releases = Seq("q100d0"))( (spark, dir) => {
+      val d0 = graft.pipeline.SessionCache.getOrPersist(spark, s"q100d0:$dir") {
+        documents(spark, dir)
+          .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            round(TF.qualityScore(col("text"), col("toks")), 6).as("quality"),
+            size(col("toks")).cast("long").as("n_tokens"))
+      }
       budgetBefore(d0)
         .filter(col("tok_before") < 20000L)
         .orderBy(col("doc_id"))

@@ -135,9 +135,7 @@ final class IngestDeduper(
           .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
           .select(col("digest")).distinct()
         val batchDigests = b.select(col("digest"))
-        val acceptedPrior =
-          if (priorDirs.isEmpty) spark.createDataFrame(spark.emptyDataFrame.rdd, stateSchema)
-          else spark.read.schema(stateSchema).parquet(priorDirs: _*)
+        val acceptedPrior = SegmentStore.readOrEmpty(spark, stateSchema, priorDirs)
         val present = corpus
           .join(broadcast(maybeDigests), Seq("digest"), "left_semi")
           .unionByName(acceptedPrior.select(col("digest"))

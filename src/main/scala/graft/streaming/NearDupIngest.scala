@@ -136,10 +136,6 @@ final class NearDupIngestDeduper(
     runBatch(batch, batchId)
   }
 
-  private def emptyOr(dirs: Seq[String], schema: StructType): DataFrame =
-    if (dirs.isEmpty) spark.createDataFrame(spark.emptyDataFrame.rdd, schema)
-    else spark.read.schema(schema).parquet(dirs: _*)
-
   private def runBatch(batch: DataFrame, batchId: Long): DataFrame = {
     store.checkBatchId(batchId)
     val priorDirs = store.priorDirs(excluding = batchId)
@@ -154,8 +150,8 @@ final class NearDupIngestDeduper(
     val candCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val dir =
       try store.commitBatch(batchId) { tmp =>
-        val priorSh = emptyOr(priorDirs.map(_ + "/sh"), shSchema)
-        val priorBands = emptyOr(priorDirs.map(_ + "/bands"), bandSchema)
+        val priorSh = SegmentStore.readOrEmpty(spark, shSchema, priorDirs.map(_ + "/sh"))
+        val priorBands = SegmentStore.readOrEmpty(spark, bandSchema, priorDirs.map(_ + "/bands"))
 
         // Candidate batch↔big pairs: the big band index is scanned and
         // pruned map-side by the broadcast batch bands (never shuffled).

@@ -156,6 +156,13 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
   def commitBatch(batchId: Long)(write: String => Unit): String = {
     checkBatchId(batchId)
     val tmp = s"$stateDir/t$commitSeq.tmp"
+    // A prior attempt that failed AFTER stamping but BEFORE the rename
+    // leaves tmp with a stale marker. The flat layout self-healed by
+    // accident (parquet overwrite wipes the tmp root); subdir layouts
+    // only replace their own subdirs, so the stale root marker would
+    // make the re-stamp throw FileAlreadyExistsException forever.
+    // Clear the tmp root explicitly: tmp is always fresh.
+    rmTree(new java.io.File(tmp))
     write(tmp)
     val dir = s"$stateDir/b${batchId}_$commitSeq"
     commitSegment(tmp, dir)
@@ -181,6 +188,7 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
     if (foldable.size + baseDirs.size > 1) {
       val olds = baseDirs ++ foldable.map(_._2)
       val tmp = s"$stateDir/t$commitSeq.tmp"
+      rmTree(new java.io.File(tmp)) // same stale-marker self-heal as commitBatch
       fold(olds, tmp)
       val dir = s"$stateDir/base_${commitSeq}_$nextAutoIdVar"
       commitSegment(tmp, dir)
@@ -197,4 +205,18 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
     * is left untouched.
     */
   def close(): Unit = if (selfOwnedState) rmTree(new java.io.File(stateDir))
+}
+
+object SegmentStore {
+  /** The one spelling of "read these segment dirs, or an empty relation
+    * when there are none", shared by both dedupers' prior-state reads:
+    * `spark.read.parquet(Nil)` throws, and an explicit schema keeps a
+    * restart readable even when every segment happens to be empty.
+    */
+  def readOrEmpty(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      dirs: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (dirs.isEmpty) spark.createDataFrame(spark.emptyDataFrame.rdd, schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
 }

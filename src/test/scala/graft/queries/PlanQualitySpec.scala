@@ -57,10 +57,13 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("q100: budget-selection cumsum runs bucket-partitioned, never corpus-global") {
     val p = planOf("q100_budget_select")
-    // The corpus-sized running sum must be the bkt-PARTITIONED window;
-    // the only unpartitioned window is the ≤256-row bucket-offset one.
-    assert(p.contains("windowspecdefinition(bkt"),
-      s"within-bucket window must partition by bkt:\n$p")
+    // The corpus-sized running sum must be the bkt-PARTITIONED window:
+    // a partitioned spec renders as windowspecdefinition(bkt#N,
+    // quality#M DESC …). A bare contains("windowspecdefinition(bkt")
+    // would be vacuous — the ≤256-row OFFSET window (orderBy(bkt), no
+    // partition) renders with the same prefix.
+    assert("windowspecdefinition\\(bkt#\\d+, quality#\\d+ DESC".r.findFirstIn(p).isDefined,
+      s"within-bucket window must partition by bkt and order by quality:\n$p")
   }
 
   test("q74: scrub pass is map-only — no key shuffle anywhere") {
