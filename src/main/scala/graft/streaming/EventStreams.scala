@@ -96,11 +96,14 @@ object EventStreams {
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
       n_events: Long, total: Double)
 
-  /** flatMapGroupsWithState sessionizer with the same 6-hour-gap
-    * semantics as [[sessions]] — the template for stateful logic the
-    * built-in can't express (e.g. value-dependent gaps, early emission).
-    * Emits closed sessions; on ProcessingTimeTimeout the open session
-    * flushes when the group goes quiet.
+  /** BATCH-MODE flatMapGroupsWithState sessionizer with the same
+    * 6-hour-gap semantics as [[sessions]] — the template for per-group
+    * logic the built-in can't express (e.g. value-dependent gaps). All
+    * of a key's rows arrive in one call and every session emits
+    * immediately; state and timeouts are deliberately unused
+    * (NoTimeout), so running this under readStream would sessionize
+    * each micro-batch independently — the incremental form with carried
+    * state and watermark-timeout flushing is [[sessionizeStream]].
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 6 * 3600 * 1000L): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -150,24 +153,51 @@ object EventStreams {
             val sorted = rows.toVector.sortBy(_.ts.getTime)
             val closed = Vector.newBuilder[SessionState]
             var open = state.getOption
+            // Rows MORE than a gap before the open session's start can't
+            // extend it under batch semantics (the sorted fold would have
+            // closed a session in between) — without this arm the merge
+            // guard below is vacuously true for them (t - s.last is
+            // negative) and min(start, t) would drag session_start
+            // arbitrarily backward past the gap, fabricating one long
+            // session where the batch oracle has two. They fold into
+            // their OWN gap-chained late session (rows are sorted, so
+            // the chain closes as soon as the timeline re-enters the
+            // open session's reach). Late rows spread across DIFFERENT
+            // micro-batches can still emit as separate sessions where
+            // batch would merge them — the bounded-lateness
+            // approximation every watermark operator makes.
+            var lateOpen = Option.empty[SessionState]
+            def flushLate(): Unit = { lateOpen.foreach(closed += _); lateOpen = None }
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
+                case Some(s) if t < s.start - gapMs =>
+                  lateOpen = lateOpen match {
+                    case Some(l) if t - l.last <= gapMs =>
+                      Some(SessionState(l.start, math.max(l.last, t), l.n + 1, l.total + e.value))
+                    case other =>
+                      other.foreach(closed += _)
+                      Some(SessionState(t, t, 1, e.value))
+                  }
                 case Some(s) if t - s.last <= gapMs =>
-                  // Late (out-of-order) rows can arrive here — Spark does
-                  // not filter watermark-late rows before fMGWS. Clamp so
-                  // the session only ever extends: a late row must never
-                  // move `last` backward (that would re-open the gap and
+                  // Within a gap of the open session (possibly before its
+                  // start — a mildly-late row the batch fold WOULD merge).
+                  // Clamp so the session only ever extends: `last` must
+                  // never move backward (that would re-open the gap and
                   // could push the timeout at/below the watermark).
+                  flushLate()
                   open = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
                     s.n + 1, s.total + e.value))
                 case Some(s) =>
+                  flushLate()
                   closed += s
                   open = Some(SessionState(t, t, 1, e.value))
                 case None =>
+                  flushLate()
                   open = Some(SessionState(t, t, 1, e.value))
               }
             }
+            flushLate()
             open.foreach { s =>
               state.update(s)
               // setTimeoutTimestamp throws if the timestamp is not

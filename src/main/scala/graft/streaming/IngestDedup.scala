@@ -131,9 +131,12 @@ final class IngestDeduper(
     // would leak one persisted batch relation for the stream's life.
     val dir =
       try store.commitBatch(batchId) { tmp =>
+        // No distinct: b is already one row per digest (the
+        // groupBy(digest) above) — a distinct here would add a useless
+        // per-batch exchange to the hot path.
         val maybeDigests = b
           .filter(org.apache.spark.sql.graft.BloomMightContain.column(col("digest"), bloom))
-          .select(col("digest")).distinct()
+          .select(col("digest"))
         val batchDigests = b.select(col("digest"))
         val acceptedPrior = SegmentStore.readOrEmpty(spark, stateSchema, priorDirs)
         val present = corpus

@@ -143,7 +143,10 @@ final class NearDupIngestDeduper(
     // anti join; recomputing the shingle kernel per consumer would also
     // re-read the (possibly already-gone) streaming source.
     val b = shingleRel(batch).persist()
-    val bBands = DF.bandRows(b).persist()
+    // Null band keys (empty-shingle docs) never equi-join — filtered at
+    // creation so they ride neither the per-batch broadcasts, nor the
+    // self-join, nor the state write.
+    val bBands = DF.bandRows(b).filter(col("key").isNotNull).persist()
     // Per-arm candidate sets persist for (count → verify → write) and
     // release with the batch — tracked here so a failed batch can't
     // leak one cached relation per arm per retry.
@@ -203,11 +206,10 @@ final class NearDupIngestDeduper(
             Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$tmp/sh")
         // Band rows of exactly what was written (read back, semi join
-        // the persisted batch bands): the state index can never drift
-        // from the state shingles, even across a partial failure.
-        // Null keys (empty-shingle docs) never match — keep them out of
-        // the index the next thousand batches will scan.
-        bBands.filter(col("key").isNotNull)
+        // the persisted batch bands — already null-key-free): the state
+        // index can never drift from the state shingles, even across a
+        // partial failure.
+        bBands
           .join(
             broadcast(spark.read.schema(shSchema).parquet(s"$tmp/sh")
               .select(col("doc_id"))),

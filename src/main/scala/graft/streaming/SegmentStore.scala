@@ -108,8 +108,8 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
           nextAutoIdVar = math.max(nextAutoIdVar, i + 1)
           committed.get(i) match {
             case Some((prevSeq, prev)) if prevSeq < s =>
-              committed(i) = (s, f); rmTree(prev) // stale attempt, same rows
-            case Some(_) => rmTree(f)
+              committed(i) = (s, f); retire(prev) // stale attempt, same rows
+            case Some(_) => retire(f)
             case None => committed(i) = (s, f)
           }
         case BaseSeg(seq, hiId) =>
@@ -170,7 +170,7 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
     nextAutoIdVar = math.max(nextAutoIdVar, batchId + 1)
     val superseded = batchDirs.get(batchId)
     batchDirs(batchId) = dir
-    superseded.foreach(d => rmTree(new java.io.File(d)))
+    superseded.foreach(d => retire(new java.io.File(d)))
     dir
   }
 
@@ -195,11 +195,25 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
       commitSeq += 1
       baseDirs = List(dir)
       foldable.foreach { case (id, _) => batchDirs.remove(id): Unit }
-      olds.foreach(d => rmTree(new java.io.File(d)))
+      olds.foreach(d => retire(new java.io.File(d)))
     }
   }
 
   private def rmTree(f: java.io.File): Unit = graft.Fs.rmTree(f)
+
+  /** Delete a COMMITTED segment: markers first (ours, then the legacy
+    * `_SUCCESS` a stamped legacy segment still carries), then the data —
+    * the [[graft.Fs.uncommitThenDelete]] rule. Plain rmTree deletes
+    * children in arbitrary listFiles order, so a crash mid-delete could
+    * leave the marker present with data already gone: rehydration would
+    * register a torn segment as committed and every later batch's
+    * segment read would throw on the missing contents. Marker-first
+    * means any crash leaves an UNcommitted dir, which rehydration
+    * ignores (or sweeps). Tmp dirs keep plain rmTree — they are
+    * uncommitted by construction.
+    */
+  private def retire(f: java.io.File): Unit =
+    graft.Fs.uncommitThenDelete(f, Seq(CommitMarker, "_SUCCESS"))
 
   /** Remove the state dir when self-created; a caller-provided statePath
     * is left untouched.

@@ -155,6 +155,39 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, ts(10, 0), 1L, 4.0))) // session B: flushed by event-time timeout
   }
 
+  test("sessionizer: a row more than a gap before the open session emits alone") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sink = s"sink_${System.nanoTime()}"
+    val typed = mem.toDF().withWatermark("ts", "20 hours") // keep the late row un-dropped
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(typed, gapMs = 3600 * 1000L)
+      .toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // Batch 1 opens a session at 12:00–12:30.
+    mem.addData(Ev(ts(12, 0), 1, "click", 1.0), Ev(ts(12, 30), 1, "click", 2.0))
+    q.processAllAvailable()
+    // Batch 2: two rows 11 HOURS before the open session's start, 10 min
+    // apart. The old guard (t - last <= gap, vacuously true for
+    // negative deltas) would merge them and drag session_start back to
+    // 01:00; batch semantics make them their own gap-chained session.
+    mem.addData(Ev(ts(1, 0), 1, "late", 4.0), Ev(ts(1, 10), 1, "late", 8.0))
+    q.processAllAvailable()
+    // Flush the still-open 12:00 session via the watermark.
+    mem.addData(Ev(Timestamp.valueOf("2024-03-02 00:00:00"), 99, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 == 1L).toSet
+    assert(got == Set(
+      (1L, ts(1, 0), 2L, 12.0),  // the late pair: ONE chained session of its own
+      (1L, ts(12, 0), 2L, 3.0)), // the open session keeps its true start
+      s"got $got")
+  }
+
   /** The restart scenario, parameterized by state-store provider: the
     * default HDFS-backed store and RocksDB (the 100 TB configuration —
     * state spills off-heap/disk instead of living in executor memory).
