@@ -62,26 +62,69 @@ object Bench {
       QueryRun(name, basis.map(_.seconds).min, runs.flatMap(_.error).headOption)
     }
 
+  /** Short per-query key for the contract line: the numeric prefix
+    * ("q44_embedding_neardup" → "q44"). The driver keeps only the LAST
+    * 2000 chars of bench stdout in BENCH_r{N}.json; at 100 queries the
+    * full-name full-precision line is ~3.5 KB, so the line's START fell
+    * off the captured tail and every round's `parsed` came back null
+    * (ADVICE r9 #1). Short keys + 3-decimal seconds hold the whole
+    * contract line under ~1.7 KB with the sbt epilogue still fitting.
+    * Full names and unrounded seconds print on the preceding detail
+    * line (and COVERAGE.md maps qNN → full name).
+    */
+  private[graft] def shortKey(name: String): String = name.takeWhile(_ != '_')
+
+  /** Plain fixed-point rendering — no scientific notation, trailing
+    * zeros stripped; stable worst-case width is what bounds the
+    * contract-line budget. */
+  private[graft] def fmt(x: Double, decimals: Int): String = {
+    val s = BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    if (s == "-0") "0" else s
+  }
+
   /** The driver-contract JSON line, plus an `errors` object (empty on a
     * clean sweep) so a throwing query is visibly reported instead of
     * masquerading as a speedup, a `sweeps` count documenting the
     * best-of-N basis, and the sweep-kernel skew accumulators (VERDICT r6
     * ask #6: a skewed future testdata regeneration must be visible in
     * the artifact trail, not just an executor-log WARN).
+    *
+    * Keys are shortKey prefixes when those are unique over the result
+    * set (they are, by Registry construction — BenchHarnessSpec pins
+    * it); on a collision (spec-planted names) every key falls back to
+    * the full name — correctness over compactness.
     */
   private[graft] def renderJson(
       results: Seq[QueryRun], sfDir: String, sweeps: Int,
       sweepStats: Option[(Long, Long, Long)] = None): String = {
-    val qs = results.map(r => Jsons.quote(r.name) + ":" + r.seconds)
+    val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
+    def key(n: String) = if (shortsUnique) shortKey(n) else n
+    val qs = results.map(r => Jsons.quote(key(r.name)) + ":" + fmt(r.seconds, 3))
       .mkString("{", ",", "}")
     val errs = results.collect { case QueryRun(n, _, Some(m)) =>
-      Jsons.quote(n) + ":" + Jsons.quote(m)
+      Jsons.quote(key(n)) + ":" + Jsons.quote(m.take(120))
     }.mkString("{", ",", "}")
     val ss = sweepStats.map { case (maxGroup, pairs, dense) =>
       s""","sweep_stats":{"max_group_boxes":$maxGroup,"pairs_enumerated":$pairs,"dense_groups":$dense}"""
     }.getOrElse("")
     val total = results.map(_.seconds).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss,"sf":${Jsons.quote(sfDir)}}"""
+    s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss,"sf":${Jsons.quote(sfDir)}}"""
+  }
+
+  /** Full-name, full-precision record printed BEFORE the contract line.
+    * Leads with a non-"metric" key so a tail scanner hunting the
+    * contract line can never latch onto this one, and so a truncated
+    * prefix of it (the tail may cut it mid-line) isn't mistakable for
+    * the contract object.
+    */
+  private[graft] def renderDetailJson(results: Seq[QueryRun], sfDir: String): String = {
+    val qs = results.map(r => Jsons.quote(r.name) + ":" + r.seconds)
+      .mkString("{", ",", "}")
+    val errs = results.collect { case QueryRun(n, _, Some(m)) =>
+      Jsons.quote(n) + ":" + Jsons.quote(m)
+    }.mkString("{", ",", "}")
+    s"""{"detail":"full query names/precision; compact contract line follows","queries":$qs,"errors":$errs,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -148,6 +191,7 @@ object Bench {
     h.maxGroupBoxes.reset(); h.pairsEnumerated.reset(); h.denseGroups.reset()
     val results = mergeSweeps(
       (1 to sweeps).map(_ => runSweep(spark, sfDir, SparkEntry.queries.toSeq)))
+    println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
       Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value))))
     spark.stop()

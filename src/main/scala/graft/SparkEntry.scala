@@ -41,4 +41,14 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The declared queries with NO DuckDB oracle, each with the reason no
+    * hash-comparable oracle can exist and where the semantics are pinned
+    * instead. Registry enforces this is exactly `queries.keySet --
+    * oracleSql.keySet`; Verify dumps it as oracle_exclusions.json so the
+    * driver's gate can distinguish "explicitly excluded" from
+    * "unverified" (ADVICE r9 #2).
+    */
+  def oracleExclusions: Map[String, String] =
+    graft.queries.Registry.all.flatMap(q => q.noOracleReason.map(q.name -> _)).toMap
 }

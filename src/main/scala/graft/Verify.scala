@@ -42,6 +42,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Rows-only queries, explicitly: name → why no hash-comparable
+    // oracle can exist + where the semantics are pinned. Lets the gate
+    // distinguish "excluded by design" from "unverified" (ADVICE r9 #2).
+    val excl = SparkEntry.oracleExclusions.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_exclusions.json"), excl)
     spark.stop()
   }
 }

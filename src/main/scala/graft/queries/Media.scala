@@ -78,7 +78,12 @@ object Media {
     // panoramas — images × 4 thetas fan-out, per-view checksum. Rows-only
     // (trig inside the projection); kernel pinned by WarpSpec against
     // the golden-tested geometry.
-    QueryDef("q87_perspective_views", None, releases = Seq("panos"))( (spark, dir) => {
+    QueryDef("q87_perspective_views", None, releases = Seq("panos"), noOracleReason = Some(
+      "equirect-to-perspective warp sums millions of trig-placed pixels; libm ULP " +
+        "drift vs DuckDB flips half-pixel rounding and the checksum hash; geometry " +
+        "golden-pinned by WarpSpec and the oracled companion q75 runs the same " +
+        "warpView kernel with inlined full-precision view constants"))(
+      (spark, dir) => {
       graft.multimodal.Warp
         .perspectiveViews(panoramas(spark, dir), 60, Seq(0, 90, 180, 270), -10, 48, 48)
         .select(col("media_id"), col("theta").cast("long").as("theta"),

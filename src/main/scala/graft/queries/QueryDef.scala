@@ -8,6 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param oracle   equivalent ANSI SQL runnable by DuckDB over the same
   *                 parquet tables; None for ops DuckDB can't express
   *                 (those get the driver's weaker rows-only check).
+  * @param noOracleReason REQUIRED exactly when `oracle` is None (Registry
+  *                 enforces the XOR): why no hash-comparable oracle can
+  *                 exist and where the semantics ARE pinned instead.
+  *                 Verify dumps these as `oracle_exclusions.json` so the
+  *                 driver's gate can tell "explicitly excluded, verified
+  *                 elsewhere" from "unverified" (ADVICE r9 #2).
   * @param releases SessionCache key prefixes whose LAST consumer (in the
   *                 harnesses' sorted-by-name sweep order) is this query:
   *                 Verify/Bench release them once this query's action
@@ -22,5 +28,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    releases: Seq[String] = Nil)(
+    releases: Seq[String] = Nil,
+    noOracleReason: Option[String] = None)(
     val build: (SparkSession, String) => DataFrame)

@@ -11,6 +11,13 @@ object Registry {
     val names = qs.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")
+    // Exactly one of (oracle, noOracleReason) per query: a rows-only
+    // query without a declared reason would read as "unverified" in the
+    // driver's gate (ADVICE r9 #2), and a reason on an oracled query
+    // would be stale documentation.
+    val bad = qs.filter(q => q.oracle.isDefined == q.noOracleReason.isDefined)
+    require(bad.isEmpty,
+      s"queries must declare oracle XOR noOracleReason: ${bad.map(_.name).mkString(",")}")
     qs
   }
 

@@ -50,6 +50,52 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!withStats.contains("\n"))
   }
 
+  test("the contract line fits the driver's 2000-char stdout tail with every registry query") {
+    // ADVICE r9 #1: the driver stores only the LAST 2000 chars of bench
+    // stdout; rounds 1-9 printed a ~3.5 KB full-name line whose start
+    // fell off that tail, so `parsed` was null in EVERY round artifact.
+    // Worst-case render: every query at a 4-digit-seconds time, plus a
+    // large sweep_stats payload — the whole line must leave room for the
+    // ~100-char sbt "[success]" epilogue inside 2000.
+    val names = graft.queries.Registry.all.map(_.name)
+    val runs = names.map(n => Bench.QueryRun(n, 8888.888888888, None))
+    val line = Bench.renderJson(runs, "/root/testdata/sf0.1", sweeps = 2,
+      Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)))
+    assert(line.startsWith("""{"metric":"""), line.take(40))
+    assert(!line.contains("\n"))
+    assert(line.length <= 1850, s"contract line ${line.length} chars overflows the tail budget")
+    // Short keys must be unique over the registry or the render silently
+    // falls back to full names and re-breaks the budget.
+    val shorts = names.map(Bench.shortKey)
+    assert(shorts.distinct.size == names.size,
+      s"duplicate short keys: ${shorts.diff(shorts.distinct).distinct.mkString(",")}")
+    assert(line.contains("\"" + Bench.shortKey(names.head) + "\":"))
+  }
+
+  test("short-key collisions fall back to full names; fmt renders plain fixed-point") {
+    val collide = Seq(Bench.QueryRun("zz_one", 1.23456, None), Bench.QueryRun("zz_two", 2.0, None))
+    val line = Bench.renderJson(collide, "/x", sweeps = 1)
+    assert(line.contains("\"zz_one\":1.235") && line.contains("\"zz_two\":2"),
+      s"collision must fall back to full names: $line")
+    assert(Bench.fmt(0.0000004, 3) == "0")
+    assert(Bench.fmt(12.3999, 3) == "12.4")
+    assert(Bench.fmt(1e-9, 3) == "0" && !Bench.fmt(1e-9, 3).contains("E"))
+    // The detail line leads with a non-"metric" key so a tail scanner
+    // can never latch onto it, and carries full precision.
+    val detail = Bench.renderDetailJson(collide, "/x")
+    assert(detail.startsWith("""{"detail":"""))
+    assert(detail.contains("\"zz_one\":1.23456"))
+    assert(!detail.contains("\n"))
+  }
+
+  test("every registry query declares oracle XOR noOracleReason; exclusions surface in SparkEntry") {
+    val qs = graft.queries.Registry.all
+    assert(qs.forall(q => q.oracle.isDefined != q.noOracleReason.isDefined))
+    val excl = SparkEntry.oracleExclusions
+    assert(excl.keySet == SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+    assert(excl.values.forall(_.nonEmpty))
+  }
+
   test("best-of-N merge takes per-query minima and never launders a flaky failure") {
     def run(n: String, s: Double, e: Option[String]) = Bench.QueryRun(n, s, e)
     val merged = Bench.mergeSweeps(Seq(
