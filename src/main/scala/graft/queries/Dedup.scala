@@ -443,6 +443,54 @@ object Dedup {
       releases = Seq("jacPairs"))( (spark, dir) =>
       dedupClustersRel(spark, dir).orderBy(col("doc_id"))),
 
+    // ── Quality-aware canonical selection: q55 labels clusters; a real
+    // curation pipeline then keeps the BEST member of each cluster, not
+    // an arbitrary one (near-dup members differ — truncations, boiler-
+    // plate variants — and min-id keeps whichever crawled first). Per
+    // cluster: the member with max quality score (q31's exact spelling),
+    // ties to the smallest doc_id via lexicographic struct max on
+    // (quality, -doc_id), mirrored by the oracle's min(doc_id)-at-max
+    // join. Scale shape: the labels relation equi-joins documents on
+    // doc_id (labels are NOT broadcast-assumed — at 100 TB a third of
+    // the corpus can be clustered; AQE picks broadcast when it fits),
+    // quality is computed AFTER the join so only cluster members pay the
+    // tokenize, and the groupBy shuffles scalars keyed by cluster_id.
+    QueryDef(
+      "q102_canonical_best",
+      Some(s"""
+        WITH RECURSIVE ${shinglesSqlCte.trim.stripPrefix("WITH")},
+        edges AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5),
+        sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+                UNION SELECT b_id, a_id FROM edges),
+        reach(src, dst) AS (
+          SELECT src, dst FROM sym
+          UNION
+          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+        lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+                FROM reach GROUP BY src),
+        q AS (SELECT doc_id, ${TS.qualityExpr("text", "toks")} AS quality FROM toks),
+        m AS (SELECT l.cluster_id, count(*) AS n_members, max(q.quality) AS mq
+              FROM lab l JOIN q ON q.doc_id = l.doc_id GROUP BY 1)
+        SELECT m.cluster_id, m.n_members, min(l.doc_id) AS keep_id,
+               round(m.mq, 6) AS quality
+        FROM m JOIN lab l ON l.cluster_id = m.cluster_id
+        JOIN q ON q.doc_id = l.doc_id AND q.quality = m.mq
+        GROUP BY m.cluster_id, m.n_members, m.mq
+        ORDER BY m.cluster_id"""))( (spark, dir) =>
+      dedupClustersRel(spark, dir)
+        .join(documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("toks", TF.tokens(col("text")))
+        .withColumn("quality", TF.qualityScore(col("text"), col("toks")))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("m.nid")).as("keep_id"), round(col("m.q"), 6).as("quality"))
+        .orderBy(col("cluster_id"))),
+
     // ── Incremental NEAR-dup detection: the fuzzy counterpart of q57's
     // exact incremental check. The new batch (doc_id % 5 = 0) is banded
     // with the SAME MinHash family as q42 and its band keys probe the

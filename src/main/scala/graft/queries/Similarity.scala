@@ -443,6 +443,52 @@ object Similarity {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), round(avg(col("c")), 6).as("avg_cos"))
         .orderBy(col("label"))
+    }),
+
+    // ── Semantic decontamination: the embedding-space counterpart of
+    // q59's n-gram probe. Eval items (vec_id % 31 = 0, mirroring q59's
+    // eval convention) are the held-out benchmark; every training vector
+    // whose max cosine against ANY eval vector clears τ is flagged with
+    // its closest eval item — the audit a training-data pipeline runs
+    // before a corpus ships, catching paraphrased contamination n-gram
+    // overlap misses. τ = 0.3 is calibrated to this corpus's cross-split
+    // cosine tail (52 flagged of 483 at sf0.01, 737 of 1935 at sf0.1).
+    // Spark shape: broadcast the eval side (an eval suite is thousands
+    // of rows regardless of corpus size), map-side dot products over the
+    // corpus scan, τ-filter BEFORE the aggregation — only (vec_id, cos,
+    // eval_id) scalars for above-threshold pairs reach the shuffle, with
+    // map-side partial max; corpus embeddings never shuffle. Equivalent
+    // to the max-filter (max ≥ τ ⇔ ∃ pair ≥ τ, and dropped pairs can't
+    // be the max). Ties on max cos resolve to the smallest eval_id via
+    // lexicographic struct max on (cos, -eval_id) — mirrored exactly by
+    // the oracle's min(eval_id)-at-max join.
+    QueryDef(
+      "q101_semantic_decon",
+      Some(s"""
+        $corpusCte,
+        ev AS (SELECT * FROM n WHERE vec_id % 31 = 0),
+        tr AS (SELECT * FROM n WHERE vec_id % 31 <> 0),
+        hits AS (
+          SELECT tr.vec_id, ev.vec_id AS eval_id, ${cosNN("tr", "ev")} AS c
+          FROM tr JOIN ev ON ${cosNN("tr", "ev")} >= 0.3),
+        mx AS (SELECT vec_id, max(c) AS mc FROM hits GROUP BY vec_id)
+        SELECT h.vec_id, min(h.eval_id) AS eval_id, round(m.mc, 6) AS cos
+        FROM hits h JOIN mx m ON h.vec_id = m.vec_id AND h.c = m.mc
+        GROUP BY h.vec_id, m.mc ORDER BY h.vec_id"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val ev = e.filter(col("vec_id") % 31 === 0)
+        .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+          col("nrm").as("en"))
+      e.filter(col("vec_id") % 31 =!= 0)
+        .join(broadcast(ev))
+        .withColumn("c", VF.dot(col("embedding"), col("ev")) / (col("nrm") * col("en")))
+        .filter(col("c") >= 0.3)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("c").as("c"), (-col("eval_id")).as("nid"))).as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("eval_id"),
+          round(col("m.c"), 6).as("cos"))
+        .orderBy(col("vec_id"))
     })
   )
 }

@@ -187,6 +187,56 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "exact all-pairs must come from the block-pair shuffle, not a nested loop")
   }
 
+  test("q101: eval side broadcasts; no keyed exchange carries an embedding") {
+    // Same contract as q50/q51: the eval suite is the tiny broadcast
+    // side (BNLJ against a broadcast eval batch is the intended shape —
+    // every train×eval pair is scored map-side on the corpus scan), and
+    // after the τ-filter only (vec_id, cos, eval_id) scalars may enter
+    // the keyed max-aggregation exchange.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    val df = graft.SparkEntry.queries("q101_semantic_decon")(spark, dir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val s = plan.toString
+    // Pre-AQE inputPlan renders the join node, not the exchange AQE
+    // inserts at runtime; BuildRight = the eval side is the build side.
+    assert(s.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"eval side must be the broadcast build side: ${s.linesIterator.take(12).mkString("\n")}")
+    for (e <- plan.collect { case e: ShuffleExchangeLike => e }
+           if e.outputPartitioning.isInstanceOf[HashPartitioning]
+             || e.outputPartitioning.isInstanceOf[RangePartitioning])
+      assert(!e.child.schema.fieldNames.exists(f => f == "embedding" || f == "ev"),
+        s"keyed exchange carries vector columns: ${e.child.schema.fieldNames.mkString(",")}")
+  }
+
+  test("q102: canonical selection is an equi join; quality computed above the join") {
+    val p = planOf("q102_canonical_best")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "labels join documents on doc_id — an equi join")
+    // The tokenize/quality projection must sit ABOVE the join (only
+    // cluster members pay it), so the documents-side scan/exchange below
+    // the join carries raw text, not a toks array.
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    val df = graft.SparkEntry.queries("q102_canonical_best")(spark, dir)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case pl => pl
+    }
+    val joins = plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected an equi join between labels and documents")
+    assert(joins.forall(_.children.forall(c => !c.schema.fieldNames.contains("toks"))),
+      "tokenize must not run below the join — only cluster members pay it")
+  }
+
   test("q64: interval join is an equi join on user_id with a range post-filter") {
     val p = planOf("q64_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
