@@ -32,13 +32,22 @@ def main(sf_dir: str, out_dir: str) -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    excl_path = f"{out_dir}/oracle_exclusions.json"
+    exclusions = json.load(open(excl_path)) if os.path.exists(excl_path) else {}
     failures = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
         got = canon(con.execute(
             f"SELECT * FROM '{qdir}/*.parquet'").fetchdf())
         if name not in oracle:
-            print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)")
+            # A declared exclusion is "by design, pinned elsewhere"; a
+            # missing oracle WITHOUT one is an unverified query — fail it
+            # so a dropped oracle can't silently pass as rows-only.
+            if name in exclusions:
+                print(f"  {name:28s} rows={len(got):7d}  (excluded by design — rows-only)")
+            else:
+                print(f"!! {name:28s} rows={len(got):7d}  NO ORACLE AND NO DECLARED EXCLUSION")
+                failures += 1
             if len(got) == 0:
                 print(f"    !! EMPTY RESULT")
                 failures += 1
