@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must reach the console RAW: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which
+// breaks any consumer that json-parses the Bench/Verify contract lines
+// from captured stdout (the driver's BENCH_r* extraction).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
