@@ -83,6 +83,30 @@ object Bench {
     if (s == "-0") "0" else s
   }
 
+  /** Shared qs/errs rendering for the contract and detail lines — one
+    * construction site so the two can't drift (key scheme, quoting,
+    * error caps all flow through here).
+    */
+  private def renderMaps(results: Seq[QueryRun], key: String => String,
+      sec: Double => String, errCap: Int, maxErrs: Int): (String, String) = {
+    val qs = results.map(r => Jsons.quote(key(r.name)) + ":" + sec(r.seconds))
+      .mkString("{", ",", "}")
+    val failed = results.collect { case QueryRun(n, _, Some(m)) => (n, m) }
+    val shown = failed.take(maxErrs).map { case (n, m) =>
+      Jsons.quote(key(n)) + ":" + Jsons.quote(m.take(errCap))
+    }
+    val overflow = if (failed.size > maxErrs)
+      Seq(s""""_truncated":${failed.size - maxErrs}""") else Nil
+    (qs, (shown ++ overflow).mkString("{", ",", "}"))
+  }
+
+  /** Hard ceiling for the contract line: the driver keeps the LAST 2000
+    * chars of stdout; the line plus sbt's ~100-char "[success]" epilogue
+    * must fit inside that or `parsed` comes back null (ADVICE r9 #1 —
+    * the failure mode of rounds 1–9).
+    */
+  private[graft] val ContractLineBudget = 1900
+
   /** The driver-contract JSON line, plus an `errors` object (empty on a
     * clean sweep) so a throwing query is visibly reported instead of
     * masquerading as a speedup, a `sweeps` count documenting the
@@ -94,22 +118,39 @@ object Bench {
     * set (they are, by Registry construction — BenchHarnessSpec pins
     * it); on a collision (spec-planted names) every key falls back to
     * the full name — correctness over compactness.
+    *
+    * Error entries degrade deterministically under the line budget: a
+    * failure round is exactly when the artifact matters most, so the
+    * line must not regrow past the tail. Cascade: 120-char messages,
+    * then 40-char, then error COUNTS only ({"_n":K,"_first":...}) —
+    * per-query times are never degraded (full detail is on the
+    * preceding detail line regardless).
     */
   private[graft] def renderJson(
       results: Seq[QueryRun], sfDir: String, sweeps: Int,
       sweepStats: Option[(Long, Long, Long)] = None): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
-    val qs = results.map(r => Jsons.quote(key(r.name)) + ":" + fmt(r.seconds, 3))
-      .mkString("{", ",", "}")
-    val errs = results.collect { case QueryRun(n, _, Some(m)) =>
-      Jsons.quote(key(n)) + ":" + Jsons.quote(m.take(120))
-    }.mkString("{", ",", "}")
     val ss = sweepStats.map { case (maxGroup, pairs, dense) =>
       s""","sweep_stats":{"max_group_boxes":$maxGroup,"pairs_enumerated":$pairs,"dense_groups":$dense}"""
     }.getOrElse("")
     val total = results.map(_.seconds).sum
-    s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss,"sf":${Jsons.quote(sfDir)}}"""
+    val qs = renderMaps(results, key, fmt(_, 3), 0, 0)._1
+    def line(errs: String) =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss,"sf":${Jsons.quote(sfDir)}}"""
+    val failed = results.collect { case QueryRun(n, _, Some(m)) => (n, m) }
+    val attempts = Iterator(
+      renderMaps(results, key, fmt(_, 3), 120, failed.size)._2,
+      renderMaps(results, key, fmt(_, 3), 40, failed.size)._2,
+      s"""{"_n":${failed.size}${
+        failed.headOption.map { case (n, m) =>
+          s""","_first":${Jsons.quote(s"${key(n)}: ${m.take(40)}")}"""
+        }.getOrElse("")
+      }}""")
+    attempts.map(line).find(_.length <= ContractLineBudget)
+      // Last resort (pathological name lengths): emit anyway — a long
+      // line beats no line.
+      .getOrElse(line(s"""{"_n":${failed.size}}"""))
   }
 
   /** Full-name, full-precision record printed BEFORE the contract line.
@@ -119,11 +160,8 @@ object Bench {
     * the contract object.
     */
   private[graft] def renderDetailJson(results: Seq[QueryRun], sfDir: String): String = {
-    val qs = results.map(r => Jsons.quote(r.name) + ":" + r.seconds)
-      .mkString("{", ",", "}")
-    val errs = results.collect { case QueryRun(n, _, Some(m)) =>
-      Jsons.quote(n) + ":" + Jsons.quote(m)
-    }.mkString("{", ",", "}")
+    val (qs, errs) = renderMaps(results, identity, _.toString,
+      errCap = Int.MaxValue, maxErrs = results.size)
     s"""{"detail":"full query names/precision; compact contract line follows","queries":$qs,"errors":$errs,"sf":${Jsons.quote(sfDir)}}"""
   }
 

@@ -20,6 +20,27 @@ object Dedup {
                  list_transform(shingles, s -> ${TS.stringHashExpr("s")}) AS hs
           FROM sh)"""
 
+  /** Recursive transitive-closure CTE chain shared by the q55 and q102
+    * oracles: `edges` (the declarative ≥0.5 pair spec), symmetric
+    * closure, reachability, and the per-doc min-label `lab`. ONE
+    * spelling so the cluster definition the two oracles compare against
+    * can never diverge. Callers splice this after `WITH RECURSIVE` +
+    * the shingle CTEs.
+    */
+  private[queries] val closureSqlCtes = s"""
+    edges AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5),
+    sym AS (SELECT a_id AS src, b_id AS dst FROM edges
+            UNION SELECT b_id, a_id FROM edges),
+    reach(src, dst) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+    lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+            FROM reach GROUP BY src)"""
+
   /** (doc_id, shingles) persisted once per (session, sfDir) and shared
     * by q41/q42/q43: the relation must be cached BEFORE any explode —
     * Generate re-evaluates expensive generator inputs (measured 7.1 s
@@ -425,18 +446,8 @@ object Dedup {
       // the list, so the shared shingle CTE is spliced in after it.
       Some(s"""
         WITH RECURSIVE ${shinglesSqlCte.trim.stripPrefix("WITH")},
-        edges AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5),
-        sym AS (SELECT a_id AS src, b_id AS dst FROM edges
-                UNION SELECT b_id, a_id FROM edges),
-        reach(src, dst) AS (
-          SELECT src, dst FROM sym
-          UNION
-          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
-        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        FROM reach GROUP BY src ORDER BY doc_id"""),
+        $closureSqlCtes
+        SELECT doc_id, cluster_id FROM lab ORDER BY doc_id"""),
       // Last consumer (sorted order) of the pair relation; the cluster
       // labels themselves release with q99 (the pipeline's canonical
       // filter) and shingleSets with q69.
@@ -459,18 +470,7 @@ object Dedup {
       "q102_canonical_best",
       Some(s"""
         WITH RECURSIVE ${shinglesSqlCte.trim.stripPrefix("WITH")},
-        edges AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE ${DS.jaccardExpr("a.shingles", "b.shingles")} >= 0.5),
-        sym AS (SELECT a_id AS src, b_id AS dst FROM edges
-                UNION SELECT b_id, a_id FROM edges),
-        reach(src, dst) AS (
-          SELECT src, dst FROM sym
-          UNION
-          SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-        lab AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-                FROM reach GROUP BY src),
+        $closureSqlCtes,
         q AS (SELECT doc_id, ${TS.qualityExpr("text", "toks")} AS quality FROM toks),
         m AS (SELECT l.cluster_id, count(*) AS n_members, max(q.quality) AS mq
               FROM lab l JOIN q ON q.doc_id = l.doc_id GROUP BY 1)

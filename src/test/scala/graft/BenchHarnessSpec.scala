@@ -96,6 +96,30 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(excl.values.forall(_.nonEmpty))
   }
 
+  test("a failure round cannot regrow the contract line past the tail budget") {
+    // The review finding on the r10 line fix: error entries are largest
+    // exactly when the artifact matters most (a failing round). Plant
+    // the worst case — every registry query failed with a long message
+    // at 4-digit seconds — and require the budget to hold via the
+    // degradation cascade, with the failure count still visible.
+    val names = graft.queries.Registry.all.map(_.name)
+    val allFail = names.map(n =>
+      Bench.QueryRun(n, 8888.888888, Some("X" * 300 + "\"quote\nnewline")))
+    val line = Bench.renderJson(allFail, "/root/testdata/sf0.1", sweeps = 2,
+      Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)))
+    assert(line.length <= Bench.ContractLineBudget,
+      s"degraded line still ${line.length} chars")
+    assert(!line.contains("\n") && line.startsWith("""{"metric":"""))
+    assert(line.contains(s""""_n":${names.size}""") || line.contains("\"_truncated\":"),
+      s"failure count must survive degradation: ${line.takeRight(200)}")
+    // A few failures keep their messages (no degradation needed).
+    val fewFail = names.map(n => Bench.QueryRun(n, 1.234, None)).updated(0,
+      Bench.QueryRun(names.head, 1.234, Some("boom-message")))
+    val line2 = Bench.renderJson(fewFail, "/root/testdata/sf0.1", sweeps = 2)
+    assert(line2.length <= Bench.ContractLineBudget)
+    assert(line2.contains("boom-message"))
+  }
+
   test("best-of-N merge takes per-query minima and never launders a flaky failure") {
     def run(n: String, s: Double, e: Option[String]) = Bench.QueryRun(n, s, e)
     val merged = Bench.mergeSweeps(Seq(

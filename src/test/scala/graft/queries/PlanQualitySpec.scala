@@ -214,19 +214,22 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q102: canonical selection is an equi join; quality computed above the join") {
-    val p = planOf("q102_canonical_best")
+    // Build ONCE: planning q102 materializes dedupClustersRel (the label
+    // propagation runs real jobs on first build) — both assertions read
+    // the same executedPlan.
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = graft.SparkEntry.queries("q102_canonical_best")(spark, dir)
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case pl => pl
+    }
+    val p = plan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "labels join documents on doc_id — an equi join")
     // The tokenize/quality projection must sit ABOVE the join (only
     // cluster members pay it), so the documents-side scan/exchange below
     // the join carries raw text, not a toks array.
-    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec, BroadcastHashJoinExec}
-    val df = graft.SparkEntry.queries("q102_canonical_best")(spark, dir)
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.inputPlan
-      case pl => pl
-    }
     val joins = plan.collect {
       case j: SortMergeJoinExec => j
       case j: ShuffledHashJoinExec => j

@@ -33,7 +33,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     excl_path = f"{out_dir}/oracle_exclusions.json"
-    exclusions = json.load(open(excl_path)) if os.path.exists(excl_path) else {}
+    if os.path.exists(excl_path):
+        exclusions = json.load(open(excl_path))
+        strict_exclusions = True
+    else:
+        # Stale/partial dump (pre-round-10 Verify, or the exclusions
+        # write failed): say so ONCE and fall back to lenient rows-only
+        # labeling — failing every rows-only query with "no declared
+        # exclusion" would diagnose the wrong problem.
+        print("  (oracle_exclusions.json missing — rows-only queries unlabeled; "
+              "regenerate with current Verify for the strict check)")
+        exclusions, strict_exclusions = {}, False
     failures = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
@@ -45,9 +55,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             # so a dropped oracle can't silently pass as rows-only.
             if name in exclusions:
                 print(f"  {name:28s} rows={len(got):7d}  (excluded by design — rows-only)")
-            else:
+            elif strict_exclusions:
                 print(f"!! {name:28s} rows={len(got):7d}  NO ORACLE AND NO DECLARED EXCLUSION")
                 failures += 1
+            else:
+                print(f"  {name:28s} rows={len(got):7d}  (no oracle — rows-only)")
             if len(got) == 0:
                 print(f"    !! EMPTY RESULT")
                 failures += 1
