@@ -52,11 +52,11 @@ object Curation {
                FROM documents),
         sh5 AS (SELECT doc_id, ${TS.shinglesExpr("toks", 5)} AS s5 FROM toks),
         evu AS (SELECT DISTINCT u.s FROM sh5, (SELECT unnest(s5) AS s) u
-                WHERE doc_id % 31 = 0),
+                WHERE ${EvalSet.sqlEval("doc_id")}),
         cont AS (
           SELECT DISTINCT t.doc_id
           FROM (SELECT doc_id, u.s FROM sh5, (SELECT unnest(s5) AS s) u
-                WHERE doc_id % 31 <> 0) t
+                WHERE ${EvalSet.sqlTrain("doc_id")}) t
           JOIN evu ON t.s = evu.s),
         keepers AS (
           SELECT d.doc_id, d.lang, ${TS.tokenCountExpr("t.toks")}::BIGINT AS n_tokens
@@ -64,7 +64,7 @@ object Curation {
           JOIN toks t ON t.doc_id = d.doc_id
           JOIN fp ON fp.doc_id = d.doc_id
           LEFT JOIN clust c ON c.doc_id = d.doc_id
-          WHERE d.doc_id % 31 <> 0
+          WHERE ${EvalSet.sqlTrain("d.doc_id")}
             AND fp.keep_id = d.doc_id
             AND (c.cluster_id IS NULL OR c.cluster_id = d.doc_id)
             AND d.doc_id NOT IN (SELECT doc_id FROM cont)
@@ -103,7 +103,7 @@ object Curation {
         .join(canon, "doc_id")
         .join(clust, Seq("doc_id"), "left")
         .join(cont, Seq("doc_id"), "left_anti")
-        .filter(col("doc_id") % 31 =!= 0)
+        .filter(EvalSet.isTrain(col("doc_id")))
         .filter(col("keep_id") === col("doc_id"))
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .filter(col("n_tokens") >= 15)

@@ -63,7 +63,7 @@ object CurationDag {
           .join(up("exact_canon"), "doc_id")
           .join(up("neardup_clusters"), Seq("doc_id"), "left")
           .join(up("contaminated"), Seq("doc_id"), "left_anti")
-          .filter(col("doc_id") % 31 =!= 0)
+          .filter(EvalSet.isTrain(col("doc_id")))
           .filter(col("keep_id") === col("doc_id"))
           .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
           .filter(col("n_tokens") >= 15)

@@ -110,18 +110,18 @@ object Dedup {
     }
 
   /** The decontamination probe relation: one row per (training doc,
-    * shared-5-shingle-with-eval) hit — eval set = doc_id % 31 = 0, its
-    * distinct shingle union broadcast, training shingles probed
-    * map-side. ONE maintenance site for the decontamination rule: q59
-    * aggregates it to per-doc counts, q99 reduces it to the
-    * contaminated id set.
+    * shared-5-shingle-with-eval) hit — eval set = the fixed-size
+    * [[EvalSet]] suite, its distinct shingle union broadcast, training
+    * shingles probed map-side. ONE maintenance site for the
+    * decontamination rule: q59 aggregates it to per-doc counts, q99
+    * reduces it to the contaminated id set.
     */
   private[queries] def contamProbe(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val sh5 = sh5Sets(spark, dir)
-    val ev = sh5.filter(col("doc_id") % 31 === 0)
+    val ev = sh5.filter(EvalSet.isEval(col("doc_id")))
       .select(explode(col("sh")).as("s")).distinct()
-    sh5.filter(col("doc_id") % 31 =!= 0)
+    sh5.filter(EvalSet.isTrain(col("doc_id")))
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(broadcast(ev), "s")
   }
@@ -396,10 +396,10 @@ object Dedup {
     }),
 
     // ── Benchmark decontamination: flag training docs sharing any
-    // 5-token shingle with a held-out eval set (doc_id % 31 = 0 models
-    // the benchmark suite) — the hygiene pass every pretraining corpus
-    // runs so eval answers don't leak into training. The eval side is
-    // benchmark-sized BY CONSTRUCTION, so its distinct shingle set
+    // 5-token shingle with a held-out eval set ([[EvalSet]]: the first
+    // 64 doc_ids model the benchmark suite — FIXED cardinality, so the
+    // eval side stays benchmark-sized at any corpus scale, not a
+    // corpus fraction). Its distinct shingle set
     // broadcasts and the corpus is probed MAP-SIDE: at 100 TB the only
     // shuffle is the per-contaminated-doc count aggregation (output-
     // sized, tiny), never the corpus shingles. n=5 is the testdata
@@ -415,9 +415,9 @@ object Dedup {
         WITH toks AS (SELECT doc_id, ${TS.toksExpr("text")} AS toks FROM documents),
         sh5 AS (SELECT doc_id, ${TS.shinglesExpr("toks", 5)} AS sh FROM toks),
         ev AS (SELECT DISTINCT u.s FROM sh5, (SELECT unnest(sh) AS s) u
-               WHERE doc_id % 31 = 0),
+               WHERE ${EvalSet.sqlEval("doc_id")}),
         tr AS (SELECT doc_id, u.s FROM sh5, (SELECT unnest(sh) AS s) u
-               WHERE doc_id % 31 <> 0)
+               WHERE ${EvalSet.sqlTrain("doc_id")})
         SELECT tr.doc_id, count(*) AS n_shared
         FROM tr JOIN ev ON tr.s = ev.s
         GROUP BY tr.doc_id ORDER BY tr.doc_id"""),
@@ -471,25 +471,74 @@ object Dedup {
       Some(s"""
         WITH RECURSIVE ${shinglesSqlCte.trim.stripPrefix("WITH")},
         $closureSqlCtes,
-        q AS (SELECT doc_id, ${TS.qualityExpr("text", "toks")} AS quality FROM toks),
+        q AS (SELECT doc_id, round(${TS.qualityExpr("text", "toks")}, 6) AS quality FROM toks),
         m AS (SELECT l.cluster_id, count(*) AS n_members, max(q.quality) AS mq
               FROM lab l JOIN q ON q.doc_id = l.doc_id GROUP BY 1)
         SELECT m.cluster_id, m.n_members, min(l.doc_id) AS keep_id,
-               round(m.mq, 6) AS quality
+               m.mq AS quality
         FROM m JOIN lab l ON l.cluster_id = m.cluster_id
         JOIN q ON q.doc_id = l.doc_id AND q.quality = m.mq
         GROUP BY m.cluster_id, m.n_members, m.mq
         ORDER BY m.cluster_id"""))( (spark, dir) =>
+      // The argmax compares ROUND(quality, 6) on both sides (ADVICE r10
+      // #4): raw-double argmax would let ULP drift between Spark's and
+      // DuckDB's quality spelling flip the keeper on a near-tie; at 6
+      // decimals the two spellings agree bit-for-bit, and true ties
+      // resolve by the -doc_id struct field exactly as the oracle's
+      // min(doc_id)-at-max join does.
       dedupClustersRel(spark, dir)
         .join(documents(spark, dir).select(col("doc_id"), col("text")), "doc_id")
         .withColumn("toks", TF.tokens(col("text")))
-        .withColumn("quality", TF.qualityScore(col("text"), col("toks")))
+        .withColumn("quality", round(TF.qualityScore(col("text"), col("toks")), 6))
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("m"))
         .select(col("cluster_id"), col("n_members"),
-          (-col("m.nid")).as("keep_id"), round(col("m.q"), 6).as("quality"))
+          (-col("m.nid")).as("keep_id"), col("m.q").as("quality"))
         .orderBy(col("cluster_id"))),
+
+    // ── Light companion to q102 (VERDICT r10 #2): the same quality-
+    // aware canonical selection over the EXACT-dup clusters q40 defines
+    // (md5-canonical groups of the simulated re-crawl) instead of the
+    // near-dup closure. q102's only raceable anchor was sf0.01 — its
+    // oracle splices the recursive-CTE closure, which cannot run at
+    // sf0.1; THIS oracle is two scalar aggregations over an md5 groupBy,
+    // raceable at any SF, so the argmax/tie-break machinery q102 and
+    // q103 share is hash-verified in the like-for-like set too (the
+    // q80→q88 pattern). Quality is computed ONCE per distinct doc and
+    // the re-crawl copy inherits it (same text ⇒ same fp, same score) —
+    // half the tokenize of scoring the crawl union directly, mirrored
+    // structurally in the oracle. Scale shape: tokenize is map-side over
+    // the corpus scan, the groupBy shuffles (fp, scalars) — never text.
+    QueryDef(
+      "q103_canonical_exact",
+      Some(s"""
+        WITH toks AS (SELECT doc_id, text, ${TS.toksExpr("text")} AS toks FROM documents),
+        q0 AS (SELECT doc_id, md5(text) AS fp,
+                      round(${TS.qualityExpr("text", "toks")}, 6) AS quality FROM toks),
+        q AS (SELECT doc_id, fp, quality FROM q0
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, fp, quality FROM q0),
+        m AS (SELECT fp, min(doc_id) AS cluster_id, count(*) AS n_members,
+                     max(quality) AS mq
+              FROM q GROUP BY fp)
+        SELECT m.cluster_id, m.n_members, min(q.doc_id) AS keep_id, m.mq AS quality
+        FROM m JOIN q ON q.fp = m.fp AND q.quality = m.mq
+        GROUP BY m.cluster_id, m.n_members, m.mq
+        ORDER BY m.cluster_id"""))( (spark, dir) => {
+      val q0 = documents(spark, dir)
+        .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+          round(TF.qualityScore(col("text"), col("toks")), 6).as("quality"))
+      val crawl = q0.unionByName(
+        q0.select((col("doc_id") + 100000).as("doc_id"), col("fp"), col("quality")))
+      crawl.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("cluster_id"), count(lit(1)).as("n_members"),
+          max(struct(col("quality").as("q"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("cluster_id"), col("n_members"),
+          (-col("m.nid")).as("keep_id"), col("m.q").as("quality"))
+        .orderBy(col("cluster_id"))
+    }),
 
     // ── Incremental NEAR-dup detection: the fuzzy counterpart of q57's
     // exact incremental check. The new batch (doc_id % 5 = 0) is banded

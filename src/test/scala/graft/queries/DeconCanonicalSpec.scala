@@ -35,9 +35,9 @@ class DeconCanonicalSpec extends AnyFunSuite with BeforeAndAfterAll {
     // struct-max code.
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-    val ev = e.filter(col("vec_id") % 31 === 0)
+    val ev = e.filter(graft.queries.EvalSet.isEval(col("vec_id")))
       .select(col("vec_id").as("eval_id"), col("embedding").as("evv"), col("nrm").as("en"))
-    val all = e.filter(col("vec_id") % 31 =!= 0).crossJoin(ev)
+    val all = e.filter(graft.queries.EvalSet.isTrain(col("vec_id"))).crossJoin(ev)
       .withColumn("c", VF.dot(col("embedding"), col("evv")) / (col("nrm") * col("en")))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("eval_id"))
     val want = all.withColumn("rk", row_number().over(w))

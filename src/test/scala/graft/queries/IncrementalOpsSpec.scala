@@ -108,10 +108,10 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh5 = d.select(col("doc_id"),
       graft.functions.TextFunctions.shingles(
         graft.functions.TextFunctions.tokens(col("text")), 5).as("sh"))
-    val evalUnion = sh5.filter(col("doc_id") % 31 === 0)
+    val evalUnion = sh5.filter(graft.queries.EvalSet.isEval(col("doc_id")))
       .select(explode(col("sh")).as("s")).distinct()
       .collect().map(_.getString(0)).toSet
-    val expected = sh5.filter(col("doc_id") % 31 =!= 0)
+    val expected = sh5.filter(graft.queries.EvalSet.isTrain(col("doc_id")))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1).count(evalUnion))
       .filter(_._2 > 0).toMap
@@ -258,7 +258,7 @@ class IncrementalOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.nonEmpty)
     val ids = out.map(_._1).toSet
     // Not benchmark docs; above the quality floor.
-    assert(out.forall(_._1 % 31 != 0))
+    assert(out.forall(_._1 >= graft.queries.EvalSet.N))
     assert(out.forall(_._4 >= 15))
     // Survivors are exact-unique: no two share a text digest.
     val d = graft.sources.Tables.documents(spark, dir)
