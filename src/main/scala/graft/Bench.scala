@@ -206,7 +206,8 @@ object Bench {
     // Best-effort: a failed materialization (full /tmp, permissions)
     // must degrade to the in-query derivation, not kill the sweep
     // before a single query has run.
-    Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable).foreach { t =>
+    Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
+        graft.queries.ShinglesTable, graft.queries.DedupClustersTable).foreach { t =>
       try { t.ensure(spark, sfDir); () }
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal: an OOM'd JVM must die loudly, not continue into a

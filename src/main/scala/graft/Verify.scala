@@ -16,7 +16,8 @@ object Verify {
     // table round-trip end-to-end. Best-effort: a failed materialization
     // degrades to the in-query derivation (value-identical), never to a
     // dead sweep.
-    Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable).foreach { t =>
+    Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
+        graft.queries.ShinglesTable, graft.queries.DedupClustersTable).foreach { t =>
       try { t.ensure(spark, sfDir); () }
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal: a fatal VM error must abort the dump, not produce a
