@@ -78,6 +78,10 @@ object Bench {
     * zeros stripped; stable worst-case width is what bounds the
     * contract-line budget. */
   private[graft] def fmt(x: Double, decimals: Int): String = {
+    // BigDecimal(NaN/Inf) throws, and the contract line is the one
+    // place a crash loses the whole artifact (ADVICE r10) — a
+    // pathological timing renders as the -1 sentinel instead.
+    if (!java.lang.Double.isFinite(x)) return "-1"
     val s = BigDecimal(x).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.stripTrailingZeros.toPlainString
     if (s == "-0") "0" else s
@@ -142,6 +146,10 @@ object Bench {
     val attempts = Iterator(
       renderMaps(results, key, fmt(_, 3), 120, failed.size)._2,
       renderMaps(results, key, fmt(_, 3), 40, failed.size)._2,
+      // First 5 errors + a "_truncated" count (ADVICE r10: this step
+      // makes renderMaps' overflow marker reachable) before degrading
+      // to counts only.
+      renderMaps(results, key, fmt(_, 3), 40, 5)._2,
       s"""{"_n":${failed.size}${
         failed.headOption.map { case (n, m) =>
           s""","_first":${Jsons.quote(s"${key(n)}: ${m.take(40)}")}"""

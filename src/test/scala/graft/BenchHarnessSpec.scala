@@ -80,6 +80,10 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Bench.fmt(0.0000004, 3) == "0")
     assert(Bench.fmt(12.3999, 3) == "12.4")
     assert(Bench.fmt(1e-9, 3) == "0" && !Bench.fmt(1e-9, 3).contains("E"))
+    // Non-finite timings render as the -1 sentinel instead of crashing
+    // the contract line (ADVICE r10).
+    assert(Bench.fmt(Double.NaN, 3) == "-1")
+    assert(Bench.fmt(Double.PositiveInfinity, 3) == "-1")
     // The detail line leads with a non-"metric" key so a tail scanner
     // can never latch onto it, and carries full precision.
     val detail = Bench.renderDetailJson(collide, "/x")

@@ -104,6 +104,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"OK {name:28s} rows={len(got):7d} cols={len(got.columns)}")
         else:
             failures += 1
+    # Inverse of the dropped-oracle check (ADVICE r10): a DECLARED query
+    # (oracled or excluded) whose Verify output dir is missing means the
+    # dump died or the query was silently skipped — fail it, don't let
+    # absence read as success.
+    dumped = {os.path.basename(d.rstrip("/"))
+              for d in glob.glob(f"{out_dir}/*/")}
+    for name in sorted(set(oracle) | set(exclusions)):
+        if name not in dumped:
+            print(f"!! {name:28s} DECLARED BUT NO OUTPUT DIR")
+            failures += 1
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
