@@ -82,6 +82,22 @@ object WallPlanes {
       scaledFeatures(cells, verticalThreshold, angleWeight, centroidWeight),
       eps, minSamples, tiles)
 
+  /** Data-adaptive tile count for [[wallPlanesScaled]] (r11 sf1
+    * rehearsal: a FIXED tiles=8 made the per-tile O(n²) kernel scale
+    * 17× at 10× the points — the same constant-where-a-data-derived-
+    * value-belongs flaw class as the old corpus-fraction IVF anchors).
+    * Targets ~`targetPerTile` points per grid cell so per-cell work is
+    * bounded at any corpus size; the count is footer-cheap on the
+    * materialized feature table. Floor 8 keeps the harness SFs on the
+    * exact tiling the gate has always run (sf0.01: n=1.8k → 8; sf0.1:
+    * n=17.6k → 8). Ceiling: [[tiledClusters]] floors the cell width at
+    * eps, so beyond ~4/eps tiles the 1-D grid stops refining — the
+    * structural limit of gridding on one feature axis; past it the
+    * scale path is a multi-axis grid, not more tiles.
+    */
+  def autoTiles(features: DataFrame, targetPerTile: Int = 2500): Int =
+    math.max(8, math.ceil(features.count().toDouble / targetPerTile).toInt)
+
   /** The clustering half over an already-derived feature relation
     * (`cell_id, nx..nz, cx..cz, f0..f2` — [[scaledFeatures]]'s contract):
     * the seam that lets the feature derivation be a materialized INPUT
@@ -226,7 +242,13 @@ object WallPlanes {
     val pts = points.select(col("cell_id").cast("long"),
       col("f0"), col("f1"), col("f2")).as[FPoint]
 
-    // Phase 1: exact core flags.
+    // Phase 1: exact core flags. The count stops at minSamples — the
+    // flag needs ≥, not the exact count, so a point inside a dense
+    // cluster stops after its first ~minSamples neighbors instead of
+    // scanning the whole cell (r11 sf1 rehearsal: wall-plane clusters
+    // are eps-dense cliques, so the full scan made this pass O(n²) in
+    // the cluster size; only genuinely sparse points now pay a full
+    // cell scan, which is the linear cost of deciding "not core").
     val coreFlags = pts
       .flatMap(p => grids(p.f0, cellW, eps).map(g =>
         FRepl(g, g == math.floor(p.f0 / cellW).toLong, p)))
@@ -235,7 +257,11 @@ object WallPlanes {
         val all = it.toArray
         all.iterator.filter(_.owned).map { r =>
           var n = 0
-          all.foreach(o => if (d2(r.p, o.p) <= eps2) n += 1)
+          var i = 0
+          while (i < all.length && n < minSamples) {
+            if (d2(r.p, all(i).p) <= eps2) n += 1
+            i += 1
+          }
           (r.p.cell_id, n >= minSamples)
         }
       }.toDF("cell_id", "core")
@@ -255,26 +281,74 @@ object WallPlanes {
       val cores = all.filter(_.core)
       val parent = Array.tabulate(cores.length)(identity)
       def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
-      var i = 0
-      while (i < cores.length) {
-        var j = i + 1
-        while (j < cores.length) {
-          if (d2(cores(i).p, cores(j).p) <= eps2) {
-            val (ri, rj) = (find(i), find(j))
-            if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      def union(a: Int, b: Int): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // Local core components via a MICRO-BOX grid instead of the
+      // all-pairs double loop (r11 sf1 rehearsal: dense clusters made
+      // this pass O(cores²)). Boxes of width eps/√3 have diameter ≤ eps,
+      // so same-box cores are PAIRWISE connected — union on insert, no
+      // distance checks. Cross-box edges can only reach boxes ≤ 2 index
+      // steps away per axis (eps = √3 box widths); for each such pair
+      // the scan stops at the FIRST edge found — a union-find edge is
+      // idempotent, so one witness merges the components and every
+      // further pair is redundant (skipped up front when the roots
+      // already agree). Exact: every eps-edge the double loop would
+      // have applied is either within a box (pre-unioned) or between
+      // boxes in the scanned neighborhood; dropping redundant edges
+      // cannot change connected components, and labels derive from
+      // component minima, not edge order.
+      val bw = eps / math.sqrt(3.0)
+      def boxKey(p: FPoint): (Long, Long, Long) =
+        (math.floor(p.f0 / bw).toLong, math.floor(p.f1 / bw).toLong,
+          math.floor(p.f2 / bw).toLong)
+      val boxes = scala.collection.mutable.LinkedHashMap
+        .empty[(Long, Long, Long), scala.collection.mutable.ArrayBuffer[Int]]
+      var ci = 0
+      while (ci < cores.length) {
+        val k = boxKey(cores(ci).p)
+        val members = boxes.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty[Int])
+        if (members.nonEmpty) union(members.head, ci)
+        members += ci
+        ci += 1
+      }
+      for ((ka, as) <- boxes; dx <- -2L to 2L; dy <- -2L to 2L; dz <- -2L to 2L
+           if (dx, dy, dz) != ((0L, 0L, 0L))) {
+        val kb = (ka._1 + dx, ka._2 + dy, ka._3 + dz)
+        // Each unordered box pair once (lexicographic order).
+        if (kb._1 > ka._1 || (kb._1 == ka._1 && (kb._2 > ka._2
+            || (kb._2 == ka._2 && kb._3 > ka._3)))) {
+          boxes.get(kb).foreach { bs =>
+            if (find(as.head) != find(bs.head)) {
+              var i = 0
+              var done = false
+              while (i < as.length && !done) {
+                var j = 0
+                while (j < bs.length && !done) {
+                  if (d2(cores(as(i)).p, cores(bs(j)).p) <= eps2) {
+                    union(as(i), bs(j))
+                    done = true
+                  }
+                  j += 1
+                }
+                i += 1
+              }
+            }
           }
-          j += 1
         }
-        i += 1
       }
       val comp = Array.tabulate(cores.length)(i => s"$g:${find(i)}")
       val coreRows = cores.iterator.zipWithIndex.map { case (c, i) =>
         (0, c.p.cell_id, comp(i))
       }
+      // cell_id → core index once; the per-row indexWhere was O(cores)
+      // per owned core — another quadratic-in-the-cluster pass (r11).
+      val coreIdx = new java.util.HashMap[Long, Int](cores.length * 2)
+      cores.indices.foreach(i => coreIdx.put(cores(i).p.cell_id, i))
       val ownedRows = all.iterator.filter(_.owned).flatMap { r =>
         if (r.core) {
-          val i = cores.indexWhere(_.p.cell_id == r.p.cell_id)
-          Iterator.single((1, r.p.cell_id, comp(i)))
+          Iterator.single((1, r.p.cell_id, comp(coreIdx.get(r.p.cell_id))))
         } else {
           // Border: minimum-id core neighbor decides; noise emits null.
           var best = -1

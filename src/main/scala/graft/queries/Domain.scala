@@ -291,12 +291,17 @@ object Domain {
       "DBSCAN cluster labels are reachability-order artifacts with no SQL oracle; " +
         "kernel pinned by DbscanSpec + WallPlanesTilingSpec (tiled≡global), and the " +
         "oracled companion q93 hash-verifies the full feature prologue"))(
-      (spark, dir) =>
-      WallPlanes.wallPlanesScaled(Synthetic.wallFeatures(spark, dir), tiles = 8)
+      (spark, dir) => {
+      val features = Synthetic.wallFeatures(spark, dir)
+      // Adaptive tiling (r11): ~2500 points per grid cell at any SF —
+      // resolves to the historical tiles=8 at the gate SFs, scales the
+      // tile count (not the per-tile n²) beyond them.
+      WallPlanes.wallPlanesScaled(features, tiles = WallPlanes.autoTiles(features))
         .select(col("cluster"), col("n"),
           round(col("avg_nx"), 6).as("avg_nx"), round(col("avg_ny"), 6).as("avg_ny"),
           round(col("avg_cx"), 6).as("avg_cx"), round(col("avg_cy"), 6).as("avg_cy"),
-          round(col("min_x"), 6).as("min_x"), round(col("max_x"), 6).as("max_x"))),
+          round(col("min_x"), 6).as("min_x"), round(col("max_x"), 6).as("max_x"))
+    }),
 
     // ── M21/U7: ray–mesh first hit over a broadcast BVH. The full
     // street-level chain: detections → grouping → best-per-group →

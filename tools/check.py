@@ -4,11 +4,16 @@ engine itself is pure Scala/Spark; this script just self-checks before
 the driver does).
 
 Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
-    python3 tools/check.py <sfDir> <outDir>
+    python3 tools/check.py <sfDir> <outDir> [--skip qA,qB,...]
 
 For each query result parquet in <outDir> compare against the oracle SQL
 in oracle_sql.json run through DuckDB on the same sf tables: sort columns
 by name, sort rows, compare values exactly (floats to 1e-9 reported).
+
+--skip treats the named oracles as rows-only for THIS run (scale
+rehearsals: the deliberately-declarative spec oracles — q41/q55/q99/q102
+— plus the O(n^2) pair oracles are minutes-to-hours in DuckDB above
+sf0.1; the driver's sf0.01 gate races them all).
 """
 import json, sys, glob, os
 import duckdb
@@ -25,7 +30,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, skip: set = frozenset()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -49,6 +54,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         name = os.path.basename(qdir.rstrip("/"))
         got = canon(con.execute(
             f"SELECT * FROM '{qdir}/*.parquet'").fetchdf())
+        if name in skip:
+            print(f"  {name:28s} rows={len(got):7d}  (oracle skipped this run)")
+            if len(got) == 0:
+                print(f"    !! EMPTY RESULT")
+                failures += 1
+            continue
         if name not in oracle:
             # A declared exclusion is "by design, pinned elsewhere"; a
             # missing oracle WITHOUT one is an unverified query — fail it
@@ -119,4 +130,10 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    skip = set()
+    args = sys.argv[1:]
+    if "--skip" in args:
+        i = args.index("--skip")
+        skip = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sys.exit(main(args[0], args[1], skip))
