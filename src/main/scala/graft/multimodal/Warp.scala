@@ -50,6 +50,31 @@ object Warp {
 
   def pixel(id: Long, x: Int, y: Int): Byte = ((id * 31 + x * 7 + y * 13) % 256).toByte
 
+  /** The closed-form pattern as a REAL grayscale PNG (stock-JDK
+    * javax.imageio writer). PNG is lossless, so
+    * [[imageIoPixelDecoder]] of this blob reproduces [[pixel]]
+    * bit-exactly — which is what lets q104 drive the real
+    * encode→decode→warp path against the same analytic oracle family
+    * as the fake-codec queries (WarpCodecSpec proves the equivalence
+    * on the checked-in fixture; q104 proves it in the declared-query
+    * gate at every SF).
+    */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = pixel(id, x, y); x += 1 }
+      y += 1
+    }
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** The PIXEL decode seam (VERDICT r10 #4): bytes → (grayscale
     * row-major pixels, width, height), None on undecodable input. The
     * warp kernel below is decoder-agnostic; declared queries keep

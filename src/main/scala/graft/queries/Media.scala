@@ -34,6 +34,49 @@ object Media {
         .withColumn("bytes", encodeImg(col("media_id")))
     }
 
+  /** Shared analytic oracle for the warp queries (q75 fake-codec, q104
+    * real-codec): the GetPerspective dataflow with the per-view
+    * constants (K⁻¹, Rodrigues view rotation) computed once by the same
+    * Scala code and inlined as full-precision literals. Source is the
+    * 128×64 closed-form panorama in both — the two queries differ only
+    * in which CODEC carries those pixels through the engine.
+    */
+  private def viewSumsSql(
+      outW: Int, outH: Int, fov: Double, thetas: Seq[Int], phi: Double): String = {
+    val (_, kInv) = Projection.calibMatrix(outW, outH, fov)
+    def l(d: Double) = s"($d)"
+    val rots = thetas.map { t =>
+      val r = Projection.viewRotation(t, phi)
+      s"($t, ${r.map(_.toString).mkString(", ")})"
+    }.mkString(",\n          ")
+    val camX = s"(${l(kInv(0))}*(x::DOUBLE) + ${l(kInv(1))}*(y::DOUBLE) + ${l(kInv(2))}*(1.0))"
+    val camY = s"(${l(kInv(3))}*(x::DOUBLE) + ${l(kInv(4))}*(y::DOUBLE) + ${l(kInv(5))}*(1.0))"
+    val camZ = s"(${l(kInv(6))}*(x::DOUBLE) + ${l(kInv(7))}*(y::DOUBLE) + ${l(kInv(8))}*(1.0))"
+    s"""
+        WITH imgs AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0),
+        rot AS (SELECT * FROM (VALUES
+          $rots
+        ) r(th, r00, r01, r02, r10, r11, r12, r20, r21, r22)),
+        px AS (SELECT unnest(generate_series(0, ${outW - 1})) AS x),
+        py AS (SELECT unnest(generate_series(0, ${outH - 1})) AS y),
+        cam AS (SELECT media_id, th, x, y,
+                       r00*$camX + r01*$camY + r02*$camZ AS wx,
+                       r10*$camX + r11*$camY + r12*$camZ AS wy,
+                       r20*$camX + r21*$camY + r22*$camZ AS wz
+                FROM imgs, rot, px, py),
+        ll AS (SELECT *, sqrt(wx*wx + wy*wy + wz*wz) AS n FROM cam),
+        src AS (SELECT media_id, th, x, y,
+                       (atan2(wx/n, wz/n) / (2.0*pi()) + 0.5) * 127.0 AS sx,
+                       (asin(wy/n) / pi() + 0.5) * 63.0 AS sy
+                FROM ll),
+        pix AS (SELECT media_id, th,
+                       (media_id * 31 + (floor(sx + 0.5)::BIGINT % 128) * 7 +
+                        least(63, greatest(0, floor(sy + 0.5)::BIGINT)) * 13) % 256 AS v
+                FROM src)
+        SELECT media_id, th::INT AS theta, sum(v)::BIGINT AS view_sum
+        FROM pix GROUP BY media_id, th ORDER BY media_id, theta"""
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Decode-metadata rollup per kind. Bytes parsed Spark-side; oracle
@@ -102,44 +145,40 @@ object Media {
     // no float tolerance anywhere in the output.
     QueryDef(
       "q75_view_sums",
-      Some {
-        val (_, kInv) = Projection.calibMatrix(48, 48, 60)
-        def l(d: Double) = s"($d)"
-        val rots = Seq(0, 90, 180, 270).map { t =>
-          val r = Projection.viewRotation(t, -10)
-          s"($t, ${r.map(_.toString).mkString(", ")})"
-        }.mkString(",\n          ")
-        val camX = s"(${l(kInv(0))}*(x::DOUBLE) + ${l(kInv(1))}*(y::DOUBLE) + ${l(kInv(2))}*(1.0))"
-        val camY = s"(${l(kInv(3))}*(x::DOUBLE) + ${l(kInv(4))}*(y::DOUBLE) + ${l(kInv(5))}*(1.0))"
-        val camZ = s"(${l(kInv(6))}*(x::DOUBLE) + ${l(kInv(7))}*(y::DOUBLE) + ${l(kInv(8))}*(1.0))"
-        s"""
-        WITH imgs AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0),
-        rot AS (SELECT * FROM (VALUES
-          $rots
-        ) r(th, r00, r01, r02, r10, r11, r12, r20, r21, r22)),
-        px AS (SELECT unnest(generate_series(0, 47)) AS x),
-        py AS (SELECT unnest(generate_series(0, 47)) AS y),
-        cam AS (SELECT media_id, th, x, y,
-                       r00*$camX + r01*$camY + r02*$camZ AS wx,
-                       r10*$camX + r11*$camY + r12*$camZ AS wy,
-                       r20*$camX + r21*$camY + r22*$camZ AS wz
-                FROM imgs, rot, px, py),
-        ll AS (SELECT *, sqrt(wx*wx + wy*wy + wz*wz) AS n FROM cam),
-        src AS (SELECT media_id, th, x, y,
-                       (atan2(wx/n, wz/n) / (2.0*pi()) + 0.5) * 127.0 AS sx,
-                       (asin(wy/n) / pi() + 0.5) * 63.0 AS sy
-                FROM ll),
-        pix AS (SELECT media_id, th,
-                       (media_id * 31 + (floor(sx + 0.5)::BIGINT % 128) * 7 +
-                        least(63, greatest(0, floor(sy + 0.5)::BIGINT)) * 13) % 256 AS v
-                FROM src)
-        SELECT media_id, th::INT AS theta, sum(v)::BIGINT AS view_sum
-        FROM pix GROUP BY media_id, th ORDER BY media_id, theta"""
-      })( (spark, dir) => {
+      Some(viewSumsSql(48, 48, 60, Seq(0, 90, 180, 270), -10)))( (spark, dir) => {
       val viewSum = udf { (view: Array[Byte]) =>
         var s = 0L; view.foreach(b => s += (b & 0xff)); s
       }
       Warp.perspectiveViews(panoramas(spark, dir), 60, Seq(0, 90, 180, 270), -10, 48, 48)
+        .select(col("media_id"), col("theta"), viewSum(col("view")).as("view_sum"))
+        .orderBy(col("media_id"), col("theta"))
+    }),
+
+    // ── S6/S7/M13 with a REAL codec in the declared-query gate: each
+    // panorama is encoded as an actual grayscale PNG (stock-JDK
+    // javax.imageio writer) and decoded back through
+    // Warp.imageIoPixelDecoder — the production decode path the
+    // reference exercises with cv2.imread/PIL.Image.open
+    // (Equirec2Perspec.py:65-67, panorama_photo.py:36) — before the
+    // same warpView kernel runs. PNG is lossless, so the decoded raster
+    // equals the closed form and the analytic oracle family still
+    // applies; distinct view geometry (fov 100, θ∈{45,225}, φ=+5,
+    // 32×32) keeps it a genuinely different query from q75, not a
+    // re-hash. Scale shape: identical to q87's pure fan-out map — the
+    // codec round-trip rides inside the same zero-shuffle pipeline.
+    QueryDef(
+      "q104_real_codec_views",
+      Some(viewSumsSql(32, 32, 100, Seq(45, 225), 5)))( (spark, dir) => {
+      val toPng = udf((id: Long) => Warp.encodePng(id, 128, 64))
+      val imgs = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .withColumn("bytes", toPng(col("media_id")))
+      val viewSum = udf { (view: Array[Byte]) =>
+        var s = 0L; view.foreach(b => s += (b & 0xff)); s
+      }
+      Warp.perspectiveViews(imgs, 100, Seq(45, 225), 5, 32, 32,
+          Warp.imageIoPixelDecoder)
         .select(col("media_id"), col("theta"), viewSum(col("view")).as("view_sum"))
         .orderBy(col("media_id"), col("theta"))
     }),

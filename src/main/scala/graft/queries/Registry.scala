@@ -7,7 +7,7 @@ object Registry {
   lazy val all: Seq[QueryDef] = {
     val qs = Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
       Domain.all ++ DomainOracles.all ++ Streaming.all ++ Media.all ++ Temporal.all ++
-      Stats.all ++ Quality.all ++ Readers.all ++ Skew.all ++ Curation.all
+      Stats.all ++ Quality.all ++ Readers.all ++ Skew.all ++ Curation.all ++ MeshIngest.all
     val names = qs.map(_.name)
     require(names.distinct.size == names.size,
       s"duplicate query names: ${names.diff(names.distinct).mkString(",")}")

@@ -17,6 +17,28 @@ class ObjMeshSpec extends AnyFunSuite {
     try scala.io.Source.fromInputStream(in).getLines().toSeq finally in.close()
   }
 
+  test("q105's generated box OBJ parses to 12 triangles matching the closed forms") {
+    for (k <- Seq(1L, 7L, 123L)) {
+      val t = TriMesh.fromObj(graft.queries.MeshIngest.objText(k))
+      assert(t.length == 12 * 9, s"mesh $k: ${t.length / 9} triangles")
+      val w = 2.0 + (k * 7 % 50) / 10.0
+      val h = 3.0 + (k * 11 % 40) / 10.0
+      val d = 1.0 + (k * 13 % 30) / 10.0
+      var area = 0.0
+      for (i <- 0 until 12) {
+        val o = i * 9
+        val e1 = Array(t(o + 3) - t(o), t(o + 4) - t(o + 1), t(o + 5) - t(o + 2))
+        val e2 = Array(t(o + 6) - t(o), t(o + 7) - t(o + 1), t(o + 8) - t(o + 2))
+        val cx = e1(1) * e2(2) - e1(2) * e2(1)
+        val cy = e1(2) * e2(0) - e1(0) * e2(2)
+        val cz = e1(0) * e2(1) - e1(1) * e2(0)
+        area += math.sqrt(cx * cx + cy * cy + cz * cz) / 2.0
+      }
+      assert(math.abs(area - 2 * (w * h + w * d + h * d)) < 1e-9,
+        s"mesh $k: surface area $area vs ${2 * (w * h + w * d + h * d)}")
+    }
+  }
+
   test("OBJ fixture parses to the synthetic building's exact triangle soup") {
     val soup = TriMesh.fromObj(fixtureLines)
     val want = graft.pipeline.RayMesh.syntheticBuilding().tris

@@ -40,6 +40,13 @@ class WarpCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def pattern: Array[Byte] =
     Array.tabulate(srcW * srcH)(i => Warp.pixel(id, i % srcW, i / srcW))
 
+  test("encodePng → imageIoPixelDecoder round-trips the pattern bit-exact (the q104 path)") {
+    val Some((px, w, h)) = Warp.imageIoPixelDecoder(Warp.encodePng(id, srcW, srcH))
+    assert(w == srcW && h == srcH)
+    assert(px.sameElements(pattern),
+      "lossless PNG encode/decode must reproduce the generating formula exactly")
+  }
+
   test("PNG fixture decodes bit-exact to the closed-form pattern") {
     val Some((px, w, h)) = Warp.imageIoPixelDecoder(resource("pano_64x32.png"))
     assert(w == srcW && h == srcH)

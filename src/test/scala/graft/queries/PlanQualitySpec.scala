@@ -253,6 +253,21 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("HashAggregate".r.findAllIn(p).size == 2, "one partial+final aggregate")
   }
 
+  test("q104: real-codec warp is map-only — no key shuffle carries the bytes") {
+    // PNG encode → decode → warp is a pure fan-out map like q87: the
+    // only exchanges allowed are the reader's scan fan-out and the final
+    // ORDER BY's range repartition — a hashpartitioning step would mean
+    // the binary column entered a keyed shuffle.
+    val p = planOf("q104_real_codec_views")
+    assert(!p.contains("hashpartitioning"), s"codec warp must stay map-only:\n$p")
+  }
+
+  test("q105: mesh aggregate is partial+final; no join anywhere") {
+    val p = planOf("q105_obj_normals")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side combine on mesh_id")
+    assert(!p.contains("Join"), s"mesh ingest is scan→fan-out→aggregate:\n$p")
+  }
+
   test("q81: no expanded IoU Column tree anywhere in the plan") {
     // Historical regression guard: the expanded Column-tree IoU,
     // duplicated by filter pushdown, blew whole-stage codegen past the
