@@ -201,11 +201,16 @@ object TriMesh {
     val tris = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (raw <- lines.iterator) {
       val line = raw.trim
-      if (line.startsWith("v ")) {
+      // Dispatch on the first whitespace-delimited token, not a "v "
+      // prefix: real exporters emit tab-delimited geometry lines, and a
+      // prefix test would silently skip them — the exact silent-wall-
+      // loss mode this parser must turn into a load failure instead.
+      val kw = line.takeWhile(!_.isWhitespace)
+      if (kw == "v") {
         val p = line.split("\\s+")
         require(p.length >= 4, s"malformed vertex line: '$line'")
         vx += p(1).toDouble; vy += p(2).toDouble; vz += p(3).toDouble
-      } else if (line.startsWith("f ")) {
+      } else if (kw == "f") {
         val refs = line.split("\\s+").drop(1).map { tok =>
           val viStr = tok.takeWhile(_ != '/')
           val vi = viStr.toInt

@@ -24,6 +24,13 @@ import graft.geo.{Mat3, Projection}
   */
 object Warp {
 
+  // ImageIO's default disk cache would create+delete a temp file per
+  // decoded blob; every input here is already fully in memory, so the
+  // cache is pure per-row I/O overhead (and /tmp contention) in the
+  // codec queries' timed path. Runs once per JVM at first Warp use —
+  // executors included, since the module initializes on reference.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Grayscale fake image: header + w·h pixel bytes, pixel(x, y) =
     * (id·31 + x·7 + y·13) mod 256 — closed form for analytic tests.
     */

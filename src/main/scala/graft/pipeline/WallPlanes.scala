@@ -299,7 +299,14 @@ object WallPlanes {
       // boxes in the scanned neighborhood; dropping redundant edges
       // cannot change connected components, and labels derive from
       // component minima, not edge order.
-      val bw = eps / math.sqrt(3.0)
+      // The 1e-12 shrink keeps the box diagonal STRICTLY under eps in
+      // floating point: fl(eps/√3)·√3 can exceed eps by a few ulps, and
+      // a same-box pair at distance in (eps, eps+ulps] would then be
+      // unioned without the d2 ≤ eps² check the all-pairs spec applies.
+      // The margin is ~4 orders above double rounding and far below any
+      // feature scale; the ±2-box neighborhood bound still holds since
+      // eps/bw ≈ √3·(1+1e-12) < 2.
+      val bw = eps / math.sqrt(3.0) * (1.0 - 1e-12)
       def boxKey(p: FPoint): (Long, Long, Long) =
         (math.floor(p.f0 / bw).toLong, math.floor(p.f1 / bw).toLong,
           math.floor(p.f2 / bw).toLong)

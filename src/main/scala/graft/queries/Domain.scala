@@ -287,12 +287,22 @@ object Domain {
     // WallPlanesTilingSpec. Features come through Synthetic.wallFeatures:
     // a scan of the materialized input table when Bench/Verify ensured
     // one (the upstream-job shape), the live derivation otherwise.
-    QueryDef("q83_wall_planes", None, noOracleReason = Some(
+    QueryDef("q83_wall_planes", None, releases = Seq("wallFeatLive"), noOracleReason = Some(
       "DBSCAN cluster labels are reachability-order artifacts with no SQL oracle; " +
         "kernel pinned by DbscanSpec + WallPlanesTilingSpec (tiled≡global), and the " +
         "oracled companion q93 hash-verifies the full feature prologue"))(
       (spark, dir) => {
-      val features = Synthetic.wallFeatures(spark, dir)
+      // On the materialized-table path, autoTiles' count() is a
+      // footer-cheap parquet metadata read. On the DEGRADED path (table
+      // materialization failed, live derivation), the count would
+      // execute the whole feature derivation once and wallPlanesScaled
+      // a second time — persist it so the fallback pays the derivation
+      // once, released right after this query (its only consumer).
+      val features = graft.pipeline.WallFeaturesTable.materializedPath(dir) match {
+        case Some(_) => Synthetic.wallFeatures(spark, dir)
+        case None => graft.pipeline.SessionCache.getOrPersist(
+          spark, s"wallFeatLive:$dir")(Synthetic.wallFeatures(spark, dir))
+      }
       // Adaptive tiling (r11): ~2500 points per grid cell at any SF —
       // resolves to the historical tiles=8 at the gate SFs, scales the
       // tile count (not the per-tile n²) beyond them.

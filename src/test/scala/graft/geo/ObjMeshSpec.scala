@@ -39,6 +39,14 @@ class ObjMeshSpec extends AnyFunSuite {
     }
   }
 
+  test("tab-delimited geometry lines parse identically to space-delimited") {
+    val spaced = Seq("v 0 0 0", "v 1 0 0", "v 0 1 0", "f 1 2 3")
+    val tabbed = Seq("v\t0\t0\t0", "v\t1\t0\t0", "v\t0\t1\t0", "f\t1\t2\t3")
+    assert(TriMesh.fromObj(tabbed).sameElements(TriMesh.fromObj(spaced)),
+      "exporters emit tabs; a prefix test would silently drop all geometry")
+    assert(TriMesh.fromObj(spaced).length == 9)
+  }
+
   test("OBJ fixture parses to the synthetic building's exact triangle soup") {
     val soup = TriMesh.fromObj(fixtureLines)
     val want = graft.pipeline.RayMesh.syntheticBuilding().tris

@@ -134,6 +134,10 @@ if __name__ == "__main__":
     args = sys.argv[1:]
     if "--skip" in args:
         i = args.index("--skip")
+        if i + 1 >= len(args):
+            sys.exit("usage: check.py <sfDir> <outDir> [--skip qA,qB,...]")
         skip = set(args[i + 1].split(","))
         args = args[:i] + args[i + 2:]
+    if len(args) != 2:
+        sys.exit("usage: check.py <sfDir> <outDir> [--skip qA,qB,...]")
     sys.exit(main(args[0], args[1], skip))

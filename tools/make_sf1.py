@@ -40,7 +40,9 @@ SHIFTS = {  # table -> {column: stride}
     "orders": {"o_orderkey": 1_000_000, "o_custkey": 100_000},
     "lineitem": {"l_orderkey": 1_000_000, "l_partkey": 100_000,
                  "l_suppkey": 100_000},
-    "events": {"event_id": 1_000_000, "user_id": 1_000_000},
+    # user_id joins customer/orders keys, so it must ride the SAME
+    # 1e5 stride or every copy-k>0 event would join to nothing.
+    "events": {"event_id": 1_000_000, "user_id": 100_000},
     "documents": {"doc_id": 100_000},
     "embeddings": {"vec_id": 100_000},
 }
@@ -73,10 +75,13 @@ def main() -> None:
                     "t -> t || 'zz' || k), ' ') END AS text")
             elif table == "embeddings" and c == "embedding":
                 # Deterministic per-(copy, dim) sign flip; identity at k=0.
+                # Reduce mod an odd prime BEFORE taking parity — a direct
+                # %2 of a linear combo with odd multipliers collapses to
+                # (k+j)%2, making all odd-k copies bit-identical.
                 sel.append(
                     "CASE WHEN k = 0 THEN embedding ELSE "
                     "list_transform(generate_series(1, len(embedding)), "
-                    "j -> embedding[j] * (CASE WHEN (k * 2654435761 + j * 40503) % 2 = 0 "
+                    "j -> embedding[j] * (CASE WHEN ((k * 2654435761 + j * 40503) % 1000003) % 2 = 0 "
                     "THEN 1.0 ELSE -1.0 END)::FLOAT) END AS embedding")
             else:
                 sel.append(c)
