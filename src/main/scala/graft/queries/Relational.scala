@@ -19,6 +19,26 @@ import graft.sources.Tables._
   */
 object Relational {
 
+  /** Scale-stable money sum. A plain double sum is association-order
+    * dependent: at sf1 (6M rows) the accumulated ulp drift between
+    * Spark's partition tree and DuckDB's sequential sum reached the
+    * last ROUNDED digit (±0.01 on ~10¹⁰ totals — the r11 rehearsal's
+    * q06 drift). The inputs are 2-decimal money, and products of
+    * two/three such factors are exactly 4/6-decimal values the double
+    * product approximates within ulps — so casting each row to
+    * DECIMAL(18,scale) recovers the IDENTICAL exact grid point on both
+    * engines (never a rounding tie: the true value sits ON the grid),
+    * and the decimal sum is exact integer arithmetic, associative, and
+    * therefore bit-stable under any partitioning at any SF. Cast back
+    * to double for a schema both engines agree on.
+    */
+  private def moneySum(e: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+    sum(e.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+
+  /** DuckDB mirror of [[moneySum]]. */
+  private def moneySumSql(expr: String, scale: Int): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
   val all: Seq[QueryDef] = Seq(
 
     // ── A1/§2.6: TPC-H Q1 shape — scan-side partial agg, 6-group output.
@@ -26,12 +46,12 @@ object Relational {
     // (6 groups), filter pushed to parquet row groups via l_shipdate stats.
     QueryDef(
       "q01_pricing_summary",
-      Some("""
+      Some(s"""
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(${moneySumSql("l_quantity", 2)}, 2) AS sum_qty,
+               round(${moneySumSql("l_extendedprice", 2)}, 2) AS sum_base_price,
+               round(${moneySumSql("l_extendedprice * (1 - l_discount)", 4)}, 2) AS sum_disc_price,
+               round(${moneySumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}, 2) AS sum_charge,
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
@@ -44,10 +64,10 @@ object Relational {
         .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(moneySum(col("l_quantity"), 2), 2).as("sum_qty"),
+          round(moneySum(col("l_extendedprice"), 2), 2).as("sum_base_price"),
+          round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("sum_disc_price"),
+          round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6), 2).as("sum_charge"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           round(avg(col("l_extendedprice")), 4).as("avg_price"),
           round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -109,14 +129,14 @@ object Relational {
     // at 100 TB orders is the fact, customer broadcast avoids the shuffle.
     QueryDef(
       "q05_broadcast_join",
-      Some("""
-        SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      Some(s"""
+        SELECT c_mktsegment, round(${moneySumSql("o_totalprice", 2)}, 2) AS revenue, count(*) AS n_orders
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""))( (spark, dir) =>
       orders(spark, dir)
         .join(broadcast(customer(spark, dir)), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        .agg(round(moneySum(col("o_totalprice"), 2), 2).as("revenue"),
           count(lit(1)).as("n_orders"))
         .orderBy(col("c_mktsegment"))
     ),
@@ -126,9 +146,9 @@ object Relational {
     // only shuffle is the final 2-level groupBy.
     QueryDef(
       "q06_star_join",
-      Some("""
+      Some(s"""
         SELECT r_name, year(o_orderdate) AS oyear,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(${moneySumSql("l_extendedprice * (1 - l_discount)", 4)}, 2) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey  = c_custkey
@@ -142,7 +162,7 @@ object Relational {
         .join(broadcast(nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("oyear"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4), 2).as("revenue"))
         .orderBy(col("r_name"), col("oyear"))
     ),
 
@@ -242,8 +262,8 @@ object Relational {
     // ── A6/§2.9: union-all (pd.concat, slg.py:129,193) + re-aggregate.
     QueryDef(
       "q12_union_all",
-      Some("""
-        SELECT src, count(*) AS n, round(sum(v), 2) AS total
+      Some(s"""
+        SELECT src, count(*) AS n, round(${moneySumSql("v", 2)}, 2) AS total
         FROM (
           SELECT 'high' AS src, o_totalprice AS v FROM orders WHERE o_totalprice > 300000
           UNION ALL
@@ -255,7 +275,7 @@ object Relational {
       val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
         .select(lit("urgent").as("src"), col("o_totalprice").as("v"))
       high.unionByName(urgent)
-        .groupBy(col("src")).agg(count(lit(1)).as("n"), round(sum(col("v")), 2).as("total"))
+        .groupBy(col("src")).agg(count(lit(1)).as("n"), round(moneySum(col("v"), 2), 2).as("total"))
         .orderBy(col("src"))
     }),
 
@@ -515,17 +535,17 @@ object Relational {
     // NULL sort placement).
     QueryDef(
       "q26_rollup",
-      Some("""
+      Some(s"""
         SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS oyear,
                coalesce(o_orderstatus, 'ALL') AS status,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n, round(${moneySumSql("o_totalprice", 2)}, 2) AS total
         FROM orders
         GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
         ORDER BY oyear, status"""))( (spark, dir) =>
       orders(spark, dir)
         .select(year(col("o_orderdate")).as("y"), col("o_orderstatus"), col("o_totalprice"))
         .rollup(col("y"), col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n"), round(moneySum(col("o_totalprice"), 2), 2).as("total"))
         .select(
           coalesce(col("y").cast("string"), lit("ALL")).as("oyear"),
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
