@@ -132,16 +132,22 @@ object Bench {
     */
   private[graft] def renderJson(
       results: Seq[QueryRun], sfDir: String, sweeps: Int,
-      sweepStats: Option[(Long, Long, Long)] = None): String = {
+      sweepStats: Option[(Long, Long, Long)] = None,
+      skipped: Set[String] = Set.empty): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
     val ss = sweepStats.map { case (maxGroup, pairs, dense) =>
       s""","sweep_stats":{"max_group_boxes":$maxGroup,"pairs_enumerated":$pairs,"dense_groups":$dense}"""
     }.getOrElse("")
+    // Rehearsal-only exclusions (SPARK_GRAFT_BENCH_SKIP) surface in the
+    // artifact so a partial sweep can never read as a full one; absent
+    // (the driver's case) the line is byte-identical to before.
+    val sk = if (skipped.isEmpty) ""
+      else s""","skipped":[${skipped.toSeq.sorted.map(Jsons.quote).mkString(",")}]"""
     val total = results.map(_.seconds).sum
     val qs = renderMaps(results, key, fmt(_, 3), 0, 0)._1
     def line(errs: String) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss,"sf":${Jsons.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss$sk,"sf":${Jsons.quote(sfDir)}}"""
     val failed = results.collect { case QueryRun(n, _, Some(m)) => (n, m) }
     val attempts = Iterator(
       renderMaps(results, key, fmt(_, 3), 120, failed.size)._2,
@@ -236,11 +242,22 @@ object Bench {
     // reader hunting skew in the wrong dataset).
     val h = graft.pipeline.SweepStats.forSession(spark)
     h.maxGroupBoxes.reset(); h.pairsEnumerated.reset(); h.denseGroups.reset()
+    // Rehearsal knob (never set by the driver): exclude named queries
+    // from a scale sweep — e.g. q44's DECLARED-O(n²) exact all-pairs
+    // baseline, whose compute is quadratic by definition and would
+    // dominate a 100×-SF rehearsal without saying anything new. The
+    // artifact's `skipped` field records the exclusion so a partial
+    // sweep can never masquerade as a full one.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val swept = SparkEntry.queries.toSeq.filterNot { case (n, _) => skip(n) }
+    if (skip.nonEmpty)
+      System.err.println(s"[bench] skipping (SPARK_GRAFT_BENCH_SKIP): ${skip.toSeq.sorted.mkString(",")}")
     val results = mergeSweeps(
-      (1 to sweeps).map(_ => runSweep(spark, sfDir, SparkEntry.queries.toSeq)))
+      (1 to sweeps).map(_ => runSweep(spark, sfDir, swept)))
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
-      Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value))))
+      Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)), skip))
     spark.stop()
   }
 }

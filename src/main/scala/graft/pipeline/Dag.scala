@@ -266,18 +266,21 @@ object Dag {
     val chainFresh = recorded.exists(_._2 == expectedChain) ||
       (recorded.isEmpty && s.deps.isEmpty && s.partitionBy.isEmpty)
     val skipped = isCommitted(new java.io.File(path)) && chainFresh && !refresh
-    if (!skipped) {
-      // Sweep stale tmp dirs of THIS stage (crashed ticks). The tmp
-      // name embeds the writer's pid: only OUR OWN tmps (a failed
-      // earlier tick of this JVM, and not currently in-flight — two
-      // same-JVM materialize calls may overlap, so live tmps register
-      // in [[liveTmps]]) and tmps whose owning process is DEAD (a
-      // crashed tick) are swept — a live sibling process may be
-      // mid-write into its tmp right now (the InputTable lock is
-      // JVM-local), and deleting it would fail its write after the
-      // racedWinner path below exists precisely to let both finish.
-      // Bounded pid digits: an unparseable name is left alone rather
-      // than crashing the tick on Long overflow.
+    // Sweep stale tmp dirs of THIS stage (crashed ticks) — on EVERY
+    // tick, skipped or not: a crashed refresh leaves a near-full-size
+    // tmp next to a still-committed table, and a sweep gated on rebuild
+    // would retain it for as long as the table stays fresh (r11 review).
+    // The tmp name embeds the writer's pid: only OUR OWN tmps (a failed
+    // earlier tick of this JVM, and not currently in-flight — two
+    // same-JVM materialize calls may overlap, so live tmps register
+    // in [[liveTmps]]) and tmps whose owning process is DEAD (a
+    // crashed tick) are swept — a live sibling process may be
+    // mid-write into its tmp right now (the InputTable lock is
+    // JVM-local), and deleting it would fail its write after the
+    // racedWinner path below exists precisely to let both finish.
+    // Bounded pid digits: an unparseable name is left alone rather
+    // than crashing the tick on Long overflow.
+    locally {
       val TmpOwner = (java.util.regex.Pattern.quote(s"${s.name}.parquet.tmp-") +
         "(\\d{1,18})-\\d+").r
       val selfPid = ProcessHandle.current.pid
@@ -288,14 +291,34 @@ object Dag {
           case _ => false
         }))
         .foreach(graft.Fs.rmTree)
+    }
+    if (!skipped) {
       val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
       val tmpAbs = new java.io.File(tmp).getAbsolutePath
       liveTmps.add(tmpAbs)
       try {
       val upstream = s.deps.map(d =>
         d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
-      s.build(spark, upstream).write.mode("overwrite")
+      val built = s.build(spark, upstream)
+      built.write.mode("overwrite")
         .partitionBy(s.partitionBy: _*).parquet(tmp)
+      // A zero-partition result writes NO part files (just _SUCCESS);
+      // the commit would then succeed but every dependent's
+      // spark.read.parquet would fail schema inference FOREVER (the
+      // empty table reads as committed-and-fresh, so no tick rebuilds
+      // it). Backfill one empty part file carrying the schema —
+      // written WITHOUT partitionBy even for partitioned stages, since
+      // a zero-row dynamic-partition write also creates no files; an
+      // empty table has no partitions to prune anyway.
+      val hasPart = {
+        val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        try stream.anyMatch(p => p.getFileName.toString.startsWith("part-"))
+        finally stream.close()
+      }
+      if (!hasPart)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], built.schema)
+          .repartition(1).write.mode("append").parquet(tmp)
       val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
       java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
         (own +: expectedChain.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
@@ -444,8 +467,16 @@ abstract class InputTable(
     java.lang.Long.toHexString(h)
   }
 
-  private def sanitize(sfDir: String): String =
-    sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+  /** Sanitizing alone is LOSSY ('-', '_', '/', ' ' all map to '_'), so
+    * two distinct corpora — "/data/sf-1" and "/data/sf_1" — would share
+    * a prefix, and the stale-sibling sweep could delete the other's
+    * LIVE committed table (r11 review). A short digest of the RAW path
+    * makes the prefix injective up to 32-bit hash collision.
+    */
+  private def sanitize(sfDir: String): String = {
+    val digest = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir))
+    s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$digest"
+  }
 
   /** Per-table namespace: sibling-sweeping below must never see ANOTHER
     * table's materializations (their fingerprints differ by construction,
@@ -490,6 +521,12 @@ abstract class InputTable(
     val replaced = stampLock.synchronized {
       val r = seenStamps.get(p).exists(_ != st)
       seenStamps(p) = st
+      // Bound the watch map in long-lived JVMs cycling many corpora:
+      // drop watches whose table no longer exists on disk (a vanished
+      // path re-registers as first-seen if it ever comes back, which
+      // correctly reads as a replacement candidate).
+      if (seenStamps.size > 4096)
+        seenStamps.filterInPlace((path, _) => new java.io.File(path).exists())
       r
     }
     if (replaced) {

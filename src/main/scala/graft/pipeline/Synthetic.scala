@@ -62,7 +62,13 @@ object Synthetic {
           col("l_suppkey"), col("l_extendedprice"), col("l_quantity"),
           col("l_discount")))
     li.select(
-      concat(lit("pano_"), lpad(fileId.cast("string"), 6, "0"), lit(".jpg")).as("file_name"),
+      // format_string, NOT lpad: both Spark's and DuckDB's lpad TRUNCATE
+      // a string longer than the pad width, so beyond 999,999 panoramas
+      // ten fileIds collapse into one file_name — the r11 sf10 rehearsal
+      // caught this as 1789-box "panoramas" (10 merged) feeding the
+      // per-panorama kernels 20× the pair work and wrong groups. %06d
+      // pads but never truncates; names are identical below 10⁶.
+      format_string("pano_%06d.jpg", fileId).as("file_name"),
       detIdx.cast("long").as("det_idx"),
       x1.as("x1"), y1.as("y1"), x2.as("x2"), y2.as("y2"),
       round(pmod(col("l_extendedprice"), lit(997.0)) / 997.0, 6).as("score"),
@@ -105,7 +111,7 @@ object Synthetic {
     val x2n = s"($x1n + 150.0 + ${pm("l_orderkey * 61.0", "350.0")})"
     val x1g = s"(${pm("l_orderkey * 7.0", "100.0")} + $jx)"
     s"""SELECT
-         'pano_' || lpad(floor(l_orderkey / 38)::BIGINT::VARCHAR, 6, '0') || '.jpg' AS file_name,
+         printf('pano_%06d.jpg', floor(l_orderkey / 38)::BIGINT) AS file_name,
          row_number() OVER (PARTITION BY floor(l_orderkey / 38)
            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
                     l_extendedprice, l_quantity, l_discount)::BIGINT AS det_idx,
@@ -128,7 +134,7 @@ object Synthetic {
     val ids = Tables.lineitem(spark, sfDir)
       .select(floor(col("l_orderkey") / 38).cast("long").as("id")).distinct()
     ids.select(
-      concat(lit("pano_"), lpad(col("id").cast("string"), 6, "0"), lit(".jpg")).as("file_name"),
+      format_string("pano_%06d.jpg", col("id")).as("file_name"), // no-truncate (see detections)
       (pmod(col("id") * 13.0, lit(7.0)) - 3.0).as("roll"),
       (pmod(col("id") * 11.0, lit(5.0)) - 2.0).as("pitch"),
       pmod(col("id") * 37.0, lit(360.0)).as("heading"),
@@ -147,7 +153,7 @@ object Synthetic {
     def pm(e: String, m: String) =
       s"(CASE WHEN (($e) % $m) < 0 THEN (($e) % $m) + $m ELSE (($e) % $m) END)"
     s"""SELECT
-         'pano_' || lpad(id::VARCHAR, 6, '0') || '.jpg' AS file_name,
+         printf('pano_%06d.jpg', id) AS file_name,
          ${pm("id * 13.0", "7.0")} - 3.0 AS roll,
          ${pm("id * 11.0", "5.0")} - 2.0 AS pitch,
          ${pm("id * 37.0", "360.0")} AS heading,

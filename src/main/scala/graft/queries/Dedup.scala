@@ -277,13 +277,12 @@ object Dedup {
     }),
 
     // ── SimHash near-dup pairs: 48-bit signature per doc (one long), all
-    // pairs within hamming ≤ 6, found via PIGEONHOLE BANDING: split the
-    // 48 bits into 7 bands (7×7+... last band 6 bits); hamming ≤ 6 means
-    // at most 6 bands carry an error, so at least one band matches
-    // exactly — candidates = pairs sharing any band value, recall 1.0 by
-    // construction (not probabilistic like MinHash). Exact hamming
-    // verifies candidates. One equi-join on (band, key) — hash join at
-    // any scale, never a nested loop. Oracle stays the O(n²) declarative
+    // pairs within hamming ≤ 6, found via GENERALIZED PIGEONHOLE BANDING
+    // (see the build comment below): 9 bands, candidates = pairs
+    // agreeing on some 3-subset of bands — recall 1.0 by construction
+    // (not probabilistic like MinHash). Exact hamming verifies
+    // candidates. One equi-join on (subset, key) — hash join at any
+    // scale, never a nested loop. Oracle stays the O(n²) declarative
     // spec, so the banding's completeness is verified by equality.
     QueryDef(
       "q43_simhash",
@@ -296,8 +295,19 @@ object Dedup {
         WHERE ${DS.hammingExpr("a.sh48", "b.sh48")} <= 6
         ORDER BY a_id, b_id"""),
       releases = Seq("simhash"))( (spark, dir) => {
-      val nBands = 7 // > maxHamming(6) ⇒ pigeonhole-complete
-      val bits = 7   // ceil(48 / 7); last band gets the remaining 6 bits
+      // Generalized pigeonhole (PartEnum/HmSearch shape): 9 bands over
+      // the 48 bits, candidates = pairs agreeing on SOME 3-subset of
+      // bands. Hamming ≤ 6 flips bits in ≤ 6 bands ⇒ ≥ 3 bands are
+      // clean ⇒ some 3-subset matches — complete for the declared
+      // predicate, so the VERIFIED output is identical to any other
+      // complete banding (the oracle stays the O(n²) spec). Why not the
+      // plain 7-band/7-bit pigeonhole: its per-band key space is 128
+      // buckets, so the candidate join enumerates ~7n²/256 rows as the
+      // corpus grows (the r11 sf10 rehearsal measured 113 s at 500k
+      // docs — quadratic in n at fixed bucket count). A 3-subset key
+      // carries 15-18 bits ⇒ ~50× fewer enumerated rows at every SF,
+      // for an 84× (vs 7×) map-side fan-out; band count is the knob
+      // that scales further (4-subsets of 10 at ~10⁷ docs).
       // Signatures persisted BEFORE the band explode (Generate
       // re-evaluates expensive generator inputs); built from the shared
       // shingleSets cache.
@@ -305,17 +315,26 @@ object Dedup {
         shingleSets(spark, dir)
           .select(col("doc_id"), DF.simhash48(TF.shingleHashes(col("shingles"))).as("sh48"))
       }
-      val bands = s.select(col("doc_id"), col("sh48"),
-        explode(array((0 until nBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("sh48"), b * bits)
-              .bitwiseAND(lit((1L << bits) - 1)).as("key"))
-        }: _*)).as("bk"))
+      val widths = Seq(6, 6, 6, 5, 5, 5, 5, 5, 5) // 48 bits over 9 bands
+      val offsets = widths.scanLeft(0)(_ + _)
+      def mask(b: Int): Long = ((1L << widths(b)) - 1) << offsets(b)
+      val subsets = (0 until widths.length).combinations(3).toIndexedSeq
+      val keys = s.select(col("doc_id"), col("sh48"),
+        explode(array(subsets.zipWithIndex.map { case (ss, i) =>
+          struct(lit(i).as("ss"),
+            col("sh48").bitwiseAND(lit(ss.map(mask).reduce(_ | _))).as("key"))
+        }: _*)).as("sk"))
         .select(col("doc_id"), col("sh48"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          col("sk.ss").as("ss"), col("sk.key").as("key"))
+      // merge hint: the key relation is an explode of the small cached
+      // signature relation, and Catalyst sizes Generate output at its
+      // CHILD's bytes — at sf10 that under-estimate planned a
+      // BroadcastHashJoin whose build side materialized 42M rows
+      // (3.4 GiB in an 8 GB heap). A banded self-join must never
+      // broadcast; SMJ is the only shape that survives any SF.
+      val cand = keys.as("a").hint("merge")
+        .join(keys.as("b").hint("merge"),
+          col("a.ss") === col("b.ss") && col("a.key") === col("b.key")
             && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("a_id"), col("a.sh48").as("a_sh"),
           col("b.doc_id").as("b_id"), col("b.sh48").as("b_sh"))

@@ -68,23 +68,67 @@ object Similarity {
       e.withColumn("sig", VF.srpSignature(col("embedding"), 64, dim))
     }
 
-  /** LSH candidate pairs: band keys from the cached signatures, equi-join
-    * on (band, key), collision count ≥ 2 of 8 bands. Exposed for the
+  /** The corpus-size cutoff between q53's two LSH operating points
+    * (mirrored verbatim in the oracle's CASE): below it, match-ANY-band
+    * (recall-first — this corpus's near-dups sit at cos ≈ 0.45, a
+    * weak-similarity regime where tight banding finds nothing, and at
+    * bounded n the looser candidate volume is bounded by construction);
+    * at or above it, match-≥2-bands via 16-bit band-PAIR keys
+    * (pruning-first — the production dedup regimes are high-similarity,
+    * where two-band recall is strong, and candidate enumeration must
+    * not grow as n²/bucket_count).
+    */
+  private[queries] val srpPairCutoff = 50000L
+
+  /** LSH candidate pairs at the [[srpPairCutoff]]-selected operating
+    * point. The large-corpus arm spells "≥ 2 of 8 bands match" as an
+    * equi-join on band PAIRS: two bands match ⇔ their combined-mask key
+    * matches, so joining on the C(8,2)=28 pair keys and deduping gives
+    * the IDENTICAL candidate set to a per-band join + HAVING count ≥ 2
+    * (the oracle keeps that declarative spelling). The point is the
+    * JOIN KEY SPACE: a single 8-bit band has 256 buckets, so bucket
+    * occupancy — and the rows the join enumerates — grows as n²/256
+    * (the r11 sf10 rehearsal: ~10⁹ enumerated rows at 200k vectors,
+    * executor OOM, even after the plane-decorrelation fix). A pair key
+    * carries 16 bits ⇒ occupancy n/65536 and enumeration shrinks
+    * 256-fold, for a 28× (vs 8×) map-side fan-out — the standard
+    * banding-composition trade, and the knob that scales further
+    * (triples, wider bands) as the corpus grows. Exposed for the
     * pruning spec (candidate ratio vs n² is the scale claim).
     */
   private[queries] def srpCandidates(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val bands = srpSignatures(spark, dir)
-      .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 8, 8)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .agg(count(lit(1)).as("nb"))
-      .filter(col("nb") >= 2)
-      .select(col("a_id"), col("b_id"))
+    val sigs = srpSignatures(spark, dir)
+    if (sigs.count() < srpPairCutoff) {
+      val bands = sigs
+        .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 8, 8)).as("bk"))
+        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      // merge hints on both arms: these band relations are explodes of
+      // the small cached signature relation, and Catalyst sizes
+      // Generate output at its CHILD's bytes — the under-estimate
+      // planned a multi-GiB BroadcastHashJoin at sf10 (see q43's note).
+      bands.as("a").hint("merge")
+        .join(bands.as("b").hint("merge"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+    } else {
+      def mask(b: Int): Long = ((1L << 8) - 1) << (b * 8)
+      val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+      val keys = sigs
+        .select(col("vec_id"), explode(array(bandPairs.zipWithIndex.map { case ((i, j), p) =>
+          struct(lit(p).as("bp"),
+            col("sig").bitwiseAND(lit(mask(i) | mask(j))).as("key"))
+        }: _*)).as("pk"))
+        .select(col("vec_id"), col("pk.bp").as("bp"), col("pk.key").as("key"))
+      keys.as("a").hint("merge")
+        .join(keys.as("b").hint("merge"),
+          col("a.bp") === col("b.bp") && col("a.key") === col("b.key")
+            && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+    }
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -380,23 +424,25 @@ object Similarity {
 
     // ── SRP-LSH near-dup: the SCALE path for q44's brute force. 64
     // sign-random-projection bits per vector (one native SrpSignature
-    // kernel call, planes embedded), 8 bands × 8 bits with COLLISION
-    // COUNTING: a pair is a candidate only if ≥2 of its 8 band keys
-    // collide (C2LSH-style AND-amplification). Exact-cosine verify runs
-    // on candidates only; pairs here ⊆ q44's pairs by construction, and
-    // the oracle mirrors the whole pipeline, so the recall tradeoff is
-    // itself verified.
+    // kernel call, DECORRELATED planes — see srpPlane's r11 note: the
+    // old affine plane family's correlated bits collapsed signature
+    // entropy and blew the sf10 candidate join), 8 bands × 8 bits at a
+    // corpus-size-selected operating point (srpPairCutoff, oracle CASE):
+    // any-band below the cutoff, ≥2-of-8 via 16-bit pair keys above it.
     //
-    // Measured on the sf0.1 corpus (2,000 vectors, 1,999,000 pairs):
-    //   any-of-8 bands (≥1):  15.7% candidates, 54/144 threshold pairs
-    //   ≥2 of 8 bands:         5.4% candidates, 26/144  ← declared here
-    //   4 bands × 16 bits:     0.8% candidates,  4/144
     // The testdata's "near-dups" sit at cos ≈ 0.45–0.51 — a weak-
     // similarity regime where every LSH family trades recall against
-    // pruning on this curve (bit-match prob ≈ 0.66/bit). At a real
-    // dedup threshold (cos ≥ 0.9 ⇒ ≥ 0.97/bit) the same 8×8 banding
-    // admits ~0.4% of random pairs while catching >99% of true pairs —
-    // bands/bitsPerBand/minMatches are the operating-point knobs.
+    // pruning on this curve (bit-match prob ≈ 0.66/bit): with honest
+    // planes, any-of-8 catches 35/144 threshold pairs at sf0.1 for
+    // ~3% candidates, while ≥2-of-8 catches only 4/144 — hence
+    // recall-first below the cutoff, where candidate volume is bounded
+    // anyway. At a real dedup threshold (cos ≥ 0.9 ⇒ ≥ 0.97/bit) the
+    // ≥2-of-8 arm admits ~0.04% of random pairs while catching ~86% of
+    // true pairs — bands/bitsPerBand/minMatches/cutoff are the
+    // operating-point knobs. Exact-cosine verify runs on candidates
+    // only; pairs here ⊆ q44's pairs by construction, and the oracle
+    // mirrors the whole pipeline, so the recall tradeoff is itself
+    // verified.
     QueryDef(
       "q53_srp_lsh",
       Some(s"""
@@ -409,7 +455,9 @@ object Similarity {
           SELECT a.vec_id AS a_id, b.vec_id AS b_id
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-          GROUP BY 1, 2 HAVING count(*) >= 2)
+          GROUP BY 1, 2
+          HAVING count(*) >= (CASE WHEN (SELECT count(*) FROM n) < $srpPairCutoff
+                              THEN 1 ELSE 2 END))
         SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
         FROM cand c
         JOIN sig sa ON sa.vec_id = c.a_id

@@ -53,8 +53,15 @@ object EventStreams {
         col("n_events"), col("total"))
 
   /** Exactly-once-per-key dedup: first event per (user_id, event_type).
-    * Streaming form is dropDuplicates within the watermark; batch form is
-    * the same call (global).
+    * Batch form; under readStream the same call keeps ONE state entry
+    * per distinct key for the stream's whole life — Spark only
+    * watermark-evicts dropDuplicates state when the event-time column
+    * is among the dedup keys, and here it deliberately is not (a key's
+    * first event is first forever). For watermark-BOUNDED streaming
+    * state use `dropDuplicatesWithinWatermark` (dedup only within the
+    * lateness horizon) and accept re-emission of keys that go quiet
+    * longer than the watermark — the standard trade at unbounded key
+    * cardinality.
     */
   def firstPerUserType(events: DataFrame): DataFrame =
     events
@@ -185,9 +192,23 @@ object EventStreams {
                   // Clamp so the session only ever extends: `last` must
                   // never move backward (that would re-open the gap and
                   // could push the timeout at/below the watermark).
-                  flushLate()
-                  open = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
-                    s.n + 1, s.total + e.value))
+                  // If the late chain reaches THIS bridging row (rows are
+                  // sorted, so t ≥ chain.last), the batch fold would have
+                  // merged chain + row + open into ONE session — merge
+                  // here too instead of flushing the chain as its own
+                  // session (within-batch bridge; flushing was a split
+                  // the documented cross-batch-only approximation never
+                  // licensed).
+                  open = lateOpen match {
+                    case Some(l) if t - l.last <= gapMs =>
+                      lateOpen = None
+                      Some(SessionState(math.min(l.start, math.min(s.start, t)),
+                        math.max(s.last, t), s.n + l.n + 1, s.total + l.total + e.value))
+                    case _ =>
+                      flushLate()
+                      Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                        s.n + 1, s.total + e.value))
+                  }
                 case Some(s) =>
                   flushLate()
                   closed += s

@@ -98,6 +98,16 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
       }
       val hasMarker = f.isDirectory && new java.io.File(f, CommitMarker).exists()
       val legacy = f.isDirectory && !hasMarker && new java.io.File(f, "_SUCCESS").exists()
+      // A segment-NAMED dir with neither marker is a torn retire:
+      // retire() deletes the markers FIRST, so a crash mid-rmTree
+      // leaves the data without either. (A torn commit cannot produce
+      // one — the marker is stamped inside the tmp BEFORE the atomic
+      // rename.) Sweep it like a tmp; it was previously ignored but
+      // RETAINED — one leaked segment of parquet per crash window on a
+      // long-lived caller-provided statePath.
+      if (f.isDirectory && !hasMarker && !legacy
+          && (BatchSeg.matches(f.getName) || BaseSeg.matches(f.getName)))
+        rmTree(f)
       if (legacy && (BatchSeg.matches(f.getName) || BaseSeg.matches(f.getName)))
         try java.nio.file.Files.createFile(f.toPath.resolve(CommitMarker))
         catch { case _: java.io.IOException => () } // best-effort stamp

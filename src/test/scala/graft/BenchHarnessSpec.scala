@@ -48,6 +48,10 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withStats.contains(
       """"sweep_stats":{"max_group_boxes":150,"pairs_enumerated":9000,"dense_groups":0}"""))
     assert(!withStats.contains("\n"))
+    // Rehearsal exclusions surface in the artifact; absent, no field.
+    val withSkip = Bench.renderJson(runs, "/x", 1, None, Set("q44_embedding_neardup"))
+    assert(withSkip.contains(""""skipped":["q44_embedding_neardup"]"""))
+    assert(!json.contains("\"skipped\""), "driver line must be unchanged when nothing is skipped")
   }
 
   test("the contract line fits the driver's 2000-char stdout tail with every registry query") {

@@ -46,6 +46,25 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.map(_.rows) == runs.map(_.rows))
   }
 
+  test("an empty stage output stays readable by its dependents (schema backfill)") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dag-empty").toString
+    val stages = Seq(
+      // A filter no row survives → a zero-partition write that would
+      // otherwise commit a part-file-less table no dependent can read.
+      Dag.Stage("src", Nil, (sp, _) => {
+        import sp.implicits._
+        Seq(1L, 2L).toDF("id").filter("id > 99")
+      }),
+      Dag.Stage("consume", Seq("src"), (_, up) => up("src").selectExpr("id * 2 AS twice")))
+    val runs = Dag.materialize(spark, stages, dir)
+    assert(runs.map(_.rows) == Seq(0L, 0L), s"got $runs")
+    // The committed empty table must also survive a reuse tick's read.
+    val again = Dag.materialize(spark, stages, dir, refresh = false)
+    assert(again.forall(_.skipped))
+    assert(spark.read.parquet(s"$dir/src.parquet").schema.fieldNames.sameElements(Array("id")))
+  }
+
   test("an upstream rebuild cascades downstream under refresh=false (stamp chain)") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("dag-chain").toString
@@ -287,12 +306,17 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     // suffix (a DIFFERENT corpus whose sanitized name extends this
     // one) is never touched.
     val dagRoot = new java.io.File(p2).getParentFile.getParentFile
-    val old = new java.io.File(dagRoot, "_root_testdata_sf0.001_deadbeef")
+    // Build sibling names from the COMMITTED dir's own prefix (the
+    // sanitized corpus path now carries a raw-path digest, so a
+    // hand-spelled sanitized name would silently stop matching).
+    val committedName = new java.io.File(p2).getParentFile.getName
+    val prefix = committedName.substring(0, committedName.lastIndexOf('_') + 1)
+    val old = new java.io.File(dagRoot, prefix + "deadbeef")
     new java.io.File(old, "detections.parquet").mkdirs()
     old.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
-    val fresh = new java.io.File(dagRoot, "_root_testdata_sf0.001_cafebabe")
+    val fresh = new java.io.File(dagRoot, prefix + "cafebabe")
     new java.io.File(fresh, "detections.parquet").mkdirs()
-    val otherCorpus = new java.io.File(dagRoot, "_root_testdata_sf0.001_v2_aaaa")
+    val otherCorpus = new java.io.File(dagRoot, prefix + "v2_aaaa")
     new java.io.File(otherCorpus, "detections.parquet").mkdirs()
     otherCorpus.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
     DetectionsTable.ensure(spark, sf)

@@ -188,6 +188,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"got $got")
   }
 
+  test("sessionizer: a late row bridging the late chain and the open session merges all three") {
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val sink = s"sink_${System.nanoTime()}"
+    val typed = mem.toDF().withWatermark("ts", "20 hours")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionizeStream(typed, gapMs = 3600 * 1000L)
+      .toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // Batch 1 opens a session at 12:00.
+    mem.addData(Ev(ts(12, 0), 1, "click", 1.0))
+    q.processAllAvailable()
+    // Batch 2: 10:15 (>1h before the open start → late chain) then
+    // 11:10 — within the gap of BOTH the chain (55 min) and the open
+    // session (50 min before its start). Batch semantics over
+    // {10:15, 11:10, 12:00} is ONE session starting 10:15; the bridge
+    // row must merge the chain into the open session, not flush the
+    // chain as its own session (the r11 within-batch split).
+    mem.addData(Ev(ts(10, 15), 1, "late", 4.0), Ev(ts(11, 10), 1, "late", 8.0))
+    q.processAllAvailable()
+    mem.addData(Ev(Timestamp.valueOf("2024-03-02 00:00:00"), 99, "flush", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(sink).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .filter(_._1 == 1L).toSet
+    assert(got == Set((1L, ts(10, 15), 3L, 13.0)), s"got $got")
+  }
+
   /** The restart scenario, parameterized by state-store provider: the
     * default HDFS-backed store and RocksDB (the 100 TB configuration —
     * state spills off-heap/disk instead of living in executor memory).

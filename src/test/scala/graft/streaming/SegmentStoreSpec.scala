@@ -15,6 +15,30 @@ class SegmentStoreSpec extends AnyFunSuite {
     finally graft.Fs.rmTree(dir)
   }
 
+  test("rehydration sweeps a marker-less torn-retire segment instead of retaining it") {
+    val dir = java.nio.file.Files.createTempDirectory("segstore-spec").toFile
+    try {
+      // Simulate retire() crashing mid-delete: markers already gone,
+      // data still on disk. Rehydration must sweep it (it can never be
+      // read — uncommitted), not retain it as an anonymous leak.
+      val torn = new java.io.File(dir, "b5_3")
+      new java.io.File(torn, "sh").mkdirs()
+      java.nio.file.Files.writeString(torn.toPath.resolve("sh/part-0"), "rows")
+      // A committed sibling with the marker must survive.
+      val live = new java.io.File(dir, "b1_1")
+      live.mkdirs()
+      java.nio.file.Files.writeString(live.toPath.resolve("_graft_commit"), "")
+      // A foreign directory that merely LOOKS unrelated must survive too.
+      val foreign = new java.io.File(dir, "not_a_segment")
+      foreign.mkdirs()
+      val store = new SegmentStore(Some(dir.toString))
+      assert(!torn.exists(), "torn retire must be swept at rehydration")
+      assert(live.exists(), "committed segment must survive")
+      assert(foreign.exists(), "foreign dirs are never touched")
+      assert(store.segmentCount == 1)
+    } finally graft.Fs.rmTree(dir)
+  }
+
   test("commitBatch self-heals a stale stamped tmp from a failed prior attempt") {
     withStore { (store, root) =>
       // Simulate: attempt 1 wrote subdirs, stamped the marker, then the
