@@ -99,36 +99,47 @@ object Similarity {
   private[queries] def srpCandidates(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val sigs = srpSignatures(spark, dir)
-    if (sigs.count() < srpPairCutoff) {
-      val bands = sigs
-        .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 8, 8)).as("bk"))
-        .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      // merge hints on both arms: these band relations are explodes of
-      // the small cached signature relation, and Catalyst sizes
-      // Generate output at its CHILD's bytes — the under-estimate
-      // planned a multi-GiB BroadcastHashJoin at sf10 (see q43's note).
-      bands.as("a").hint("merge")
-        .join(bands.as("b").hint("merge"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct()
-    } else {
-      def mask(b: Int): Long = ((1L << 8) - 1) << (b * 8)
-      val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-      val keys = sigs
-        .select(col("vec_id"), explode(array(bandPairs.zipWithIndex.map { case ((i, j), p) =>
-          struct(lit(p).as("bp"),
-            col("sig").bitwiseAND(lit(mask(i) | mask(j))).as("key"))
-        }: _*)).as("pk"))
-        .select(col("vec_id"), col("pk.bp").as("bp"), col("pk.key").as("key"))
-      keys.as("a").hint("merge")
-        .join(keys.as("b").hint("merge"),
-          col("a.bp") === col("b.bp") && col("a.key") === col("b.key")
-            && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-        .distinct()
-    }
+    if (sigs.count() < srpPairCutoff) srpCandidatesAnyBand(sigs)
+    else srpCandidatesPairKey(sigs)
+  }
+
+  /** Small-corpus arm: pairs sharing ANY of the 8 band keys. */
+  private[queries] def srpCandidatesAnyBand(sigs: DataFrame): DataFrame = {
+    val bands = sigs
+      .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 8, 8)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // merge hints on both arms: these band relations are explodes of
+    // the small cached signature relation, and Catalyst sizes
+    // Generate output at its CHILD's bytes — the under-estimate
+    // planned a multi-GiB BroadcastHashJoin at sf10 (see q43's note).
+    bands.as("a").hint("merge")
+      .join(bands.as("b").hint("merge"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Large-corpus arm: "≥ 2 of 8 bands match" via C(8,2)=28 band-PAIR
+    * keys — SrpLshSpec pins set-equality to the declarative per-band
+    * join + count ≥ 2 spelling on the gate corpus, since no gate SF
+    * crosses [[srpPairCutoff]] to run this arm in a declared query.
+    */
+  private[queries] def srpCandidatesPairKey(sigs: DataFrame): DataFrame = {
+    def mask(b: Int): Long = ((1L << 8) - 1) << (b * 8)
+    val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+    val keys = sigs
+      .select(col("vec_id"), explode(array(bandPairs.zipWithIndex.map { case ((i, j), p) =>
+        struct(lit(p).as("bp"),
+          col("sig").bitwiseAND(lit(mask(i) | mask(j))).as("key"))
+      }: _*)).as("pk"))
+      .select(col("vec_id"), col("pk.bp").as("bp"), col("pk.key").as("key"))
+    keys.as("a").hint("merge")
+      .join(keys.as("b").hint("merge"),
+        col("a.bp") === col("b.bp") && col("a.key") === col("b.key")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -39,6 +39,30 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"collision-counted banding admits <10% of pairs at this weak-similarity corpus: $cands/$pairs")
   }
 
+  test("pair-key arm ≡ declarative '≥2 of 8 bands' on the gate corpus") {
+    // The large-corpus arm only runs past srpPairCutoff (50k vectors),
+    // which no gate SF reaches — so its equivalence claim ("joining on
+    // C(8,2) combined-mask keys = per-band join + HAVING count ≥ 2")
+    // is pinned HERE, on the real sf0.01 signatures, by set equality.
+    val sigs = Similarity.srpSignatures(spark, dir)
+    val viaPairKeys = Similarity.srpCandidatesPairKey(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = sigs
+      .select(col("vec_id"), explode(VectorFunctions.srpBandKeys(col("sig"), 8, 8)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val declarative = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(declarative.nonEmpty, "the ≥2-band set must be non-trivial on this corpus")
+    assert(viaPairKeys == declarative,
+      s"pair-key arm diverged: only-pairkey=${viaPairKeys -- declarative} only-declarative=${declarative -- viaPairKeys}")
+  }
+
   test("q53 output is a subset of brute-force q44 at the same threshold") {
     def pairs(q: String) = graft.SparkEntry.queries(q)(spark, dir)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
