@@ -177,6 +177,23 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("banded self-joins are SMJ, never broadcast (Generate under-estimate guard)") {
+    // Catalyst sizes a Generate's output at its CHILD's bytes, so the
+    // exploded band-key relations look broadcastable at ANY corpus size
+    // — at sf10 that planned a 3.4 GiB build side into an 8 GB heap.
+    // The merge hints force the only shape that survives any SF; this
+    // pins them against removal.
+    val sigsD = Similarity.srpSignatures(spark, dir)
+    for ((label, df) <- Seq(
+        "q43 subset join" -> graft.SparkEntry.queries("q43_simhash")(spark, dir),
+        "q53 any-band arm" -> Similarity.srpCandidatesAnyBand(sigsD),
+        "q53 pair-key arm" -> Similarity.srpCandidatesPairKey(sigsD))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"$label must sort-merge")
+      assert(!p.contains("BroadcastHashJoin"), s"$label must never broadcast a banded side")
+    }
+  }
+
   test("q44: exact all-pairs is block-partitioned — no nested loop, no cartesian") {
     // The recall-1.0 baseline must not be the BNLJ-with-arrays shape
     // (corpus-sized broadcast + interpreted per-pair eval): the block
