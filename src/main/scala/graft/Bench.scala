@@ -250,6 +250,16 @@ object Bench {
     // sweep can never masquerade as a full one.
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    // A skip name that matches no registry query fails FAST: silently
+    // skipping nothing would run the very work the knob excludes (q44's
+    // O(n²) baseline at a rehearsal SF) while the artifact's `skipped`
+    // field claimed it didn't — an artifact that lies about coverage.
+    val unknown = skip.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_SKIP names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
+      sys.exit(2)
+    }
     val swept = SparkEntry.queries.toSeq.filterNot { case (n, _) => skip(n) }
     if (skip.nonEmpty)
       System.err.println(s"[bench] skipping (SPARK_GRAFT_BENCH_SKIP): ${skip.toSeq.sorted.mkString(",")}")

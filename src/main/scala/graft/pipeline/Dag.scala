@@ -473,9 +473,12 @@ abstract class InputTable(
     * LIVE committed table (r11 review). A short digest of the RAW path
     * makes the prefix injective up to 32-bit hash collision.
     */
+  private def lossySanitize(sfDir: String): String =
+    sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+
   private def sanitize(sfDir: String): String = {
     val digest = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sfDir))
-    s"${sfDir.replaceAll("[^a-zA-Z0-9.]", "_")}_$digest"
+    s"${lossySanitize(sfDir)}_$digest"
   }
 
   /** Per-table namespace: sibling-sweeping below must never see ANOTHER
@@ -500,6 +503,18 @@ abstract class InputTable(
     * exposure any shared-/tmp mutation under a running query has).
     */
   private val seenStamps = scala.collection.mutable.Map.empty[String, String]
+  /** Paths absent from disk at the LAST prune pass (see [[watchStamp]]):
+    * an entry is dropped only when its path is absent at two
+    * consecutive passes, so a sibling's transient delete→commit
+    * replacement window can't silently discard the watch that would
+    * have detected the replacement.
+    */
+  private var pruneSuspects = Set.empty[String]
+  /** Re-scan the map for prunable entries only after it GROWS past the
+    * last post-prune size — a map full of live tables must not pay a
+    * full-disk stat scan (under [[stampLock]]) on every resolve.
+    */
+  private var pruneHighWater = 4096
   /** Guards [[seenStamps]] alone — NOT the object monitor: [[ensure]]
     * holds that across an entire Spark materialization, and a consumer
     * resolving mid-ensure must fall back to the live derivation
@@ -522,11 +537,19 @@ abstract class InputTable(
       val r = seenStamps.get(p).exists(_ != st)
       seenStamps(p) = st
       // Bound the watch map in long-lived JVMs cycling many corpora:
-      // drop watches whose table no longer exists on disk (a vanished
-      // path re-registers as first-seen if it ever comes back, which
-      // correctly reads as a replacement candidate).
-      if (seenStamps.size > 4096)
-        seenStamps.filterInPlace((path, _) => new java.io.File(path).exists())
+      // drop watches whose table stays absent across two prune passes
+      // (absent ONCE may be a sibling mid-replacement — delete→commit —
+      // and dropping then would make the rebuilt table read as
+      // first-seen, never firing the cache eviction). Scans re-arm only
+      // on growth past the last pass's size, so a map of live tables
+      // pays one stat sweep per growth step, not per resolve.
+      if (seenStamps.size > pruneHighWater) {
+        val absent = seenStamps.keysIterator
+          .filter(path => !new java.io.File(path).exists()).toSet
+        seenStamps --= absent.intersect(pruneSuspects)
+        pruneSuspects = absent.diff(pruneSuspects)
+        pruneHighWater = math.max(4096, seenStamps.size)
+      }
       r
     }
     if (replaced) {
@@ -582,6 +605,16 @@ abstract class InputTable(
     // they would leak sf-scale parquet until reboot).
     sweepStale(new java.io.File(tableRoot), prefix, Some(new java.io.File(dir).getName))
     sweepStale(new java.io.File("/tmp/graft_dag"), prefix, None)
+    // PRE-DIGEST layouts (before sanitize() carried the raw-path
+    // digest): "<lossy>_<fp>" dirs, in both roots, that no current
+    // reader can ever resolve — root() always appends the digest — so
+    // they are dead weight regardless of which corpus wrote them
+    // (sweeping on the lossy prefix is safe ONLY because of that
+    // unreachability). The bare-hex remainder guard keeps these sweeps
+    // away from every digest-layout dir: its remainder "<digest>_<fp>"
+    // contains '_'.
+    sweepStale(new java.io.File(tableRoot), s"${lossySanitize(sfDir)}_", None)
+    sweepStale(new java.io.File("/tmp/graft_dag"), s"${lossySanitize(sfDir)}_", None)
     // Torn writes are Dag.materialize's problem: reuse is marker-gated
     // and writes commit via tmp + atomic rename.
     Dag.materialize(spark, dag(sfDir), dir, refresh = false)

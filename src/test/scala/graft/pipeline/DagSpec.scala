@@ -319,10 +319,24 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     val otherCorpus = new java.io.File(dagRoot, prefix + "v2_aaaa")
     new java.io.File(otherCorpus, "detections.parquet").mkdirs()
     otherCorpus.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
+    // PRE-DIGEST layout dirs — "<lossy-sanitized>_<fp>" with NO digest
+    // segment — are unreachable by any current reader and must be swept
+    // by their corpus's lossy prefix even though the digest-carrying
+    // prefix can never match them (r11 review: the digest change had
+    // silently orphaned them).
+    val lossyPrefix = prefix.substring(0, {
+      val d = prefix.stripSuffix("_"); d.lastIndexOf('_') + 1
+    })
+    val preDigest = new java.io.File(dagRoot, lossyPrefix + "beefbeef")
+    new java.io.File(preDigest, "detections.parquet").mkdirs()
+    preDigest.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000)
     DetectionsTable.ensure(spark, sf)
     assert(!old.exists(), "quiet stale fingerprint dirs are swept")
     assert(fresh.exists(), "fresh sibling survives the grace window")
     assert(otherCorpus.exists(), "a different corpus's dir is never swept")
+    assert(!preDigest.exists(), "quiet pre-digest legacy dirs are swept")
+    assert(new java.io.File(p2, Dag.CommitMarker).exists(),
+      "the live digest-layout table itself survives the lossy-prefix sweep")
     graft.Fs.rmTree(fresh); graft.Fs.rmTree(otherCorpus)
     DetectionsTable.invalidate(sf)
   }
