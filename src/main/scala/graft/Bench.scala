@@ -8,7 +8,8 @@ object Bench {
     * throwable silently (pre-round-6) made a broken query read as a FAST
     * PASS in the bench tail.
     */
-  final case class QueryRun(name: String, seconds: Double, error: Option[String])
+  final case class QueryRun(name: String, seconds: Double, error: Option[String],
+      cacheBuildMs: Long = 0L)
 
   /** The timed sweep, factored out of main so BenchHarnessSpec can run it
     * over a planted failing query. Deterministic name order: per-query
@@ -39,7 +40,14 @@ object Bench {
       // has no declared releases.
       graft.queries.Registry.byName.get(name).toSeq.flatMap(_.releases)
         .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir"))
-      QueryRun(name, dt, err)
+      // SessionCache entries built DURING this query (eagerly
+      // materialized and timed at the build site) attribute here: the
+      // artifact's cache_build_ms separates one-time cache construction
+      // from kernel time, so a cost that merely RELOCATES between
+      // queries across rounds (r11's q41 0.16→2.27 "regression" was
+      // exactly that) no longer reads as a plan change.
+      val builtMs = graft.pipeline.SessionCache.drainBuildLog(spark).map(_._2).sum
+      QueryRun(name, dt, err, builtMs)
     }
 
   /** Best-of-N merge of repeated sweeps: per-query MIN time (the
@@ -59,7 +67,12 @@ object Bench {
       // compares across rounds. The error itself still reports.
       val clean = runs.filter(_.error.isEmpty)
       val basis = if (clean.nonEmpty) clean else runs
-      QueryRun(name, basis.map(_.seconds).min, runs.flatMap(_.error).headOption)
+      // The reported build ms is the chosen run's OWN, so "this much of
+      // the reported time was cache construction" stays a true claim
+      // (a cross-run min would pair sweep 2's warm kernel time with
+      // sweep 1's build bill).
+      val best = basis.minBy(_.seconds)
+      QueryRun(name, best.seconds, runs.flatMap(_.error).headOption, best.cacheBuildMs)
     }
 
   /** Short per-query key for the contract line: the numeric prefix
@@ -95,7 +108,7 @@ object Bench {
       sec: Double => String, errCap: Int, maxErrs: Int): (String, String) = {
     val qs = results.map(r => Jsons.quote(key(r.name)) + ":" + sec(r.seconds))
       .mkString("{", ",", "}")
-    val failed = results.collect { case QueryRun(n, _, Some(m)) => (n, m) }
+    val failed = results.collect { case QueryRun(n, _, Some(m), _) => (n, m) }
     val shown = failed.take(maxErrs).map { case (n, m) =>
       Jsons.quote(key(n)) + ":" + Jsons.quote(m.take(errCap))
     }
@@ -136,8 +149,20 @@ object Bench {
       skipped: Set[String] = Set.empty): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
-    val ss = sweepStats.map { case (maxGroup, pairs, dense) =>
-      s""","sweep_stats":{"max_group_boxes":$maxGroup,"pairs_enumerated":$pairs,"dense_groups":$dense}"""
+    // Per-query cache-construction ms (VERDICT r11 #7), keyed like the
+    // queries map; zero entries elided. Degrades to the total alone if
+    // the detailed map would push the contract line past the budget —
+    // the full-name map is always on the detail line regardless.
+    val cbTotal = results.map(_.cacheBuildMs).sum
+    // Zero-build sweeps (and the sweepStats=None spec path) render
+    // byte-identical to the pre-r12 format — the fields appear only
+    // when there is a build bill to attribute.
+    val cbDetailed = if (cbTotal == 0) "" else results.filter(_.cacheBuildMs > 0)
+      .map(r => Jsons.quote(key(r.name)) + ":" + r.cacheBuildMs)
+      .mkString(s""","cache_build_ms_total":$cbTotal,"cache_build_ms":{""", ",", "}")
+    val cbCompact = if (cbTotal == 0) "" else s""","cache_build_ms_total":$cbTotal"""
+    def ss(cb: String) = sweepStats.map { case (maxGroup, pairs, dense) =>
+      s""","sweep_stats":{"max_group_boxes":$maxGroup,"pairs_enumerated":$pairs,"dense_groups":$dense$cb}"""
     }.getOrElse("")
     // Rehearsal-only exclusions (SPARK_GRAFT_BENCH_SKIP) surface in the
     // artifact so a partial sweep can never read as a full one; absent
@@ -146,25 +171,27 @@ object Bench {
       else s""","skipped":[${skipped.toSeq.sorted.map(Jsons.quote).mkString(",")}]"""
     val total = results.map(_.seconds).sum
     val qs = renderMaps(results, key, fmt(_, 3), 0, 0)._1
-    def line(errs: String) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps$ss$sk,"sf":${Jsons.quote(sfDir)}}"""
-    val failed = results.collect { case QueryRun(n, _, Some(m)) => (n, m) }
+    def line(errs: String, cb: String) =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk,"sf":${Jsons.quote(sfDir)}}"""
+    val failed = results.collect { case QueryRun(n, _, Some(m), _) => (n, m) }
     val attempts = Iterator(
-      renderMaps(results, key, fmt(_, 3), 120, failed.size)._2,
-      renderMaps(results, key, fmt(_, 3), 40, failed.size)._2,
+      (cbDetailed, renderMaps(results, key, fmt(_, 3), 120, failed.size)._2),
+      (cbDetailed, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
+      (cbCompact, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
       // First 5 errors + a "_truncated" count (ADVICE r10: this step
       // makes renderMaps' overflow marker reachable) before degrading
       // to counts only.
-      renderMaps(results, key, fmt(_, 3), 40, 5)._2,
-      s"""{"_n":${failed.size}${
+      (cbCompact, renderMaps(results, key, fmt(_, 3), 40, 5)._2),
+      (cbCompact, s"""{"_n":${failed.size}${
         failed.headOption.map { case (n, m) =>
           s""","_first":${Jsons.quote(s"${key(n)}: ${m.take(40)}")}"""
         }.getOrElse("")
-      }}""")
-    attempts.map(line).find(_.length <= ContractLineBudget)
+      }}"""))
+    attempts.map { case (cb, errs) => line(errs, cb) }
+      .find(_.length <= ContractLineBudget)
       // Last resort (pathological name lengths): emit anyway — a long
       // line beats no line.
-      .getOrElse(line(s"""{"_n":${failed.size}}"""))
+      .getOrElse(line(s"""{"_n":${failed.size}}""", cbCompact))
   }
 
   /** Full-name, full-precision record printed BEFORE the contract line.
@@ -176,7 +203,9 @@ object Bench {
   private[graft] def renderDetailJson(results: Seq[QueryRun], sfDir: String): String = {
     val (qs, errs) = renderMaps(results, identity, _.toString,
       errCap = Int.MaxValue, maxErrs = results.size)
-    s"""{"detail":"full query names/precision; compact contract line follows","queries":$qs,"errors":$errs,"sf":${Jsons.quote(sfDir)}}"""
+    val cb = results.filter(_.cacheBuildMs > 0)
+      .map(r => Jsons.quote(r.name) + ":" + r.cacheBuildMs).mkString("{", ",", "}")
+    s"""{"detail":"full query names/precision; compact contract line follows","queries":$qs,"errors":$errs,"cache_build_ms":$cb,"sf":${Jsons.quote(sfDir)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,6 +292,9 @@ object Bench {
     val swept = SparkEntry.queries.toSeq.filterNot { case (n, _) => skip(n) }
     if (skip.nonEmpty)
       System.err.println(s"[bench] skipping (SPARK_GRAFT_BENCH_SKIP): ${skip.toSeq.sorted.mkString(",")}")
+    // Warm-up and table-ensure built (and logged) cache entries of their
+    // own — drain the log so the first timed query isn't billed for them.
+    graft.pipeline.SessionCache.drainBuildLog(spark)
     val results = mergeSweeps(
       (1 to sweeps).map(_ => runSweep(spark, sfDir, swept)))
     println(renderDetailJson(results, sfDir))

@@ -51,4 +51,16 @@ object SparkEntry {
     */
   def oracleExclusions: Map[String, String] =
     graft.queries.Registry.all.flatMap(q => q.noOracleReason.map(q.name -> _)).toMap
+
+  /** Toleranced value oracles for rows-only queries (VERDICT r11 #3):
+    * name → (DuckDB SQL, per-column atol, note), resolved against sfDir
+    * because an eps oracle may read a Spark-materialized input table
+    * (an unresolvable table drops the entry — rows-only, never a false
+    * failure). Verify dumps these as eps_oracle_sql.json; tools/check.py
+    * races them with a sorted-row toleranced compare.
+    */
+  def epsOracles(sfDir: String): Map[String, (String, Map[String, Double], String)] =
+    graft.queries.Registry.all.flatMap(q =>
+      q.epsOracle.flatMap(e =>
+        e.sql(sfDir).map(sql => q.name -> ((sql, e.atol, e.note))))).toMap
 }

@@ -17,7 +17,10 @@ object Verify {
     // degrades to the in-query derivation (value-identical), never to a
     // dead sweep.
     Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
-        graft.queries.ShinglesTable, graft.queries.DedupClustersTable).foreach { t =>
+        graft.queries.ShinglesTable, graft.queries.DedupClustersTable,
+        // Eps-oracle support (VERDICT r11 #3): the grouping kernel's
+        // output as a table the q82/q86 eps SQL can read_parquet.
+        graft.queries.GroupedDetectionsTable).foreach { t =>
       try { t.ensure(spark, sfDir); () }
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal: a fatal VM error must abort the dump, not produce a
@@ -49,6 +52,15 @@ object Verify {
     val excl = SparkEntry.oracleExclusions.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${Jsons.quote(k)}: ${Jsons.quote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_exclusions.json"), excl)
+    // Toleranced value oracles for the float-excluded queries: check.py
+    // races each against the dumped parquet under the declared atol.
+    val eps = SparkEntry.epsOracles(sfDir).toSeq.sortBy(_._1)
+      .map { case (k, (sql, atol, note)) =>
+        val at = atol.toSeq.sortBy(_._1)
+          .map { case (c, v) => s"${Jsons.quote(c)}: $v" }.mkString("{", ",", "}")
+        s"""${Jsons.quote(k)}: {"sql": ${Jsons.quote(sql)}, "atol": $at, "note": ${Jsons.quote(note)}}"""
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/eps_oracle_sql.json"), eps)
     spark.stop()
   }
 }

@@ -142,6 +142,133 @@ object Warp {
     }
   }
 
+  // ── Color JPEG path (VERDICT r11 #4) ────────────────────────────────
+  // The reference decodes COLOR JPEGs (cv2.imread at Equirec2Perspec.py:
+  // 65-67, PIL at panorama_photo.py:36); q104 proved the lossless
+  // grayscale round trip, this family proves the lossy 3-channel one.
+  // The closed-form channels are SMOOTH integer ramps (unit steps), so
+  // DCT loss at quality 0.95 stays a few counts per pixel and a
+  // per-view channel sum is verifiable under a DERIVED tolerance:
+  // outW·outH · ColorJpegPixelTolerance (WarpCodecSpec measures the
+  // actual per-pixel round-trip error and pins it under the bound).
+
+  /** Closed-form color channels (c = 0 r, 1 g, 2 b): a per-image base
+    * offset plus a smooth spatial ramp, all integer arithmetic so the
+    * oracle mirrors it exactly with // division. Max value 96+100 < 256.
+    */
+  def colorPixel(id: Long, x: Int, y: Int, c: Int, w: Int, h: Int): Int = c match {
+    case 0 => (id * 37 % 97).toInt + x * 100 / (w - 1)
+    case 1 => (id * 53 % 97).toInt + y * 100 / (h - 1)
+    case _ => (id * 71 % 97).toInt + (x + y) * 100 / (w + h - 2)
+  }
+
+  /** Measured per-pixel |decode − closed form| bound for
+    * [[encodeColorJpeg]]→[[decodeColorRgb]] at quality 0.95 on the ramp
+    * family (observed max 4 across ids/channels at 128×64; margin 2×).
+    * WarpCodecSpec re-measures and fails if the codec drifts past it.
+    */
+  val ColorJpegPixelTolerance = 8
+
+  /** The ramp image as a REAL color JPEG (stock-JDK writer, explicit
+    * quality 0.95). Deterministic for a given JDK; the declared query's
+    * eps oracle never sees the bytes — only sums under the derived
+    * tolerance — so encoder-version drift cannot flip a verdict while
+    * the codec stays within [[ColorJpegPixelTolerance]].
+    */
+  def encodeColorJpeg(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          (colorPixel(id, x, y, 0, w, h) << 16) |
+          (colorPixel(id, x, y, 1, w, h) << 8) |
+          colorPixel(id, x, y, 2, w, h))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Real 3-channel decode: bytes → (r, g, b row-major rasters, w, h);
+    * None on undecodable input (same seam contract as the gray path).
+    */
+  def decodeColorRgb(bytes: Array[Byte]): Option[(Array[Byte], Array[Byte], Array[Byte], Int, Int)] = {
+    if (bytes == null) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val r = new Array[Byte](w * h); val g = new Array[Byte](w * h)
+        val b = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y); val i = y * w + x
+            r(i) = ((rgb >> 16) & 0xff).toByte
+            g(i) = ((rgb >> 8) & 0xff).toByte
+            b(i) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some((r, g, b, w, h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** images × thetas → per-view per-channel pixel sums through the REAL
+    * color JPEG decode and the SAME [[warpView]] kernel, once per
+    * channel (the reference warps all three BGR planes with one map —
+    * Equirec2Perspec.py:87-91; per-plane nearest-neighbor sampling is
+    * identical math). Same zero-shuffle fan-out shape as
+    * [[perspectiveViews]].
+    */
+  def colorPerspectiveSums(
+      images: DataFrame,
+      fovDeg: Double, thetas: Seq[Int], phiDeg: Double,
+      outW: Int, outH: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("theta", IntegerType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val idI = images.schema.fieldIndex("media_id")
+    val bI = images.schema.fieldIndex("bytes")
+    def sum(view: Array[Byte]): Long = {
+      var s = 0L; view.foreach(v => s += (v & 0xff)); s
+    }
+    images.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(idI)
+        decodeColorRgb(row.getAs[Array[Byte]](bI)).iterator.flatMap {
+          case (r, g, b, w, h) =>
+            thetas.iterator.map { theta =>
+              org.apache.spark.sql.Row(id, theta,
+                sum(warpView(r, w, h, fovDeg, theta, phiDeg, outW, outH)),
+                sum(warpView(g, w, h, fovDeg, theta, phiDeg, outW, outH)),
+                sum(warpView(b, w, h, fovDeg, theta, phiDeg, outW, outH)))
+            }
+        }
+      }
+    }(enc)
+  }
+
   /** Pure kernel: warp one equirectangular grayscale image to a
     * perspective view (nearest-neighbor, horizontal wrap / vertical
     * clamp like BORDER_WRAP on the seam axis).

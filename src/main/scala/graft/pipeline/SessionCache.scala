@@ -35,6 +35,7 @@ object SessionCache {
   private final class Entry(key: (SparkSession, String), build: () => DataFrame) {
     @volatile private[SessionCache] var built: DataFrame = _
     lazy val df: DataFrame = {
+      val t0 = System.nanoTime()
       val d = build()
       // A build block may hand back an already-persisted (even
       // materialized) relation when it manages its own intermediate
@@ -42,6 +43,17 @@ object SessionCache {
       val p =
         if (d.storageLevel == org.apache.spark.storage.StorageLevel.NONE) d.persist()
         else d
+      // Eager materialization, timed: count() populates every cache
+      // batch NOW, so the build cost lands in this getOrPersist call —
+      // attributable to the consumer that triggered it — instead of
+      // dissolving into the first downstream action's kernel time
+      // (VERDICT r11 #7: q41's 0.16↔2.27 s cross-round swing was pure
+      // sweep-order cache accounting). Total work is unchanged — the
+      // first consumer previously paid the same materialization inside
+      // its own job; its read now comes from the in-memory columnar
+      // batches instead.
+      p.count()
+      recordBuild(key, (System.nanoTime() - t0) / 1000000L)
       built = p
       // If release() removed this entry while the build was running,
       // nobody will ever unpersist it — do it here, UNLESS a successor
@@ -67,6 +79,26 @@ object SessionCache {
   private val hooked =
     scala.collection.mutable.Set.empty[SparkSession]
 
+  /** Undrained per-session build log: key → wall ms spent constructing,
+    * persisting, and eagerly materializing the entry. Bench drains it
+    * after each timed query to attribute cache builds to the query that
+    * paid them (the BENCH artifact's `cache_build_ms`).
+    */
+  private val buildLog =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Long]
+
+  private def recordBuild(key: (SparkSession, String), ms: Long): Unit =
+    synchronized { buildLog(key) = buildLog.getOrElse(key, 0L) + ms }
+
+  /** Remove and return this session's accumulated (key, build ms) pairs
+    * since the last drain. */
+  def drainBuildLog(spark: SparkSession): Seq[(String, Long)] = synchronized {
+    val mine = buildLog.keysIterator.filter(_._1 eq spark).toSeq
+    val out = mine.map(k => (k._2, buildLog(k)))
+    buildLog --= mine
+    out
+  }
+
   def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val entry = synchronized {
       if (hooked.add(spark)) {
@@ -75,6 +107,7 @@ object SessionCache {
               e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
             SessionCache.synchronized {
               cache.filterInPlace((k, _) => k._1 != spark)
+              buildLog.filterInPlace((k, _) => k._1 != spark)
               hooked.remove(spark)
             }
         })

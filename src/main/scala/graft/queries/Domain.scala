@@ -21,7 +21,7 @@ object Domain {
     * real pipeline uses for a reused stage; Spark's lazy persist means
     * the first consumer pays, the rest read columnar cache.
     */
-  private def grouped(spark: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def grouped(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.pipeline.SessionCache.getOrPersist(spark, s"grouped:$dir") {
       import spark.implicits._
       val det = Synthetic.detectionsCached(spark, dir)
@@ -271,7 +271,17 @@ object Domain {
     QueryDef("q82_best_rays", None, releases = Seq("grouped"), noOracleReason = Some(
       "pixel-to-3D ray chain leans on libm trig whose ULP drift vs DuckDB poisons a " +
         "float hash over 18k rows; the same kernel is fully oracled on deterministic " +
-        "slices by q89/q95 (op-for-op SQL mirror) and golden-pinned by ProjectionSpec"))(
+        "slices by q89/q95 (op-for-op SQL mirror) and golden-pinned by ProjectionSpec; " +
+        "toleranced VALUE verification over the full corpus via the declared eps oracle " +
+        "(eps_oracle_sql.json, atol 1.1e-6 on one-bin rounding flips)"),
+      epsOracle = Some(EpsOracle(
+        sfDir => GroupedDetectionsTable.materializedPath(sfDir)
+          .map(DomainOracles.bestRaysEpsSql),
+        atol = Map("rx" -> 1.1e-6, "ry" -> 1.1e-6, "rz" -> 1.1e-6),
+        note = "full best-rays chain (bestPerGroup window, pose join, stride-2 ring, " +
+          "pixel-to-ray trig) value-raced over ALL rows; the greedy grouping labels " +
+          "enter as the materialized kernel output (pinned by BBoxSpec/q88), " +
+          "atol absorbs the round-6 bin flips endpoint ULP drift can cause")))(
       (spark, dir) =>
       bestRays(spark, dir)
         .select(col("file_name"), col("group_idx"), col("v_idx"),
@@ -322,7 +332,18 @@ object Domain {
       "BVH first-hit selection over float ray-triangle distances is hash-unstable " +
         "across engines (ULP ties flip the winning triangle); TriMeshSpec pins the " +
         "BVH against brute-force, and companion q94 hash-verifies a SQL " +
-        "Möller-Trumbore differential on a deterministic slice"))(
+        "Möller-Trumbore differential on a deterministic slice; toleranced VALUE " +
+        "verification over the full corpus via the declared eps oracle " +
+        "(eps_oracle_sql.json, atol 2e-6 on avg_hit_z)"),
+      epsOracle = Some(EpsOracle(
+        sfDir => GroupedDetectionsTable.materializedPath(sfDir)
+          .map(DomainOracles.meshHitsEpsSql),
+        atol = Map("avg_hit_z" -> 2e-6),
+        note = "per-panorama first-hit aggregate value-raced over ALL rows against the " +
+          "brute-force SQL Möller-Trumbore (the Spark side runs the broadcast BVH); " +
+          "grouping labels enter as the materialized kernel output; counts compare " +
+          "exactly, avg_hit_z at atol 2e-6 (round-6 bins + the ~1e-7 origin-magnitude " +
+          "drift q94 documents)")))(
       (spark, dir) => {
       // vertexRays carries ox/oy/oz through, so no second pose join here.
       RayMesh.firstHits(bestRays(spark, dir), RayMesh.syntheticBuilding())
@@ -364,4 +385,22 @@ object Domain {
         .orderBy(col("det_idx"), col("wkt"))
     })
   )
+}
+
+/** The greedy-grouping kernel's output (file_name, det_idx, x1..y2,
+  * score, cls, group_idx) materialized as a fingerprinted input table —
+  * NOT a read path for any query (q80/q82/q86 always run the real
+  * flatMapGroups kernel); it exists so the q82/q86 EPS ORACLES
+  * (VERDICT r11 #3) can take the pinned kernel's labels as DuckDB input
+  * and value-verify everything computed downstream of them. Doubles
+  * round-trip parquet bit-exactly, so the oracle sees the kernel's
+  * exact floats.
+  */
+object GroupedDetectionsTable extends graft.pipeline.InputTable(
+    "grouped_detections", "lineitem",
+    graft.pipeline.Synthetic.detectionsSql + "|groupedDetections(iou=0.01,greedy-kernel)",
+    version = 1) {
+  protected def dag(sfDir: String): Seq[graft.pipeline.Dag.Stage] =
+    Seq(graft.pipeline.Dag.Stage("grouped_detections", Nil,
+      (s, _) => Domain.grouped(s, sfDir)))
 }

@@ -113,6 +113,76 @@ object DomainOracles {
     }.mkString(",\n      ")
   }
 
+  /** Brute-force Möller-Trumbore over [[trisValues]], op-for-op the same
+    * float math as TriMesh.triHit (the *(1/det) form, 1e-12/1e-9
+    * epsilons), min-t per ray. Follows a `rays` CTE; yields `hit`
+    * (file_name, group_idx, v_idx, bt). Shared by q94's exact oracle and
+    * q86's eps oracle so the differential has one spelling.
+    */
+  private def mtHitCtes: String = s"""
+        tris AS (SELECT * FROM (VALUES
+      $trisValues
+        ) t(ax, ay, az, bx, by, bz, tcx, tcy, tcz)),
+        rt AS (SELECT r.file_name, r.group_idx, r.v_idx, r.ox, r.oy, r.oz,
+                      (r.rx) - (r.ox) AS dx, (r.ry) - (r.oy) AS dy, (r.rz) - (r.oz) AS dz,
+                      t.* FROM rays r CROSS JOIN tris t),
+        e AS (SELECT *, (bx)-(ax) AS e1x, (by)-(ay) AS e1y, (bz)-(az) AS e1z,
+                     (tcx)-(ax) AS e2x, (tcy)-(ay) AS e2y, (tcz)-(az) AS e2z FROM rt),
+        pp AS (SELECT *, (dy)*(e2z) - (dz)*(e2y) AS px,
+                      (dz)*(e2x) - (dx)*(e2z) AS py,
+                      (dx)*(e2y) - (dy)*(e2x) AS pz FROM e),
+        dd AS (SELECT *, (e1x)*(px) + (e1y)*(py) + (e1z)*(pz) AS det,
+                      (ox)-(ax) AS tx, (oy)-(ay) AS ty, (oz)-(az) AS tz FROM pp),
+        uu AS (SELECT *, ((tx)*(px) + (ty)*(py) + (tz)*(pz)) * (1.0/(det)) AS u,
+                      (ty)*(e1z) - (tz)*(e1y) AS qx,
+                      (tz)*(e1x) - (tx)*(e1z) AS qy,
+                      (tx)*(e1y) - (ty)*(e1x) AS qz
+               FROM dd WHERE abs(det) >= 1e-12),
+        vv AS (SELECT *, ((dx)*(qx) + (dy)*(qy) + (dz)*(qz)) * (1.0/(det)) AS v,
+                      ((e2x)*(qx) + (e2y)*(qy) + (e2z)*(qz)) * (1.0/(det)) AS t
+               FROM uu WHERE u >= 0.0 AND u <= 1.0),
+        hit AS (SELECT file_name, group_idx, v_idx, min(t) AS bt
+                FROM vv WHERE v >= 0.0 AND (u)+(v) <= 1.0 AND t > 1e-9
+                GROUP BY 1, 2, 3)"""
+
+  /** Eps-oracle prologue (VERDICT r11 #3): the REAL grouping kernel's
+    * materialized output ([[GroupedDetectionsTable]]) as input, then the
+    * full downstream chain — bestPerGroup's exact window spelling
+    * (idxmax ⇒ score DESC, det_idx), pose join, stride-2 ring, pixel→ray
+    * trig — in SQL. Taking the kernel's labels as INPUT is the point:
+    * the greedy grouping is pinned by BBoxSpec/q88, and this verifies
+    * every VALUE computed after it over the real (not isolated) rows,
+    * which only ULP drift kept rows-only before.
+    */
+  private[queries] def raysFromGroupedCte(groupedPath: String): String = s"""
+    WITH g AS (SELECT file_name, det_idx, x1, y1, x2, y2, score, group_idx
+               FROM read_parquet('$groupedPath/*.parquet')),
+    best AS (SELECT file_name, group_idx, x1, y1, x2, y2 FROM (
+               SELECT g.*, row_number() OVER (PARTITION BY file_name, group_idx
+                 ORDER BY score DESC, det_idx) AS rn FROM g) WHERE rn = 1),
+    ${ringAndRaysCte("best")}"""
+
+  /** q82's eps oracle: ray ENDPOINTS over the real grouped corpus. */
+  private[queries] def bestRaysEpsSql(groupedPath: String): String = s"""
+    ${raysFromGroupedCte(groupedPath)}
+    SELECT file_name, group_idx, v_idx::INT AS v_idx,
+           round(rx, 6) AS rx, round(ry, 6) AS ry, round(rz, 6) AS rz
+    FROM rays ORDER BY file_name, group_idx, v_idx"""
+
+  /** q86's eps oracle: per-panorama first-hit aggregate over the real
+    * grouped corpus, differentially against the brute-force SQL
+    * Möller-Trumbore (the Spark side runs the broadcast BVH).
+    */
+  private[queries] def meshHitsEpsSql(groupedPath: String): String = s"""
+    ${raysFromGroupedCte(groupedPath)},
+    $mtHitCtes
+    SELECT r.file_name, count(*) AS n_rays, count(h.bt) AS n_hits,
+           round(avg((r.oz) + (h.bt)*((r.rz)-(r.oz))), 6) AS avg_hit_z
+    FROM rays r LEFT JOIN hit h
+      ON r.file_name = h.file_name AND r.group_idx = h.group_idx
+     AND r.v_idx = h.v_idx
+    GROUP BY r.file_name ORDER BY r.file_name"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Partial oracle for q80: the grouping kernel's standalone rule
@@ -233,30 +303,7 @@ object DomainOracles {
       Some(s"""
         $isoCte,
         ${ringAndRaysCte("iso")},
-        tris AS (SELECT * FROM (VALUES
-      $trisValues
-        ) t(ax, ay, az, bx, by, bz, tcx, tcy, tcz)),
-        rt AS (SELECT r.file_name, r.group_idx, r.v_idx, r.ox, r.oy, r.oz,
-                      (r.rx) - (r.ox) AS dx, (r.ry) - (r.oy) AS dy, (r.rz) - (r.oz) AS dz,
-                      t.* FROM rays r CROSS JOIN tris t),
-        e AS (SELECT *, (bx)-(ax) AS e1x, (by)-(ay) AS e1y, (bz)-(az) AS e1z,
-                     (tcx)-(ax) AS e2x, (tcy)-(ay) AS e2y, (tcz)-(az) AS e2z FROM rt),
-        pp AS (SELECT *, (dy)*(e2z) - (dz)*(e2y) AS px,
-                      (dz)*(e2x) - (dx)*(e2z) AS py,
-                      (dx)*(e2y) - (dy)*(e2x) AS pz FROM e),
-        dd AS (SELECT *, (e1x)*(px) + (e1y)*(py) + (e1z)*(pz) AS det,
-                      (ox)-(ax) AS tx, (oy)-(ay) AS ty, (oz)-(az) AS tz FROM pp),
-        uu AS (SELECT *, ((tx)*(px) + (ty)*(py) + (tz)*(pz)) * (1.0/(det)) AS u,
-                      (ty)*(e1z) - (tz)*(e1y) AS qx,
-                      (tz)*(e1x) - (tx)*(e1z) AS qy,
-                      (tx)*(e1y) - (ty)*(e1x) AS qz
-               FROM dd WHERE abs(det) >= 1e-12),
-        vv AS (SELECT *, ((dx)*(qx) + (dy)*(qy) + (dz)*(qz)) * (1.0/(det)) AS v,
-                      ((e2x)*(qx) + (e2y)*(qy) + (e2z)*(qz)) * (1.0/(det)) AS t
-               FROM uu WHERE u >= 0.0 AND u <= 1.0),
-        hit AS (SELECT file_name, group_idx, v_idx, min(t) AS bt
-                FROM vv WHERE v >= 0.0 AND (u)+(v) <= 1.0 AND t > 1e-9
-                GROUP BY 1, 2, 3)
+        $mtHitCtes
         SELECT r.file_name, r.group_idx, r.v_idx::INT AS v_idx,
                round((r.ox) + (h.bt)*((r.rx)-(r.ox)), 3) AS hit_x,
                round((r.oy) + (h.bt)*((r.ry)-(r.oy)), 3) AS hit_y,

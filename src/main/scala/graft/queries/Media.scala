@@ -42,6 +42,47 @@ object Media {
     * in which CODEC carries those pixels through the engine.
     */
   private def viewSumsSql(
+      outW: Int, outH: Int, fov: Double, thetas: Seq[Int], phi: Double): String =
+    s"""
+        ${viewPixCte(outW, outH, fov, thetas, phi)}
+        SELECT media_id, th::INT AS theta, sum(v)::BIGINT AS view_sum
+        FROM pix GROUP BY media_id, th ORDER BY media_id, theta"""
+
+  /** q87's eps-oracle mirror: the same per-pixel grid, folded through
+    * the view checksum's order-dependent rolling hash (row-major y,x —
+    * exactly Warp.perspectiveViews' byte order). No float tolerance
+    * exists for a checksum; the race is EXACT, and is sound because the
+    * pixel grid itself is proven exact by q75 (identical view geometry,
+    * integer pixel sums hash-green) — the only way this mirror can fail
+    * is a genuine half-pixel boundary landing, which would be a finding,
+    * not noise.
+    */
+  private def viewChecksumSql(
+      outW: Int, outH: Int, fov: Double, thetas: Seq[Int], phi: Double): String =
+    s"""
+        ${viewPixCte(outW, outH, fov, thetas, phi)},
+        ord AS (SELECT media_id, th, list(v ORDER BY y, x) AS vs
+                FROM pix GROUP BY media_id, th)
+        SELECT media_id, th::BIGINT AS theta,
+               list_reduce(list_prepend(0, vs),
+                           (acc, b) -> (acc * 33 + b) % 1000003) AS view_checksum
+        FROM ord ORDER BY media_id, theta"""
+
+  private def viewPixCte(
+      outW: Int, outH: Int, fov: Double, thetas: Seq[Int], phi: Double): String =
+    s"""
+        ${viewSrcCte(outW, outH, fov, thetas, phi)},
+        pix AS (SELECT media_id, th, x, y,
+                       (media_id * 31 + (floor(sx + 0.5)::BIGINT % 128) * 7 +
+                        least(63, greatest(0, floor(sy + 0.5)::BIGINT)) * 13) % 256 AS v
+                FROM src)"""
+
+  /** Shared warp-geometry CTE chain, ending at `src` (per output pixel:
+    * source coordinates sx, sy on the 128×64 panorama) — the channel
+    * formulas differ between the gray family and the color-JPEG eps
+    * oracle, the geometry never does.
+    */
+  private def viewSrcCte(
       outW: Int, outH: Int, fov: Double, thetas: Seq[Int], phi: Double): String = {
     val (_, kInv) = Projection.calibMatrix(outW, outH, fov)
     def l(d: Double) = s"($d)"
@@ -68,14 +109,27 @@ object Media {
         src AS (SELECT media_id, th, x, y,
                        (atan2(wx/n, wz/n) / (2.0*pi()) + 0.5) * 127.0 AS sx,
                        (asin(wy/n) / pi() + 0.5) * 63.0 AS sy
-                FROM ll),
-        pix AS (SELECT media_id, th,
-                       (media_id * 31 + (floor(sx + 0.5)::BIGINT % 128) * 7 +
-                        least(63, greatest(0, floor(sy + 0.5)::BIGINT)) * 13) % 256 AS v
-                FROM src)
-        SELECT media_id, th::INT AS theta, sum(v)::BIGINT AS view_sum
-        FROM pix GROUP BY media_id, th ORDER BY media_id, theta"""
+                FROM ll)"""
   }
+
+  /** q106's eps oracle: per-view per-channel sums of the closed-form
+    * ramps over the SAME warp geometry — what the JPEG round trip must
+    * land within outW·outH·[[Warp.ColorJpegPixelTolerance]] of.
+    * Channel formulas mirror Warp.colorPixel exactly (integer //).
+    */
+  private def colorViewSumsEpsSql(
+      outW: Int, outH: Int, fov: Double, thetas: Seq[Int], phi: Double): String =
+    s"""
+        ${viewSrcCte(outW, outH, fov, thetas, phi)},
+        pix AS (SELECT media_id, th,
+                       (media_id * 37 % 97) + ((floor(sx + 0.5)::BIGINT % 128) * 100) // 127 AS vr,
+                       (media_id * 53 % 97) + (least(63, greatest(0, floor(sy + 0.5)::BIGINT)) * 100) // 63 AS vg,
+                       (media_id * 71 % 97) + (((floor(sx + 0.5)::BIGINT % 128) +
+                          least(63, greatest(0, floor(sy + 0.5)::BIGINT))) * 100) // 190 AS vb
+                FROM src)
+        SELECT media_id, th::INT AS theta,
+               sum(vr)::BIGINT AS sum_r, sum(vg)::BIGINT AS sum_g, sum(vb)::BIGINT AS sum_b
+        FROM pix GROUP BY media_id, th ORDER BY media_id, theta"""
 
   val all: Seq[QueryDef] = Seq(
 
@@ -125,7 +179,14 @@ object Media {
       "equirect-to-perspective warp sums millions of trig-placed pixels; libm ULP " +
         "drift vs DuckDB flips half-pixel rounding and the checksum hash; geometry " +
         "golden-pinned by WarpSpec and the oracled companion q75 runs the same " +
-        "warpView kernel with inlined full-precision view constants"))(
+        "warpView kernel with inlined full-precision view constants; full-corpus " +
+        "VALUE verification via the declared eps oracle (eps_oracle_sql.json)"),
+      epsOracle = Some(EpsOracle(
+        _ => Some(viewChecksumSql(48, 48, 60, Seq(0, 90, 180, 270), -10)),
+        atol = Map.empty,
+        note = "every view's rolling pixel checksum raced EXACTLY against the " +
+          "analytic mirror (see viewChecksumSql: soundness rides on q75's " +
+          "hash-green pixel sums over the identical view geometry)")))(
       (spark, dir) => {
       graft.multimodal.Warp
         .perspectiveViews(panoramas(spark, dir), 60, Seq(0, 90, 180, 270), -10, 48, 48)
@@ -180,6 +241,45 @@ object Media {
       Warp.perspectiveViews(imgs, 100, Seq(45, 225), 5, 32, 32,
           Warp.imageIoPixelDecoder)
         .select(col("media_id"), col("theta"), viewSum(col("view")).as("view_sum"))
+        .orderBy(col("media_id"), col("theta"))
+    }),
+
+    // ── S6/S7/M13 through a REAL lossy COLOR codec (VERDICT r11 #4):
+    // each panorama is three smooth integer ramps encoded as an actual
+    // color JPEG (stock-JDK writer, quality 0.95), decoded back through
+    // the production 3-channel decode seam, and warped per channel by
+    // the same warpView kernel (the reference warps all BGR planes —
+    // Equirec2Perspec.py:87-91). DCT loss makes an exact oracle
+    // impossible BY DESIGN, so this is the eps machinery's flagship:
+    // the analytic closed-form sums bound the decoded sums within
+    // outW·outH·ColorJpegPixelTolerance, with the per-pixel tolerance
+    // itself measured and pinned by WarpCodecSpec. Distinct geometry
+    // again (fov 75, θ∈{30,210}, φ=0, 24×24). Scale shape: the same
+    // zero-shuffle map fan-out as q87/q104.
+    QueryDef("q106_color_jpeg_views", None, noOracleReason = Some(
+      "JPEG DCT loss is encoder-specific: no engine-independent exact form of the " +
+        "decoded raster exists, so a hash oracle is impossible by design; the codec " +
+        "error is bounded (WarpCodecSpec pins per-pixel round-trip error under " +
+        "Warp.ColorJpegPixelTolerance) and the declared eps oracle value-races every " +
+        "view's channel sums against the analytic closed form under the derived " +
+        "tolerance (eps_oracle_sql.json)"),
+      epsOracle = Some(EpsOracle(
+        _ => Some(colorViewSumsEpsSql(24, 24, 75, Seq(30, 210), 0)),
+        atol = {
+          val t = (24 * 24 * Warp.ColorJpegPixelTolerance).toDouble
+          Map("sum_r" -> t, "sum_g" -> t, "sum_b" -> t)
+        },
+        note = "real color-JPEG encode→decode→warp raced against the closed-form " +
+          "channel ramps: per-view channel sums within 24·24·" +
+          s"${Warp.ColorJpegPixelTolerance} (pixel count × the WarpCodecSpec-pinned " +
+          "per-pixel DCT bound); keys and row counts compare exactly")))(
+      (spark, dir) => {
+      val toJpeg = udf((id: Long) => Warp.encodeColorJpeg(id, 128, 64))
+      val imgs = graft.sources.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long").as("media_id"))
+        .withColumn("bytes", toJpeg(col("media_id")))
+      Warp.colorPerspectiveSums(imgs, 75, Seq(30, 210), 0, 24, 24)
         .orderBy(col("media_id"), col("theta"))
     }),
 

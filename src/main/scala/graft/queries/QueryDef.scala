@@ -25,11 +25,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                 MUST match the oracle's exactly — the driver sorts
   *                 columns by name before hashing values.
   */
+/** A TOLERANCED value oracle for a rows-only query (VERDICT r11 #3):
+  * DuckDB SQL whose sorted rows must match the query's dumped parquet
+  * under per-column absolute tolerances — the verification a float-hash
+  * exclusion can still carry when its ONLY obstacle is libm/ULP drift.
+  * Columns absent from `atol` compare exactly.
+  *
+  * @param sql  sfDir → ANSI SQL. A function, not a literal, because an
+  *             eps oracle may read a Spark-MATERIALIZED input table
+  *             (e.g. the greedy-grouping kernel output) via
+  *             read_parquet(<fingerprinted path>) — taking the pinned
+  *             kernel's output as INPUT and value-verifying everything
+  *             downstream of it. Returns None when that table is
+  *             unavailable (degrades to rows-only, never to a false
+  *             failure).
+  * @param atol per-column absolute tolerance. For a column both sides
+  *             round(·, d), atol ≈ 1.1·10⁻ᵈ absorbs the one-bin rounding
+  *             flip ULP drift can cause while still pinning d digits.
+  * @param note what the eps race verifies / what it takes as input.
+  */
+final case class EpsOracle(
+    sql: String => Option[String],
+    atol: Map[String, Double],
+    note: String)
+
 final case class QueryDef(
     name: String,
     oracle: Option[String],
     releases: Seq[String] = Nil,
-    noOracleReason: Option[String] = None)(
+    noOracleReason: Option[String] = None,
+    epsOracle: Option[EpsOracle] = None)(
     val build: (SparkSession, String) => DataFrame)
 
 /** The held-out eval-suite membership rule shared by every

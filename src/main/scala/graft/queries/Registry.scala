@@ -18,6 +18,12 @@ object Registry {
     val bad = qs.filter(q => q.oracle.isDefined == q.noOracleReason.isDefined)
     require(bad.isEmpty,
       s"queries must declare oracle XOR noOracleReason: ${bad.map(_.name).mkString(",")}")
+    // An eps oracle supplements a declared exclusion (toleranced value
+    // verification for float-hash-poisoned queries); on an exactly-
+    // oracled query it would be dead machinery.
+    val badEps = qs.filter(q => q.epsOracle.isDefined && q.noOracleReason.isEmpty)
+    require(badEps.isEmpty,
+      s"epsOracle requires a rows-only query: ${badEps.map(_.name).mkString(",")}")
     qs
   }
 

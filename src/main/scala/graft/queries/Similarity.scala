@@ -68,19 +68,42 @@ object Similarity {
       e.withColumn("sig", VF.srpSignature(col("embedding"), 64, dim))
     }
 
-  /** The corpus-size cutoff between q53's two LSH operating points
-    * (mirrored verbatim in the oracle's CASE): below it, match-ANY-band
-    * (recall-first — this corpus's near-dups sit at cos ≈ 0.45, a
-    * weak-similarity regime where tight banding finds nothing, and at
-    * bounded n the looser candidate volume is bounded by construction);
-    * at or above it, match-≥2-bands via 16-bit band-PAIR keys
-    * (pruning-first — the production dedup regimes are high-similarity,
-    * where two-band recall is strong, and candidate enumeration must
-    * not grow as n²/bucket_count).
+  /** The cutoff between q53's two LSH operating points (mirrored
+    * verbatim in the oracle's CASE): expected any-band-enumerated
+    * candidate rows PER VECTOR above which the recall-first any-band
+    * arm (this corpus's near-dups sit at cos ≈ 0.45, a weak-similarity
+    * regime where tight banding finds nothing) yields to the
+    * pruning-first ≥2-of-8 band-PAIR arm (the production dedup regime,
+    * where candidate enumeration must not grow as n²/bucket_count).
+    *
+    * The decision input is MEASURED band-bucket occupancy —
+    * Σ d·(d−1)/2 over the 8×256 any-band buckets, exactly the rows the
+    * any-band join would enumerate — not corpus row count (VERDICT r11
+    * #5): a clustered corpus that concentrates buckets flips to the
+    * pruning arm at the size where enumeration actually blows up, and
+    * a high-entropy corpus keeps the recall arm longer, instead of
+    * both obeying a magic 50k-row constant. At this corpus's entropy
+    * the flip lands near the old row-count cutoff: sf0.1 (20k vectors)
+    * measures ~7.4e2 enumerations/vector — any-band; the sf10
+    * rehearsal corpus (200k) measures ~6.9e3 — pair-key.
     */
-  private[queries] val srpPairCutoff = 50000L
+  private[queries] val srpEnumBudget = 2048L
 
-  /** LSH candidate pairs at the [[srpPairCutoff]]-selected operating
+  /** Measured any-band occupancy: (enumerated candidate rows, vectors).
+    * One cheap aggregate over the 8×n band rows of the cached signature
+    * relation — the same relation both arms explode anyway.
+    */
+  private[queries] def srpEnumStats(sigs: DataFrame): (Long, Long) = {
+    val r = sigs
+      .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 8, 8)).as("bk"))
+      .groupBy(col("bk.band"), col("bk.key")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("enum2"),
+        coalesce(sum(col("d")), lit(0L)).as("rows8"))
+      .head()
+    (r.getLong(0) / 2, r.getLong(1) / 8)
+  }
+
+  /** LSH candidate pairs at the [[srpEnumBudget]]-selected operating
     * point. The large-corpus arm spells "≥ 2 of 8 bands match" as an
     * equi-join on band PAIRS: two bands match ⇔ their combined-mask key
     * matches, so joining on the C(8,2)=28 pair keys and deduping gives
@@ -99,7 +122,8 @@ object Similarity {
   private[queries] def srpCandidates(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val sigs = srpSignatures(spark, dir)
-    if (sigs.count() < srpPairCutoff) srpCandidatesAnyBand(sigs)
+    val (enumRows, n) = srpEnumStats(sigs)
+    if (enumRows <= srpEnumBudget * n) srpCandidatesAnyBand(sigs)
     else srpCandidatesPairKey(sigs)
   }
 
@@ -123,7 +147,7 @@ object Similarity {
   /** Large-corpus arm: "≥ 2 of 8 bands match" via C(8,2)=28 band-PAIR
     * keys — SrpLshSpec pins set-equality to the declarative per-band
     * join + count ≥ 2 spelling on the gate corpus, since no gate SF
-    * crosses [[srpPairCutoff]] to run this arm in a declared query.
+    * crosses [[srpEnumBudget]] to run this arm in a declared query.
     */
   private[queries] def srpCandidatesPairKey(sigs: DataFrame): DataFrame = {
     def mask(b: Int): Long = ((1L << 8) - 1) << (b * 8)
@@ -438,8 +462,8 @@ object Similarity {
     // kernel call, DECORRELATED planes — see srpPlane's r11 note: the
     // old affine plane family's correlated bits collapsed signature
     // entropy and blew the sf10 candidate join), 8 bands × 8 bits at a
-    // corpus-size-selected operating point (srpPairCutoff, oracle CASE):
-    // any-band below the cutoff, ≥2-of-8 via 16-bit pair keys above it.
+    // measured-occupancy-selected operating point (srpEnumBudget, oracle
+    // CASE): any-band below the enumeration budget, ≥2-of-8 via 16-bit pair keys above it.
     //
     // The testdata's "near-dups" sit at cos ≈ 0.45–0.51 — a weak-
     // similarity regime where every LSH family trades recall against
@@ -467,8 +491,11 @@ object Similarity {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
           GROUP BY 1, 2
-          HAVING count(*) >= (CASE WHEN (SELECT count(*) FROM n) < $srpPairCutoff
-                              THEN 1 ELSE 2 END))
+          HAVING count(*) >= (CASE WHEN
+                (SELECT coalesce(sum(d*(d-1)//2), 0)
+                 FROM (SELECT count(*) AS d FROM bands GROUP BY band, key))
+                <= $srpEnumBudget * (SELECT count(*) FROM n)
+              THEN 1 ELSE 2 END))
         SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
         FROM cand c
         JOIN sig sa ON sa.vec_id = c.a_id

@@ -597,7 +597,14 @@ object TextAnalysis {
       val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("w").desc, col("term"))
-      tf.join(broadcast(df), "term")
+      // No broadcast hint on the doc-frequency relation: its cardinality
+      // is the corpus VOCABULARY — unbounded in corpus size — so a forced
+      // broadcast OOMs the driver at 100 TB where a plain equi-join
+      // degrades gracefully (AQE still upgrades to broadcast when the
+      // vocabulary actually fits). Both sides are term-keyed aggregates
+      // of the same explode, so the unhinted join reuses the partitioning
+      // Catalyst picks for them. nDocs stays hinted: one row, structural.
+      tf.join(df, "term")
         .join(broadcast(nDocs))
         .withColumn("w", round(col("tf") * log(col("n_docs") / col("df")), 6))
         .withColumn("rn", row_number().over(w))

@@ -128,6 +128,26 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(line2.contains("boom-message"))
   }
 
+  test("cache builds attribute to the paying query; zero bills leave the line unchanged") {
+    // VERDICT r11 #7: cache_build_ms separates one-time SessionCache
+    // construction from kernel time in the artifact.
+    val runs = Seq(Bench.QueryRun("zz_a", 1.0, None, 1234L), Bench.QueryRun("zz_b", 2.0, None))
+    val line = Bench.renderJson(runs, "/x", 1, Some((1L, 2L, 3L)))
+    assert(line.contains(""""cache_build_ms_total":1234"""), line)
+    assert(line.contains(""""cache_build_ms":{"zz_a":1234}"""), line)
+    // Zero builds: byte-identical to the pre-r12 sweep_stats shape.
+    val zero = Bench.renderJson(runs.map(_.copy(cacheBuildMs = 0L)), "/x", 1, Some((1L, 2L, 3L)))
+    assert(!zero.contains("cache_build_ms"), zero)
+    // The merge pairs the CHOSEN run's own build bill with its time —
+    // never sweep 1's bill against sweep 2's warm kernel time.
+    val merged = Bench.mergeSweeps(Seq(
+      Seq(Bench.QueryRun("q", 5.0, None, 1000L)),
+      Seq(Bench.QueryRun("q", 1.0, None, 0L))))
+    assert(merged.head.seconds == 1.0 && merged.head.cacheBuildMs == 0L)
+    // Detail line always carries the full-name map.
+    assert(Bench.renderDetailJson(runs, "/x").contains(""""cache_build_ms":{"zz_a":1234}"""))
+  }
+
   test("best-of-N merge takes per-query minima and never launders a flaky failure") {
     def run(n: String, s: Double, e: Option[String]) = Bench.QueryRun(n, s, e)
     val merged = Bench.mergeSweeps(Seq(

@@ -119,6 +119,50 @@ class WarpCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("color JPEG round trip stays under ColorJpegPixelTolerance per pixel (the q106 bound)") {
+    // q106's eps-oracle atol is outW·outH·ColorJpegPixelTolerance — this
+    // measurement is what makes that a DERIVED bound, not a magic
+    // number: the smooth-ramp family at quality 0.95 must round-trip
+    // within the pinned per-pixel error on every channel, across ids.
+    val w = 128; val h = 64
+    var worst = 0
+    for (id <- Seq(0L, 7L, 990L, 123457L)) {
+      val Some((r, g, b, dw, dh)) = Warp.decodeColorRgb(Warp.encodeColorJpeg(id, w, h))
+      assert((dw, dh) == ((w, h)))
+      val chans = Seq((r, 0), (g, 1), (b, 2))
+      for ((chan, c) <- chans; y <- 0 until h; x <- 0 until w) {
+        val d = math.abs((chan(y * w + x) & 0xff) - Warp.colorPixel(id, x, y, c, w, h))
+        if (d > worst) worst = d
+      }
+    }
+    info(s"measured max per-pixel color round-trip error: $worst")
+    assert(worst <= Warp.ColorJpegPixelTolerance,
+      s"codec drifted past the pinned bound: $worst > ${Warp.ColorJpegPixelTolerance}")
+    assert(worst > 0, "JPEG is lossy — a zero error means the measurement is vacuous")
+  }
+
+  test("colorPerspectiveSums: undecodable rows drop; sums match a direct per-channel warp") {
+    val jpeg = Warp.encodeColorJpeg(5L, 64, 32)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(5L, jpeg),
+      org.apache.spark.sql.Row(6L, Array[Byte](1, 2, 3)),
+      org.apache.spark.sql.Row(7L, null))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("bytes", BinaryType, nullable = true)))
+    val df = spark.createDataFrame(rows, schema)
+    val out = Warp.colorPerspectiveSums(df, 75.0, Seq(30, 210), 0.0, 12, 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).distinct.toSeq == Seq(5L))
+    assert(out.map(_._2).sorted.toSeq == Seq(30, 210))
+    val Some((r, g, b, w, h)) = Warp.decodeColorRgb(jpeg)
+    def s(a: Array[Byte]): Long = a.foldLeft(0L)((acc, v) => acc + (v & 0xff))
+    for ((_, theta, sr, sg, sb) <- out) {
+      assert(sr == s(Warp.warpView(r, w, h, 75.0, theta, 0.0, 12, 12)))
+      assert(sg == s(Warp.warpView(g, w, h, 75.0, theta, 0.0, 12, 12)))
+      assert(sb == s(Warp.warpView(b, w, h, 75.0, theta, 0.0, 12, 12)))
+    }
+  }
+
   test("imageIo decoder rejects FakeCodec bytes and corrupt input as None") {
     assert(Warp.imageIoPixelDecoder(Warp.encodeImage(3L, 8, 8)).isEmpty)
     assert(Warp.imageIoPixelDecoder(null).isEmpty)

@@ -295,6 +295,30 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("least(greatest(0.0"), "no expanded theta-overlap tree")
   }
 
+  test("q35: vocabulary join carries no forced broadcast hint") {
+    // The doc-frequency relation's cardinality is the corpus VOCABULARY —
+    // unbounded in corpus size — so a broadcast() hint there would force
+    // a driver OOM at 100 TB where an unhinted join degrades gracefully
+    // (VERDICT r11 #2; same class as the Generate-broadcast bug). Only
+    // the 1-row n_docs cross join may carry a hint.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+    def forcedBroadcastEquiJoins(df: DataFrame): Seq[Join] =
+      df.queryExecution.optimizedPlan.collectWithSubqueries {
+        case j: Join if j.condition.isDefined &&
+            Seq(j.hint.leftHint, j.hint.rightHint).flatten
+              .exists(_.strategy.contains(BROADCAST)) => j
+      }
+    val df = graft.SparkEntry.queries("q35_tfidf_top")(spark, dir)
+    val bad = forcedBroadcastEquiJoins(df)
+    assert(bad.isEmpty, s"vocabulary-sized side must not be hint-broadcast:\n${bad.headOption}")
+    // Positive control: the same traversal must flag a known forced
+    // broadcast equi-join, or the guard is vacuous.
+    val control = spark.range(100).toDF("id")
+      .join(org.apache.spark.sql.functions.broadcast(spark.range(10).toDF("id")), "id")
+    assert(forcedBroadcastEquiJoins(control).nonEmpty,
+      "traversal failed to flag a known broadcast hint — guard is vacuous")
+  }
+
   test("binaryFile projection without content prunes the bytes") {
     val df = graft.sources.DetectionReaders
       .binaryImages(spark, "/root/repo/src/test/resources/fixtures")

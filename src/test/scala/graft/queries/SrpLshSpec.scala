@@ -40,10 +40,11 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("pair-key arm ≡ declarative '≥2 of 8 bands' on the gate corpus") {
-    // The large-corpus arm only runs past srpPairCutoff (50k vectors),
-    // which no gate SF reaches — so its equivalence claim ("joining on
-    // C(8,2) combined-mask keys = per-band join + HAVING count ≥ 2")
-    // is pinned HERE, on the real sf0.01 signatures, by set equality.
+    // The large-corpus arm only runs past the srpEnumBudget occupancy
+    // flip, which no gate SF reaches — so its equivalence claim
+    // ("joining on C(8,2) combined-mask keys = per-band join + HAVING
+    // count ≥ 2") is pinned HERE, on the real sf0.01 signatures, by set
+    // equality.
     val sigs = Similarity.srpSignatures(spark, dir)
     val viaPairKeys = Similarity.srpCandidatesPairKey(sigs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -61,6 +62,30 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(declarative.nonEmpty, "the ≥2-band set must be non-trivial on this corpus")
     assert(viaPairKeys == declarative,
       s"pair-key arm diverged: only-pairkey=${viaPairKeys -- declarative} only-declarative=${declarative -- viaPairKeys}")
+  }
+
+  test("arm selection derives from measured bucket occupancy, not row count") {
+    // Gate corpus: low occupancy ⇒ the recall-first any-band arm.
+    val sigs = Similarity.srpSignatures(spark, dir)
+    val (enumRows, n) = Similarity.srpEnumStats(sigs)
+    info(s"sf0.01: enumRows=$enumRows n=$n perVector=${enumRows.toDouble / n}")
+    assert(n > 0 && enumRows <= Similarity.srpEnumBudget * n,
+      "gate corpus must stay on the any-band arm")
+    // A bucket-CONCENTRATED corpus of the same modest row count must
+    // flip to the pruning arm: 600 identical signatures put all 8 bands
+    // in one bucket each ⇒ 8·600·599/2 ≈ 2.9e3 enumerations/vector,
+    // past the 2048 budget — the case the old 50k row-count constant
+    // got wrong by two orders of magnitude.
+    val s = spark; import s.implicits._
+    val dense = (0L until 600L).map(i => (i, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), graft.functions.VectorFunctions
+        .srpSignature(col("embedding"), 64, 64).as("sig"))
+    val (denseEnum, denseN) = Similarity.srpEnumStats(dense)
+    assert(denseN == 600 && denseEnum > Similarity.srpEnumBudget * denseN,
+      s"concentrated corpus must flip to the pair-key arm: $denseEnum vs ${Similarity.srpEnumBudget * denseN}")
+    // Empty relation: defined decision (any-band), no div-by-zero.
+    val (e0, n0) = Similarity.srpEnumStats(dense.limit(0))
+    assert(e0 == 0 && n0 == 0)
   }
 
   test("q53 output is a subset of brute-force q44 at the same threshold") {

@@ -115,6 +115,71 @@ def main(sf_dir: str, out_dir: str, skip: set = frozenset()) -> int:
             print(f"OK {name:28s} rows={len(got):7d} cols={len(got.columns)}")
         else:
             failures += 1
+    # Toleranced eps oracles (VERDICT r11 #3): rows-only queries whose
+    # exclusion cites only float/ULP drift carry a declared eps oracle —
+    # sorted-row VALUE compare with per-column absolute tolerance
+    # (columns absent from atol compare exactly). An eps failure is a
+    # real failure: the oracle is declared machinery, not advisory.
+    eps_path = f"{out_dir}/eps_oracle_sql.json"
+    eps_oracles = json.load(open(eps_path)) if os.path.exists(eps_path) else {}
+    import numpy as np
+
+    def canon_eps(df, atol):
+        # Row order must come from the EXACT (key) columns alone: sorting
+        # by a toleranced float column could misalign rows whose values
+        # differ sub-epsilon between engines.
+        df = df.reindex(sorted(df.columns), axis=1)
+        keys = [c for c in df.columns if c not in atol]
+        if len(df) and keys:
+            df = df.sort_values(by=keys, kind="mergesort")
+        return df.reset_index(drop=True)
+
+    for name, spec in sorted(eps_oracles.items()):
+        qdir = f"{out_dir}/{name}"
+        if not os.path.isdir(qdir):
+            continue  # missing dump already failed above
+        atol = spec.get("atol", {})
+        got = canon_eps(con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf(), atol)
+        try:
+            want = canon_eps(con.execute(spec["sql"]).fetchdf(), atol)
+        except Exception as e:
+            print(f"!! {name:28s} EPS ORACLE SQL ERROR: {str(e)[:200]}")
+            failures += 1
+            continue
+        ok = True
+        if list(got.columns) != list(want.columns):
+            print(f"!! {name:28s} EPS SCHEMA: got {list(got.columns)} want {list(want.columns)}")
+            ok = False
+        elif len(got) != len(want):
+            print(f"!! {name:28s} EPS ROWS: got {len(got)} want {len(want)}")
+            ok = False
+        else:
+            for c in got.columns:
+                g, w = got[c], want[c]
+                try:
+                    if c in atol:
+                        close = np.allclose(g.astype(float).fillna(-9e99),
+                                            w.astype(float).fillna(-9e99),
+                                            rtol=0, atol=float(atol[c]), equal_nan=True)
+                        if not close:
+                            gg, ww = g.astype(float), w.astype(float)
+                            print(f"!! {name:28s} EPS COL {c}: max abs diff {(gg - ww).abs().max()}"
+                                  f" > atol {atol[c]}")
+                            ok = False
+                    elif not g.astype(str).equals(w.astype(str)):
+                        bad = (g.astype(str) != w.astype(str))
+                        i = bad.idxmax()
+                        print(f"!! {name:28s} EPS COL {c}: first diff row {i}: got {g[i]!r} want {w[i]!r}")
+                        ok = False
+                except Exception as e:
+                    print(f"!! {name:28s} EPS COL {c}: compare error {e}")
+                    ok = False
+        if ok:
+            print(f"OK {name:28s} rows={len(got):7d} values_match_eps=true "
+                  f"(atol {atol if atol else 'exact'})")
+        else:
+            failures += 1
+
     # Inverse of the dropped-oracle check (ADVICE r10): a DECLARED query
     # (oracled or excluded) whose Verify output dir is missing means the
     # dump died or the query was silently skipped — fail it, don't let
