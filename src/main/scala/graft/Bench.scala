@@ -122,7 +122,7 @@ object Bench {
     * must fit inside that or `parsed` comes back null (ADVICE r9 #1 —
     * the failure mode of rounds 1–9).
     */
-  private[graft] val ContractLineBudget = 1900
+  private[graft] val ContractLineBudget = 1850
 
   /** The driver-contract JSON line, plus an `errors` object (empty on a
     * clean sweep) so a throwing query is visibly reported instead of
@@ -170,28 +170,34 @@ object Bench {
     val sk = if (skipped.isEmpty) ""
       else s""","skipped":[${skipped.toSeq.sorted.map(Jsons.quote).mkString(",")}]"""
     val total = results.map(_.seconds).sum
-    val qs = renderMaps(results, key, fmt(_, 3), 0, 0)._1
-    def line(errs: String, cb: String) =
+    def qsAt(dec: Int) = renderMaps(results, key, fmt(_, dec), 0, 0)._1
+    def line(qs: String, errs: String, cb: String) =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk,"sf":${Jsons.quote(sfDir)}}"""
     val failed = results.collect { case QueryRun(n, _, Some(m), _) => (n, m) }
+    // Degrade order: error detail first (a failure round is when the
+    // artifact matters most), then the cache-build map, then per-query
+    // seconds from 3 to 2 decimals (worst case: every query at 4-digit
+    // seconds — one char per query is what puts a 107-query line back
+    // under the tail budget; full precision is on the detail line).
     val attempts = Iterator(
-      (cbDetailed, renderMaps(results, key, fmt(_, 3), 120, failed.size)._2),
-      (cbDetailed, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
-      (cbCompact, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
+      (3, cbDetailed, renderMaps(results, key, fmt(_, 3), 120, failed.size)._2),
+      (3, cbDetailed, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
+      (3, cbCompact, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
+      (2, cbCompact, renderMaps(results, key, fmt(_, 2), 40, failed.size)._2),
       // First 5 errors + a "_truncated" count (ADVICE r10: this step
       // makes renderMaps' overflow marker reachable) before degrading
       // to counts only.
-      (cbCompact, renderMaps(results, key, fmt(_, 3), 40, 5)._2),
-      (cbCompact, s"""{"_n":${failed.size}${
+      (2, cbCompact, renderMaps(results, key, fmt(_, 2), 40, 5)._2),
+      (2, cbCompact, s"""{"_n":${failed.size}${
         failed.headOption.map { case (n, m) =>
           s""","_first":${Jsons.quote(s"${key(n)}: ${m.take(40)}")}"""
         }.getOrElse("")
       }}"""))
-    attempts.map { case (cb, errs) => line(errs, cb) }
+    attempts.map { case (dec, cb, errs) => line(qsAt(dec), errs, cb) }
       .find(_.length <= ContractLineBudget)
       // Last resort (pathological name lengths): emit anyway — a long
       // line beats no line.
-      .getOrElse(line(s"""{"_n":${failed.size}}""", cbCompact))
+      .getOrElse(line(qsAt(2), s"""{"_n":${failed.size}}""", cbCompact))
   }
 
   /** Full-name, full-precision record printed BEFORE the contract line.

@@ -82,10 +82,14 @@ object Similarity {
     * #5): a clustered corpus that concentrates buckets flips to the
     * pruning arm at the size where enumeration actually blows up, and
     * a high-entropy corpus keeps the recall arm longer, instead of
-    * both obeying a magic 50k-row constant. At this corpus's entropy
-    * the flip lands near the old row-count cutoff: sf0.1 (20k vectors)
-    * measures ~7.4e2 enumerations/vector — any-band; the sf10
-    * rehearsal corpus (200k) measures ~6.9e3 — pair-key.
+    * both obeying a magic 50k-row constant. Measured on this corpus
+    * family (r12): 9.0/vector at sf0.01, 36.4 at sf0.1, 367 at sf1 —
+    * all any-band, growing ≈ n/256 as the uniform model predicts — so
+    * the flip lands between sf1 and the sf10 rehearsal corpus (~3.7e3
+    * extrapolated, where the r11 rehearsal showed the any-band join
+    * must not run): every decision the old row-count cutoff made at a
+    * rehearsed SF is preserved, and a corpus with different bucket
+    * entropy now flips where ITS enumeration blows up.
     */
   private[queries] val srpEnumBudget = 2048L
 

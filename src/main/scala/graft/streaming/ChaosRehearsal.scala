@@ -1,0 +1,268 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Streaming CHAOS rehearsal (VERDICT r11 #6): the RocksDB sessionizer
+  * and the near-dup ingest state machine driven over a REAL file-backed
+  * stream at rehearsal scale, with a mid-run `kill -9` of the whole JVM
+  * between the `victim` and `resume` phases. The restart specs prove the
+  * semantics at fixture scale inside one JVM; this main proves them
+  * across a hard process death at sf1+ — checkpoint offsets, RocksDB
+  * state, and SegmentStore segments all rehydrated by a NEW process.
+  *
+  * Phases (driven by tools/chaos.sh; each phase is its own JVM):
+  *   prep   <sfDir> <workDir> — time-sorted event chunks (plus one
+  *          far-future flush event so every real session can close) and
+  *          doc_id-sorted odd-id document chunks under workDir, strictly
+  *          increasing mtimes so FileStreamSource's mod-time ordering
+  *          replays them in the intended order. Even-id docs are the
+  *          fixed dedup corpus (read straight from sfDir at run time).
+  *   victim <sfDir> <workDir> — run both streams to completion… unless
+  *          killed first (the harness sends SIGKILL mid-batch). Output
+  *          goes through exactly-once shapes only: per-batch overwrite
+  *          parquet for sessions, SegmentStore idempotent commits for
+  *          the deduper.
+  *   resume <sfDir> <workDir> — same queries, same checkpoints, fresh
+  *          JVM: runs to completion, then VALIDATES (exit 1 on any
+  *          failure): session output == the batch sessionize kernel
+  *          (set equality, no duplicates — exactly-once across the
+  *          kill), deduper accepted set == an independent sequential
+  *          re-run of the same per-file batches against fresh state,
+  *          and the SegmentStore dir holds zero torn/tmp segments.
+  */
+object ChaosRehearsal {
+
+  private val FlushUser = 999999999L
+  private val EventChunks = 16
+  private val DocChunks = 12
+  private val Gap = 6 * 3600 * 1000L
+  private val NdThreshold = 0.5
+
+  private val eventSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  def main(args: Array[String]): Unit = {
+    val Array(phase, sfDir, workDir) = args.take(3)
+    // The victim publishes its own pid FIRST: the harness must kill THIS
+    // JVM, not sbt's launcher (whose cmdline also carries the runMain
+    // string — killing it by pattern leaves the app JVM running as an
+    // orphan that races the resume phase over the state dir).
+    if (phase == "victim")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(workDir, "victim.pid"),
+        ProcessHandle.current().pid().toString)
+    val spark = graft.Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    phase match {
+      case "prep" => prep(spark, sfDir, workDir)
+      case "victim" | "resume" => run(spark, sfDir, workDir, validate = phase == "resume")
+      case other => sys.error(s"unknown phase $other")
+    }
+    spark.stop()
+  }
+
+  /** Write `df` as exactly one parquet file named `outFile`, stamping
+    * `mtime` — FileStreamSource orders discovered files by modification
+    * time, and the rehearsal's replay-order claims need that order
+    * deterministic.
+    */
+  private def writeChunk(df: DataFrame, workDir: String, outFile: String, mtime: Long): Unit = {
+    val tmp = s"$workDir/tmp_chunk"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file in $tmp"))
+    val dst = java.nio.file.Paths.get(outFile)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(outFile).setLastModified(mtime)
+    graft.Fs.rmTree(new java.io.File(tmp))
+  }
+
+  private def prep(spark: SparkSession, sfDir: String, workDir: String): Unit = {
+    graft.Fs.rmTree(new java.io.File(workDir))
+    new java.io.File(workDir).mkdirs()
+    val base = System.currentTimeMillis() - 3600 * 1000L
+    // Events: global time order, then contiguous row ranges per chunk —
+    // a chunk processed in mtime order never carries an event older
+    // than the watermark the previous chunk advanced to.
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"),
+        // Normalize NTZ parquet annotations to plain TIMESTAMP so the
+        // streaming read schema and the Event encoder line up.
+        col("ts").cast("timestamp").as("ts"), col("value").cast("double"))
+    val n = ev.count()
+    val sz = math.max(1L, (n + EventChunks - 1) / EventChunks)
+    val ranked = ev.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("user_id"), col("value"))) - 1)
+    ranked.persist()
+    // unix_millis, not getTimestamp: Spark 4's java8 datetime API hands
+    // back LocalDateTime in Row getters.
+    val maxTsMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    assert(maxTsMs > 0)
+    (0 until EventChunks).foreach { k =>
+      writeChunk(
+        ranked.filter(col("rn") >= k * sz && col("rn") < (k + 1) * sz).drop("rn"),
+        workDir, f"$workDir/events_src/chunk_$k%03d.parquet", base + k * 2000L)
+    }
+    ranked.unpersist()
+    // Far-future flush: watermark sails past every real session's
+    // last + gap, so append-mode emits them all before end of stream.
+    val s2 = spark; import s2.implicits._
+    val flushTs = new java.sql.Timestamp(maxTsMs + 10L * 24 * 3600 * 1000)
+    writeChunk(
+      Seq((FlushUser, flushTs, 0.0)).toDF("user_id", "ts", "value"),
+      workDir, f"$workDir/events_src/chunk_$EventChunks%03d.parquet",
+      base + EventChunks * 2000L)
+    // Documents: odd ids stream in doc_id order; even ids are corpus.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").cast("long"), col("text"))
+    val dn = docs.count()
+    val dsz = math.max(1L, (dn + DocChunks - 1) / DocChunks)
+    val dRanked = docs.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))) - 1)
+    dRanked.persist()
+    (0 until DocChunks).foreach { k =>
+      writeChunk(
+        dRanked.filter(col("rn") >= k * dsz && col("rn") < (k + 1) * dsz).drop("rn"),
+        workDir, f"$workDir/docs_src/chunk_$k%03d.parquet", base + k * 2000L)
+    }
+    dRanked.unpersist()
+    println(s"""{"phase":"prep","events":$n,"event_chunks":${EventChunks + 1},"docs":$dn,"doc_chunks":$DocChunks}""")
+  }
+
+  private def corpusShingles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 2 === 0 && col("text").isNotNull)
+      .select(col("doc_id").cast("long").as("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.shingles(col("toks"), 3).as("shingles"))
+  }
+
+  private def run(spark: SparkSession, sfDir: String, workDir: String,
+      validate: Boolean): Unit = {
+    import spark.implicits._
+    // ── Sessionizer stream: RocksDB flatMapGroupsWithState over the
+    // event chunks, per-batch OVERWRITE parquet (idempotent on replay).
+    val sessOut = s"$workDir/sess_out"
+    val evStream = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$workDir/events_src")
+      .withWatermark("ts", "1 minute")
+      .as[EventStreams.Event]
+    val sessQ = EventStreams.sessionizeStream(evStream, Gap)
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_sess")
+      .outputMode("append")
+      .foreachBatch { (out: Dataset[EventStreams.SessionOut], batchId: Long) =>
+        out.write.mode("overwrite").parquet(f"$sessOut/batch_$batchId%05d")
+      }
+      .start()
+    // ── Near-dup ingest stream: SegmentStore-backed deduper, one doc
+    // chunk per micro-batch; apply(batch, batchId) is idempotent.
+    val deduper = new NearDupIngestDeduper(
+      corpusShingles(spark, sfDir), NdThreshold,
+      statePath = Some(s"$workDir/nd_state"))
+    val ndQ = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$workDir/docs_src")
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_nd")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deduper(batch, batchId).count(); ()
+      }
+      .start()
+    sessQ.processAllAvailable(); sessQ.stop()
+    ndQ.processAllAvailable(); ndQ.stop()
+    if (!validate) {
+      // The victim is not supposed to get here — the harness's kill
+      // should land first. Record that it survived so the script can
+      // retry with an earlier kill instead of "passing" vacuously.
+      println(s"""{"phase":"victim","survived":true}""")
+      return
+    }
+
+    var failures = 0
+    def check(name: String, ok: Boolean, detail: String = ""): Unit = {
+      println(s"""{"check":"$name","ok":$ok${if (detail.nonEmpty) s""","detail":"$detail"""" else ""}}""")
+      if (!ok) failures += 1
+    }
+
+    // 1. Exactly-once sessions across the kill: streaming output (all
+    // batches, replay overwrites included) == the BATCH sessionize
+    // kernel over the same events, as a set, with no duplicates.
+    val got = spark.read.schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("session_start", TimestampType),
+        StructField("n_events", LongType), StructField("total", DoubleType))))
+      .parquet(s"$sessOut/batch_*")
+      .filter(col("user_id") =!= FlushUser)
+    val gotRows = got.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSeq
+    val expect = EventStreams.sessionize(
+        graft.sources.Tables.events(spark, sfDir)
+          .select(col("user_id").cast("long"),
+            col("ts").cast("timestamp").as("ts"), col("value").cast("double"))
+          .as[EventStreams.Event], Gap)
+      .collect().map(o => (o.user_id, o.session_start, o.n_events, o.total)).toSeq
+    check("sessions_no_duplicates", gotRows.size == gotRows.distinct.size,
+      s"rows=${gotRows.size} distinct=${gotRows.distinct.size}")
+    check("sessions_match_batch_kernel", gotRows.toSet == expect.toSet,
+      s"stream=${gotRows.size} batch=${expect.size} " +
+        s"onlyStream=${(gotRows.toSet -- expect.toSet).size} onlyBatch=${(expect.toSet -- gotRows.toSet).size}")
+
+    // 2. Deduper state vs an INDEPENDENT sequential re-run: same chunk
+    // files, same per-file batch ids, fresh in-memory state. Batch
+    // boundaries are deterministic (one file per trigger, mtime order),
+    // so the accepted sets must agree exactly across the kill.
+    val accepted = acceptedIds(spark, deduper)
+    val ref = new NearDupIngestDeduper(corpusShingles(spark, sfDir), NdThreshold)
+    val chunkFiles = new java.io.File(s"$workDir/docs_src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    chunkFiles.zipWithIndex.foreach { case (f, i) =>
+      ref(spark.read.schema(docSchema).parquet(f.toString), i.toLong).count()
+    }
+    val refAccepted = acceptedIds(spark, ref)
+    check("neardup_accepted_matches_sequential_rerun", accepted == refAccepted,
+      s"stream=${accepted.size} ref=${refAccepted.size} " +
+        s"onlyStream=${(accepted -- refAccepted).size} onlyRef=${(refAccepted -- accepted).size}")
+    ref.close()
+    deduper.close()
+
+    // 3. SegmentStore hygiene after the kill + rehydration: no orphaned
+    // tmp dirs, no marker-less (torn) segment dirs left on disk.
+    val state = new java.io.File(s"$workDir/nd_state").listFiles().toSeq
+    val torn = state.filter(f => f.isDirectory &&
+      !new java.io.File(f, "_graft_commit").exists())
+    check("segment_store_zero_torn_or_tmp", torn.isEmpty,
+      torn.map(_.getName).mkString(","))
+    println(s"""{"phase":"resume","failures":$failures,"accepted":${accepted.size},"sessions":${gotRows.size}}""")
+    if (failures > 0) { spark.stop(); sys.exit(1) }
+  }
+
+  /** Distinct accepted doc ids across every committed state segment
+    * (the store's marker gate is the commit contract, so a torn write
+    * can never count as accepted).
+    */
+  private def acceptedIds(spark: SparkSession, d: NearDupIngestDeduper): Set[Long] = {
+    val dirs = new java.io.File(d.store.stateDir).listFiles()
+      .filter(f => f.isDirectory && new java.io.File(f, "_graft_commit").exists())
+      .map(f => new java.io.File(f, "sh").toString)
+    if (dirs.isEmpty) Set.empty
+    else spark.read.schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("shingles", ArrayType(StringType)))))
+      .parquet(dirs.toIndexedSeq: _*)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+  }
+}

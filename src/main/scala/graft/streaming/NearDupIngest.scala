@@ -109,7 +109,7 @@ final class NearDupIngestDeduper(
     StructField("band", IntegerType),
     StructField("key", LongType)))
 
-  private val store = new SegmentStore(statePath)
+  private[streaming] val store = new SegmentStore(statePath)
 
   /** Shingle relation of a batch of (doc_id, text): null texts are
     * dropped explicitly up front (no text ⇒ no shingle identity to
