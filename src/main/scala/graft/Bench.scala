@@ -47,6 +47,13 @@ object Bench {
       // queries across rounds (r11's q41 0.16→2.27 "regression" was
       // exactly that) no longer reads as a plan change.
       val builtMs = graft.pipeline.SessionCache.drainBuildLog(spark).map(_._2).sum
+      // Rehearsal-only progress trace (stderr, never set by the driver):
+      // a multi-hour scale sweep that dies mid-run must leave behind
+      // WHERE it was and what each query cost so far — the final JSON
+      // only exists if the JVM survives to the end.
+      if (sys.env.contains("SPARK_GRAFT_BENCH_PROGRESS"))
+        System.err.println(
+          f"[bench] $name $dt%.1fs${err.map(e => s" ERROR $e").getOrElse("")}")
       QueryRun(name, dt, err, builtMs)
     }
 
