@@ -68,107 +68,129 @@ object Similarity {
       e.withColumn("sig", VF.srpSignature(col("embedding"), 64, dim))
     }
 
-  /** The cutoff between q53's two LSH operating points (mirrored
-    * verbatim in the oracle's CASE): expected any-band-enumerated
-    * candidate rows PER VECTOR above which the recall-first any-band
-    * arm (this corpus's near-dups sit at cos ≈ 0.45, a weak-similarity
-    * regime where tight banding finds nothing) yields to the
-    * pruning-first ≥2-of-8 band-PAIR arm (the production dedup regime,
-    * where candidate enumeration must not grow as n²/bucket_count).
+  /** q53's per-rung enumeration budget (mirrored verbatim in the
+    * oracle's CASE): expected enumerated candidate rows PER VECTOR a
+    * rung may admit before the ladder escalates to the next
+    * band-composition rung. The decision input is MEASURED band-bucket
+    * occupancy — Σ d·(d−1)/2 over the rung's key buckets, exactly the
+    * rows its self-join would enumerate — not corpus row count
+    * (VERDICT r11 #5): a clustered corpus that concentrates buckets
+    * escalates at the size where ITS enumeration actually blows up.
     *
-    * The decision input is MEASURED band-bucket occupancy —
-    * Σ d·(d−1)/2 over the 8×256 any-band buckets, exactly the rows the
-    * any-band join would enumerate — not corpus row count (VERDICT r11
-    * #5): a clustered corpus that concentrates buckets flips to the
-    * pruning arm at the size where enumeration actually blows up, and
-    * a high-entropy corpus keeps the recall arm longer, instead of
-    * both obeying a magic 50k-row constant. Measured on this corpus
-    * family (r12): 9.0/vector at sf0.01, 36.4 at sf0.1, 367 at sf1 —
-    * all any-band, growing ≈ n/256 as the uniform model predicts — so
-    * the flip lands between sf1 and the sf10 rehearsal corpus (~3.7e3
-    * extrapolated, where the r11 rehearsal showed the any-band join
-    * must not run): every decision the old row-count cutoff made at a
-    * rehearsed SF is preserved, and a corpus with different bucket
-    * entropy now flips where ITS enumeration blows up.
+    * Why the budget is per-vector VERIFY cost, not just join safety
+    * (the sf100 rehearsal lesson, r12): every admitted candidate pair
+    * pays an exact-cosine verify that moves TWO full embedding vectors
+    * through a join — at 2M vectors the ≥2-of-8 pair-key rung
+    * enumerated 425 pairs/vector (8.5×10⁸ pairs, well under the old
+    * 2048 budget and perfectly join-safe) and the verify stage sorted
+    * ~450 GB of vector-carrying rows: ENOSPC. 64/vector caps the
+    * verify stage at ~64× the corpus's own vector bytes — scan-class
+    * work at any SF. Measured any-band occupancy on this corpus family:
+    * 9.0/vector at sf0.01, 36.4 at sf0.1 (gates stay on the recall-
+    * first rung), 367 at sf1, ~3.7e3 at sf10, ~3.7e4 at sf100 — and
+    * pair-key occupancy 3/vector at sf10 (stays, matching the r11
+    * rehearsal) vs 425/vector at sf100 (escalates to triples).
     */
-  private[queries] val srpEnumBudget = 2048L
+  private[queries] val srpEnumBudget = 64L
 
-  /** Measured any-band occupancy: (enumerated candidate rows, vectors).
-    * One cheap aggregate over the 8×n band rows of the cached signature
-    * relation — the same relation both arms explode anyway.
+  /** Band-combination keys for ladder rung k: the C(8,k) size-k band
+    * subsets, each as a combined-mask key — a combo key matches ⇔ all
+    * k of its bands match, so joining on rung k's keys and deduping is
+    * set-identical to the declarative per-band join + HAVING
+    * count ≥ k (SrpLshSpec pins k = 2 and k = 3 by set equality).
+    * Rung 1 is exactly the any-band (band, key) relation.
     */
-  private[queries] def srpEnumStats(sigs: DataFrame): (Long, Long) = {
-    val r = sigs
-      .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 8, 8)).as("bk"))
-      .groupBy(col("bk.band"), col("bk.key")).agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("enum2"),
-        coalesce(sum(col("d")), lit(0L)).as("rows8"))
-      .head()
-    (r.getLong(0) / 2, r.getLong(1) / 8)
+  private[queries] def srpComboKeys(sigs: DataFrame, k: Int): DataFrame = {
+    def mask(b: Int): Long = ((1L << 8) - 1) << (b * 8)
+    val combos = (0 until 8).combinations(k).toSeq
+    sigs
+      .select(col("vec_id"), explode(array(combos.zipWithIndex.map { case (bs, p) =>
+        struct(lit(p).as("bp"),
+          col("sig").bitwiseAND(lit(bs.map(mask).reduce(_ | _))).as("key"))
+      }: _*)).as("pk"))
+      .select(col("vec_id"), col("pk.bp").as("bp"), col("pk.key").as("key"))
   }
 
+  /** Measured rung occupancy: (enumerated candidate rows, vectors).
+    * One cheap aggregate over the C(8,k)·n key rows — the same relation
+    * the rung's join would explode anyway.
+    */
+  private[queries] def srpKeyEnumStats(keys: DataFrame, keysPerVec: Int): (Long, Long) = {
+    val r = keys
+      .groupBy(col("bp"), col("key")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("enum2"),
+        coalesce(sum(col("d")), lit(0L)).as("rowsK"))
+      .head()
+    (r.getLong(0) / 2, r.getLong(1) / keysPerVec)
+  }
+
+  /** Any-band occupancy (rung 1) — retained call shape for the specs. */
+  private[queries] def srpEnumStats(sigs: DataFrame): (Long, Long) =
+    srpKeyEnumStats(srpComboKeys(sigs, 1), 8)
+
+  /** The selected ladder rung: the smallest k ∈ {1, 2, 3} whose
+    * measured enumeration fits [[srpEnumBudget]]·n; rung 3 is the
+    * declared terminal operating point (≥3-of-8, 24-bit keys — good to
+    * ~10⁸ vectors under the uniform model; a larger corpus extends the
+    * ladder with quads/wider bands, same construction). Rungs are
+    * probed lazily — rung 2's stats aggregate only runs once rung 1 is
+    * over budget.
+    */
+  private[queries] def srpSelectArm(sigs: DataFrame): Int =
+    Seq(1, 2).find { k =>
+      val (enumRows, n) =
+        srpKeyEnumStats(srpComboKeys(sigs, k), combosOf8(k))
+      enumRows <= srpEnumBudget * n
+    }.getOrElse(3)
+
+  private def combosOf8(k: Int): Int = (0 until 8).combinations(k).size
+
   /** LSH candidate pairs at the [[srpEnumBudget]]-selected operating
-    * point. The large-corpus arm spells "≥ 2 of 8 bands match" as an
-    * equi-join on band PAIRS: two bands match ⇔ their combined-mask key
-    * matches, so joining on the C(8,2)=28 pair keys and deduping gives
-    * the IDENTICAL candidate set to a per-band join + HAVING count ≥ 2
-    * (the oracle keeps that declarative spelling). The point is the
-    * JOIN KEY SPACE: a single 8-bit band has 256 buckets, so bucket
-    * occupancy — and the rows the join enumerates — grows as n²/256
-    * (the r11 sf10 rehearsal: ~10⁹ enumerated rows at 200k vectors,
-    * executor OOM, even after the plane-decorrelation fix). A pair key
-    * carries 16 bits ⇒ occupancy n/65536 and enumeration shrinks
-    * 256-fold, for a 28× (vs 8×) map-side fan-out — the standard
-    * banding-composition trade, and the knob that scales further
-    * (triples, wider bands) as the corpus grows. Exposed for the
-    * pruning spec (candidate ratio vs n² is the scale claim).
+    * point. Rung 1 (recall-first: this corpus's near-dups sit at
+    * cos ≈ 0.45, a weak-similarity regime where tight banding finds
+    * nothing) joins on ANY of the 8 single-band keys; rung 2 spells
+    * "≥ 2 of 8 bands match" as an equi-join on the C(8,2)=28 16-bit
+    * pair keys; rung 3 spells "≥ 3 of 8" on the C(8,3)=56 24-bit
+    * triple keys (the oracle keeps the declarative per-band + HAVING
+    * spelling for every rung). The point is the JOIN KEY SPACE: a
+    * single 8-bit band has 256 buckets, so bucket occupancy — and the
+    * rows the join enumerates — grows as n²/256 (the r11 sf10
+    * rehearsal: ~10⁹ enumerated rows at 200k vectors, executor OOM);
+    * each rung multiplies the key space by ~2⁸ for a combinatorial
+    * fan-out bump — the standard banding-composition trade. Exposed
+    * for the pruning spec (candidate ratio vs n² is the scale claim).
     */
   private[queries] def srpCandidates(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val sigs = srpSignatures(spark, dir)
-    val (enumRows, n) = srpEnumStats(sigs)
-    if (enumRows <= srpEnumBudget * n) srpCandidatesAnyBand(sigs)
-    else srpCandidatesPairKey(sigs)
+    srpCandidatesKeyed(srpComboKeys(sigs, srpSelectArm(sigs)))
   }
 
-  /** Small-corpus arm: pairs sharing ANY of the 8 band keys. */
-  private[queries] def srpCandidatesAnyBand(sigs: DataFrame): DataFrame = {
-    val bands = sigs
-      .select(col("vec_id"), explode(VF.srpBandKeys(col("sig"), 8, 8)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // merge hints on both arms: these band relations are explodes of
-    // the small cached signature relation, and Catalyst sizes
-    // Generate output at its CHILD's bytes — the under-estimate
-    // planned a multi-GiB BroadcastHashJoin at sf10 (see q43's note).
-    bands.as("a").hint("merge")
-      .join(bands.as("b").hint("merge"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key")
-          && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
-  }
-
-  /** Large-corpus arm: "≥ 2 of 8 bands match" via C(8,2)=28 band-PAIR
-    * keys — SrpLshSpec pins set-equality to the declarative per-band
-    * join + count ≥ 2 spelling on the gate corpus, since no gate SF
-    * crosses [[srpEnumBudget]] to run this arm in a declared query.
+  /** The rung-k candidate join: pairs sharing any combo key, deduped.
+    * merge hints on both sides: the key relations are explodes of the
+    * small cached signature relation, and Catalyst sizes Generate
+    * output at its CHILD's bytes — the under-estimate planned a
+    * multi-GiB BroadcastHashJoin at sf10 (see q43's note).
     */
-  private[queries] def srpCandidatesPairKey(sigs: DataFrame): DataFrame = {
-    def mask(b: Int): Long = ((1L << 8) - 1) << (b * 8)
-    val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
-    val keys = sigs
-      .select(col("vec_id"), explode(array(bandPairs.zipWithIndex.map { case ((i, j), p) =>
-        struct(lit(p).as("bp"),
-          col("sig").bitwiseAND(lit(mask(i) | mask(j))).as("key"))
-      }: _*)).as("pk"))
-      .select(col("vec_id"), col("pk.bp").as("bp"), col("pk.key").as("key"))
+  private[queries] def srpCandidatesKeyed(keys: DataFrame): DataFrame =
     keys.as("a").hint("merge")
       .join(keys.as("b").hint("merge"),
         col("a.bp") === col("b.bp") && col("a.key") === col("b.key")
           && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-  }
+
+  /** Rung 1: pairs sharing ANY of the 8 band keys. */
+  private[queries] def srpCandidatesAnyBand(sigs: DataFrame): DataFrame =
+    srpCandidatesKeyed(srpComboKeys(sigs, 1))
+
+  /** Rung 2: "≥ 2 of 8 bands match" via C(8,2)=28 band-PAIR keys. */
+  private[queries] def srpCandidatesPairKey(sigs: DataFrame): DataFrame =
+    srpCandidatesKeyed(srpComboKeys(sigs, 2))
+
+  /** Rung 3: "≥ 3 of 8 bands match" via C(8,3)=56 band-TRIPLE keys. */
+  private[queries] def srpCandidatesTripleKey(sigs: DataFrame): DataFrame =
+    srpCandidatesKeyed(srpComboKeys(sigs, 3))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -467,7 +489,10 @@ object Similarity {
     // old affine plane family's correlated bits collapsed signature
     // entropy and blew the sf10 candidate join), 8 bands × 8 bits at a
     // measured-occupancy-selected operating point (srpEnumBudget, oracle
-    // CASE): any-band below the enumeration budget, ≥2-of-8 via 16-bit pair keys above it.
+    // CASE): the rung ladder — any-band while enumeration fits the
+    // budget, ≥2-of-8 via 16-bit pair keys, ≥3-of-8 via 24-bit triple
+    // keys (the r12 sf100 rehearsal rung: 425 pairs/vector of verify
+    // traffic ENOSPC'd the pair rung at 2M vectors).
     //
     // The testdata's "near-dups" sit at cos ≈ 0.45–0.51 — a weak-
     // similarity regime where every LSH family trades recall against
@@ -490,16 +515,23 @@ object Similarity {
         bands AS (
           SELECT vec_id, u.bk.band AS band, u.bk.key AS key
           FROM sig, (SELECT unnest(${VS.srpBandKeysExpr("sig", 8, 8)}) AS bk) u),
+        pairbands AS (
+          SELECT vec_id, u.pk.bp AS bp, u.pk.key AS key
+          FROM sig, (SELECT unnest(${VS.srpComboKeysExpr("sig", 8, 8, 2)}) AS pk) u),
         cand AS (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
           GROUP BY 1, 2
-          HAVING count(*) >= (CASE WHEN
-                (SELECT coalesce(sum(d*(d-1)//2), 0)
-                 FROM (SELECT count(*) AS d FROM bands GROUP BY band, key))
-                <= $srpEnumBudget * (SELECT count(*) FROM n)
-              THEN 1 ELSE 2 END))
+          HAVING count(*) >= (CASE
+              WHEN (SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM bands GROUP BY band, key))
+                   <= $srpEnumBudget * (SELECT count(*) FROM n)
+              THEN 1
+              WHEN (SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM pairbands GROUP BY bp, key))
+                   <= $srpEnumBudget * (SELECT count(*) FROM n)
+              THEN 2 ELSE 3 END))
         SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
         FROM cand c
         JOIN sig sa ON sa.vec_id = c.a_id

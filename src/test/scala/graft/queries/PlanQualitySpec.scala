@@ -187,7 +187,8 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     for ((label, df) <- Seq(
         "q43 subset join" -> graft.SparkEntry.queries("q43_simhash")(spark, dir),
         "q53 any-band arm" -> Similarity.srpCandidatesAnyBand(sigsD),
-        "q53 pair-key arm" -> Similarity.srpCandidatesPairKey(sigsD))) {
+        "q53 pair-key arm" -> Similarity.srpCandidatesPairKey(sigsD),
+        "q53 triple-key arm" -> Similarity.srpCandidatesTripleKey(sigsD))) {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), s"$label must sort-merge")
       assert(!p.contains("BroadcastHashJoin"), s"$label must never broadcast a banded side")

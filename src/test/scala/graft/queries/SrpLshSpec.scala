@@ -39,53 +39,75 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"collision-counted banding admits <10% of pairs at this weak-similarity corpus: $cands/$pairs")
   }
 
-  test("pair-key arm ≡ declarative '≥2 of 8 bands' on the gate corpus") {
-    // The large-corpus arm only runs past the srpEnumBudget occupancy
-    // flip, which no gate SF reaches — so its equivalence claim
-    // ("joining on C(8,2) combined-mask keys = per-band join + HAVING
-    // count ≥ 2") is pinned HERE, on the real sf0.01 signatures, by set
-    // equality.
-    val sigs = Similarity.srpSignatures(spark, dir)
-    val viaPairKeys = Similarity.srpCandidatesPairKey(sigs)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  /** The upper rungs only run past the srpEnumBudget occupancy flips,
+    * which no gate SF reaches — so the equivalence claim ("joining on
+    * C(8,k) combined-mask keys = per-band join + HAVING count ≥ k") is
+    * pinned HERE, on the real sf0.01 signatures, by set equality.
+    */
+  private def declarativeAtLeastKBands(sigs: org.apache.spark.sql.DataFrame,
+      k: Int): Set[(Long, Long)] = {
     val bands = sigs
       .select(col("vec_id"), explode(VectorFunctions.srpBandKeys(col("sig"), 8, 8)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val declarative = bands.as("a")
+    bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.vec_id") < col("b.vec_id"))
       .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .agg(count(lit(1)).as("nb"))
-      .filter(col("nb") >= 2)
+      .filter(col("nb") >= k)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(declarative.nonEmpty, "the ≥2-band set must be non-trivial on this corpus")
-    assert(viaPairKeys == declarative,
-      s"pair-key arm diverged: only-pairkey=${viaPairKeys -- declarative} only-declarative=${declarative -- viaPairKeys}")
   }
 
-  test("arm selection derives from measured bucket occupancy, not row count") {
-    // Gate corpus: low occupancy ⇒ the recall-first any-band arm.
+  test("pair-key rung ≡ declarative '≥2 of 8 bands' on the gate corpus") {
+    val sigs = Similarity.srpSignatures(spark, dir)
+    val viaPairKeys = Similarity.srpCandidatesPairKey(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declarative = declarativeAtLeastKBands(sigs, 2)
+    assert(declarative.nonEmpty, "the ≥2-band set must be non-trivial on this corpus")
+    assert(viaPairKeys == declarative,
+      s"pair-key rung diverged: only-pairkey=${viaPairKeys -- declarative} only-declarative=${declarative -- viaPairKeys}")
+  }
+
+  test("triple-key rung ≡ declarative '≥3 of 8 bands' on the gate corpus") {
+    val sigs = Similarity.srpSignatures(spark, dir)
+    val viaTripleKeys = Similarity.srpCandidatesTripleKey(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declarative = declarativeAtLeastKBands(sigs, 3)
+    assert(viaTripleKeys == declarative,
+      s"triple-key rung diverged: only-triplekey=${viaTripleKeys -- declarative} only-declarative=${declarative -- viaTripleKeys}")
+    // And strict rung nesting on this corpus: rung-3 pairs ⊆ rung-2's.
+    val pair = declarativeAtLeastKBands(sigs, 2)
+    assert(viaTripleKeys.subsetOf(pair), "rung-3 candidates must nest inside rung-2's")
+  }
+
+  test("rung selection derives from measured bucket occupancy, not row count") {
+    // Gate corpus: low occupancy ⇒ the recall-first any-band rung.
     val sigs = Similarity.srpSignatures(spark, dir)
     val (enumRows, n) = Similarity.srpEnumStats(sigs)
     info(s"sf0.01: enumRows=$enumRows n=$n perVector=${enumRows.toDouble / n}")
     assert(n > 0 && enumRows <= Similarity.srpEnumBudget * n,
-      "gate corpus must stay on the any-band arm")
+      "gate corpus must stay on the any-band rung")
+    assert(Similarity.srpSelectArm(sigs) == 1)
     // A bucket-CONCENTRATED corpus of the same modest row count must
-    // flip to the pruning arm: 600 identical signatures put all 8 bands
-    // in one bucket each ⇒ 8·600·599/2 ≈ 2.9e3 enumerations/vector,
-    // past the 2048 budget — the case the old 50k row-count constant
-    // got wrong by two orders of magnitude.
+    // escalate: 600 identical signatures put all 8 bands in one bucket
+    // each ⇒ 8·600·599/2 ≈ 2.9e3 enumerations/vector on rung 1 AND
+    // 28·600·599/2 ≈ 5e6 on rung 2's pair keys — the ladder lands on
+    // rung 3 (the case the old 50k row-count constant got wrong by two
+    // orders of magnitude).
     val s = spark; import s.implicits._
     val dense = (0L until 600L).map(i => (i, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
       .select(col("vec_id"), graft.functions.VectorFunctions
         .srpSignature(col("embedding"), 64, 64).as("sig"))
     val (denseEnum, denseN) = Similarity.srpEnumStats(dense)
     assert(denseN == 600 && denseEnum > Similarity.srpEnumBudget * denseN,
-      s"concentrated corpus must flip to the pair-key arm: $denseEnum vs ${Similarity.srpEnumBudget * denseN}")
-    // Empty relation: defined decision (any-band), no div-by-zero.
+      s"concentrated corpus must leave rung 1: $denseEnum vs ${Similarity.srpEnumBudget * denseN}")
+    assert(Similarity.srpSelectArm(dense) == 3,
+      "fully-concentrated buckets blow rung 2's budget too — terminal rung")
+    // Empty relation: defined decision (rung 1), no div-by-zero.
     val (e0, n0) = Similarity.srpEnumStats(dense.limit(0))
     assert(e0 == 0 && n0 == 0)
+    assert(Similarity.srpSelectArm(dense.limit(0)) == 1)
   }
 
   test("q53 output is a subset of brute-force q44 at the same threshold") {
