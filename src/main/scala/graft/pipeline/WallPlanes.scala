@@ -310,14 +310,34 @@ object WallPlanes {
       def boxKey(p: FPoint): (Long, Long, Long) =
         (math.floor(p.f0 / bw).toLong, math.floor(p.f1 / bw).toLong,
           math.floor(p.f2 / bw).toLong)
+      // Per box: the union chain head, plus one REPRESENTATIVE core per
+      // distinct position — the first (= minimum-index) core at that
+      // exact coordinate triple. Distance predicates depend on position
+      // only, so every cross-box ∃-edge search and the border min-id
+      // lookup below scan representatives, not members: a corpus that
+      // STACKS coincident points (the r12 sf100 rehearsal corpus
+      // replicates the mesh geometry bit-identically per copy — every
+      // jitter modulus divides the copy key stride — so clusters held
+      // ~1000 coincident copies of each point) costs what its distinct
+      // geometry costs, not stack² (q83 went from ENOSPC-adjacent
+      // 40-minute territory to seconds). Exact: same-box members are
+      // pairwise-unioned on insert regardless, and a representative's
+      // index is minimal at its position because cores insert in
+      // ascending index order.
+      final class Box {
+        var head: Int = -1
+        val reps = scala.collection.mutable.ArrayBuffer.empty[Int]
+        private val seen = scala.collection.mutable.HashSet.empty[(Double, Double, Double)]
+        def add(ci: Int, p: FPoint): Unit = {
+          if (head == -1) head = ci else union(head, ci)
+          if (seen.add((p.f0, p.f1, p.f2))) reps += ci
+        }
+      }
       val boxes = scala.collection.mutable.LinkedHashMap
-        .empty[(Long, Long, Long), scala.collection.mutable.ArrayBuffer[Int]]
+        .empty[(Long, Long, Long), Box]
       var ci = 0
       while (ci < cores.length) {
-        val k = boxKey(cores(ci).p)
-        val members = boxes.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty[Int])
-        if (members.nonEmpty) union(members.head, ci)
-        members += ci
+        boxes.getOrElseUpdate(boxKey(cores(ci).p), new Box).add(ci, cores(ci).p)
         ci += 1
       }
       for ((ka, as) <- boxes; dx <- -2L to 2L; dy <- -2L to 2L; dz <- -2L to 2L
@@ -330,11 +350,11 @@ object WallPlanes {
             if (find(as.head) != find(bs.head)) {
               var i = 0
               var done = false
-              while (i < as.length && !done) {
+              while (i < as.reps.length && !done) {
                 var j = 0
-                while (j < bs.length && !done) {
-                  if (d2(cores(as(i)).p, cores(bs(j)).p) <= eps2) {
-                    union(as(i), bs(j))
+                while (j < bs.reps.length && !done) {
+                  if (d2(cores(as.reps(i)).p, cores(bs.reps(j)).p) <= eps2) {
+                    union(as.reps(i), bs.reps(j))
                     done = true
                   }
                   j += 1
@@ -357,12 +377,35 @@ object WallPlanes {
         if (r.core) {
           Iterator.single((1, r.p.cell_id, comp(coreIdx.get(r.p.cell_id))))
         } else {
-          // Border: minimum-id core neighbor decides; noise emits null.
+          // Border: minimum-INDEX core neighbor decides (cores are
+          // sorted by cell_id, so this is the min-id neighbor); noise
+          // emits null. Core neighbors within eps can only sit in boxes
+          // ≤ 2 index steps away per axis, and the minimum index over
+          // qualifying cores equals the minimum over qualifying
+          // REPRESENTATIVES (each rep is minimal at its position, and
+          // coincident cores are interchangeable under d2) — so this is
+          // the old linear all-cores scan minus the stack blowup.
           var best = -1
-          var i = 0
-          while (i < cores.length && best == -1) {
-            if (d2(cores(i).p, r.p) <= eps2) best = i
-            i += 1
+          val (kx, ky, kz) = boxKey(r.p)
+          var dx = -2L
+          while (dx <= 2L) {
+            var dy = -2L
+            while (dy <= 2L) {
+              var dz = -2L
+              while (dz <= 2L) {
+                boxes.get((kx + dx, ky + dy, kz + dz)).foreach { b =>
+                  var i = 0
+                  while (i < b.reps.length) {
+                    val c = b.reps(i)
+                    if ((best == -1 || c < best) && d2(cores(c).p, r.p) <= eps2) best = c
+                    i += 1
+                  }
+                }
+                dz += 1
+              }
+              dy += 1
+            }
+            dx += 1
           }
           Iterator.single((1, r.p.cell_id, if (best == -1) null else comp(best)))
         }
