@@ -30,6 +30,9 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# Optional comma list: regenerate only these tables (a rehearsal that
+# dropped big tables to reclaim scratch disk puts them back piecemeal).
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 SHIFTS = {  # table -> {column: stride}
     "region": {},
@@ -53,6 +56,8 @@ def main() -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
     for table, shifts in SHIFTS.items():
+        if ONLY is not None and table not in ONLY:
+            continue
         src = f"{SRC}/{table}.parquet"
         dst = f"{DST}/{table}.parquet"
         if not os.path.exists(src):
