@@ -54,15 +54,16 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_PROGRESS")) {
         System.err.println(
           f"[bench] $name $dt%.1fs${err.map(e => s" ERROR $e").getOrElse("")}")
-        // Post-timer shuffle-file reclaim: in local mode, a completed
-        // query's shuffle files survive on disk until a JVM GC lets
-        // ContextCleaner notice the dereferenced shuffles — under a
-        // large rehearsal heap that can be never, and the r12 sf100
-        // sweep accumulated 33 GB of dead shuffle files mid-sweep and
-        // ENOSPC'd the geometry chain. Outside the timed window, so
-        // per-query seconds are unaffected.
-        System.gc()
       }
+      // Post-timer shuffle-file reclaim, UNCONDITIONAL (not tied to the
+      // progress trace): in local mode, a completed query's shuffle
+      // files survive on disk until a JVM GC lets ContextCleaner notice
+      // the dereferenced shuffles — under a large rehearsal heap that
+      // can be never, and the r12 sf100 sweep accumulated 33 GB of dead
+      // shuffle files mid-sweep and ENOSPC'd the geometry chain. Any
+      // long sweep hits the same wall whether or not it traces progress.
+      // Outside the timed window, so per-query seconds are unaffected.
+      System.gc()
       QueryRun(name, dt, err, builtMs)
     }
 

@@ -6,9 +6,19 @@ import org.apache.spark.sql.SparkSession
   * the config that affects correctness and local performance.
   */
 object Sessions {
-  def builder(cpus: String): SparkSession.Builder =
-    SparkSession.builder()
-      .master(s"local[$cpus]")
+  def builder(cpus: String): SparkSession.Builder = {
+    // Master override (r13 multi-JVM rehearsal, VERDICT r12 next-round
+    // #1): `SPARK_GRAFT_MASTER=local-cluster[W,C,MB]` forks a real
+    // standalone Worker per W and real executor JVMs, so task/broadcast
+    // serialization of the native expressions, executor-side
+    // classloading, closure transport of the UDF kernels, and netty
+    // cross-process shuffle ALL actually execute — `local[*]` exercises
+    // none of them by construction (everything stays in the driver
+    // process). Unset (the driver's case) this is byte-identical to the
+    // old local[cpus] session.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val b = SparkSession.builder()
+      .master(master)
       // graft SQL surface: vector_dot, cylindrical_iou, … available to
       // spark.sql() callers (see org.apache.spark.sql.graft.GraftExtensions).
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
@@ -25,4 +35,15 @@ object Sessions {
       // refuses the file (PARQUET_TYPE_ILLEGAL). Tables.events converts
       // the long back to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (master.startsWith("local-cluster")) {
+      // Forked executors are fresh JVMs: they inherit the Spark dist
+      // classpath via SPARK_HOME but NOT the sbt launch classpath — ship
+      // the graft classes dir explicitly (same box, same path). Executor
+      // heap defaults to 1g in standalone; size it to the worker grant.
+      val classes = Sessions.getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+      b.config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+    } else b
+  }
 }

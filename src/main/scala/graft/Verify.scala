@@ -18,9 +18,11 @@ object Verify {
     // dead sweep.
     Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
         graft.queries.ShinglesTable, graft.queries.DedupClustersTable,
-        // Eps-oracle support (VERDICT r11 #3): the grouping kernel's
-        // output as a table the q82/q86 eps SQL can read_parquet.
-        graft.queries.GroupedDetectionsTable).foreach { t =>
+        // Eps-oracle support (VERDICT r11 #3 / r12 #2): the grouping and
+        // clustering kernels' outputs as tables the q80/q82/q83/q86 eps
+        // SQL can read_parquet.
+        graft.queries.GroupedDetectionsTable,
+        graft.queries.WallClustersTable).foreach { t =>
       try { t.ensure(spark, sfDir); () }
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal: a fatal VM error must abort the dump, not produce a

@@ -74,8 +74,28 @@ object SessionCache {
     }
   }
 
+  /** Driver-side non-DataFrame artifact (a corpus bloom filter, a fitted
+    * set of anchors): same compute-if-absent + per-entry build locking as
+    * [[Entry]], minus persist/unpersist — the value is a plain JVM object
+    * the session owns until release or application end. Builds still run
+    * Spark jobs (q57's bloom is a treeAggregate over the corpus), so the
+    * build must not hold the global lock, and its wall cost records into
+    * the same buildLog so Bench attributes it as `cache_build_ms` exactly
+    * like a DataFrame cache build.
+    */
+  private final class ValueEntry(key: (SparkSession, String), build: () => AnyRef) {
+    lazy val value: AnyRef = {
+      val t0 = System.nanoTime()
+      val v = build()
+      recordBuild(key, (System.nanoTime() - t0) / 1000000L)
+      v
+    }
+  }
+
   private val cache =
     scala.collection.mutable.Map.empty[(SparkSession, String), Entry]
+  private val values =
+    scala.collection.mutable.Map.empty[(SparkSession, String), ValueEntry]
   private val hooked =
     scala.collection.mutable.Set.empty[SparkSession]
 
@@ -99,22 +119,41 @@ object SessionCache {
     out
   }
 
+  private def hookSession(spark: SparkSession): Unit =
+    if (hooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          SessionCache.synchronized {
+            cache.filterInPlace((k, _) => k._1 != spark)
+            values.filterInPlace((k, _) => k._1 != spark)
+            buildLog.filterInPlace((k, _) => k._1 != spark)
+            hooked.remove(spark)
+          }
+      })
+    }
+
   def getOrPersist(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val entry = synchronized {
-      if (hooked.add(spark)) {
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-            SessionCache.synchronized {
-              cache.filterInPlace((k, _) => k._1 != spark)
-              buildLog.filterInPlace((k, _) => k._1 != spark)
-              hooked.remove(spark)
-            }
-        })
-      }
+      hookSession(spark)
       cache.getOrElseUpdate((spark, key), new Entry((spark, key), () => build))
     }
     entry.df // may build; serializes per entry, not globally
+  }
+
+  /** Compute-if-absent for a driver-side artifact (bloom filter, fitted
+    * anchors): one build per (session, key), released by the same
+    * [[release]] path as DataFrame entries. At 100 TB this is the "one
+    * persisted bloom per corpus version" shape — the filter is built
+    * once against a corpus identity key and every incremental batch
+    * probes it, instead of re-aggregating the corpus per run.
+    */
+  def getOrBuildValue[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    val entry = synchronized {
+      hookSession(spark)
+      values.getOrElseUpdate((spark, key), new ValueEntry((spark, key), () => build))
+    }
+    entry.value.asInstanceOf[T]
   }
 
   /** Drop an entry and unpersist its storage (no-op for absent keys;
@@ -125,13 +164,15 @@ object SessionCache {
       val d = e.built
       if (d != null) d.unpersist(blocking = false)
     }
+    values.remove((spark, key)) // plain object: dropping the ref suffices
   }
 
   /** Live entry keys for a session — spec hook for bounded-storage
     * assertions during a full Registry sweep.
     */
   def liveKeys(spark: SparkSession): Set[String] = synchronized {
-    cache.keysIterator.filter(_._1 eq spark).map(_._2).toSet
+    (cache.keysIterator ++ values.keysIterator)
+      .filter(_._1 eq spark).map(_._2).toSet
   }
 
   /** Drop `key` for EVERY live session. The input-table rebuilt-in-place

@@ -105,6 +105,36 @@ object WallPlanes {
     * r6 ask #4) so per-query cost is a column-pruned parquet scan, not a
     * re-derivation + global stats aggregate per consumer.
     */
+  /** Per-point cluster assignment from the GLOBAL single-kernel fit
+    * (`cell_id, nx..cz, cluster`, -1 = noise) — the reference's sklearn
+    * shape, and the relation [[graft.queries.WallClustersTable]]
+    * materializes so q83's eps oracle (VERDICT r12 #2) can take the
+    * pinned kernel's labels as DuckDB input. The tiled production path
+    * is label-identical per WallPlanesTilingSpec, so a DuckDB aggregate
+    * over THESE labels racing q83's tiled output also re-proves the
+    * tiling equivalence on the live corpus every Verify run.
+    */
+  def labeledGlobal(
+      features: DataFrame,
+      eps: Double = 0.03,
+      minSamples: Int = 20): DataFrame = {
+    import features.sparkSession.implicits._
+    val scaled = features
+      .withColumn("tile", lit(0L))
+      .select(col("tile").cast("long"), col("cell_id").cast("long"),
+        col("nx"), col("ny"), col("nz"), col("cx"), col("cy"), col("cz"),
+        col("f0"), col("f1"), col("f2"))
+      .as[CellRow]
+    scaled.groupByKey(_ => 0L).flatMapGroups { (_, rows) =>
+      val cs = rows.toIndexedSeq.sortBy(_.cell_id)
+      val labels = Dbscan.fit(cs.map(c => Array(c.f0, c.f1, c.f2)), eps, minSamples)
+      cs.iterator.zip(labels.iterator).map { case (c, l) =>
+        (c.cell_id, c.nx, c.ny, c.nz, c.cx, c.cy, c.cz,
+          if (l == Dbscan.Noise) -1L else l.toLong)
+      }
+    }.toDF("cell_id", "nx", "ny", "nz", "cx", "cy", "cz", "cluster")
+  }
+
   def wallPlanesScaled(
       features: DataFrame,
       eps: Double = 0.03,
@@ -112,31 +142,21 @@ object WallPlanes {
       tiles: Int = 1): DataFrame = {
     import features.sparkSession.implicits._
 
-    val scaled = features
-      .withColumn("tile", pmod(col("cell_id"), lit(tiles.toLong)))
-      .select(col("tile").cast("long"), col("cell_id").cast("long"),
-        col("nx"), col("ny"), col("nz"), col("cx"), col("cy"), col("cz"),
-        col("f0"), col("f1"), col("f2"))
-      .as[CellRow]
-
     // A11: DBSCAN. tiles=1 reproduces the reference's global sklearn fit
     // (one kernel task — the reference's own decimated-mesh scale);
     // tiles>1 runs the margin-merge tiled path, which TilingSpec proves
     // label-identical on this pipeline's data.
     if (tiles <= 1) {
-      val labeled =
-        scaled.groupByKey(_ => 0L).flatMapGroups { (_, rows) =>
-          val cs = rows.toIndexedSeq.sortBy(_.cell_id)
-          val labels = Dbscan.fit(cs.map(c => Array(c.f0, c.f1, c.f2)), eps, minSamples)
-          cs.iterator.zip(labels.iterator).map { case (c, l) =>
-            (c.cell_id, c.nx, c.ny, c.nz, c.cx, c.cy, c.cz,
-              if (l == Dbscan.Noise) -1L else l.toLong)
-          }
-        }.toDF("cell_id", "nx", "ny", "nz", "cx", "cy", "cz", "cluster")
       // F8 noise drop + A7 per-cluster means + A8 bounds
       // (MeshWallExtractror.py:75-89).
-      runAggregates(labeled)
+      runAggregates(labeledGlobal(features, eps, minSamples))
     } else {
+      val scaled = features
+        .withColumn("tile", pmod(col("cell_id"), lit(tiles.toLong)))
+        .select(col("tile").cast("long"), col("cell_id").cast("long"),
+          col("nx"), col("ny"), col("nz"), col("cx"), col("cy"), col("cz"),
+          col("f0"), col("f1"), col("f2"))
+        .as[CellRow]
       val spark = features.sparkSession
       // The scaled features feed both the clustering kernel and the
       // label join-back; uncached, each consumer re-runs the scan + the

@@ -247,20 +247,36 @@ object Domain {
     }),
 
     // ── A5/U6: the order-dependent greedy grouping inside flatMapGroups.
-    // Not SQL-expressible (rows-only check); semantics pinned by
-    // BBoxSpec's golden fixtures. group_size histogram keeps the output
-    // small and order-insensitive while still covering the kernel.
+    // Not SQL-expressible (rows-only hash check); semantics pinned by
+    // BBoxSpec's golden fixtures. Output is the LABEL-INVARIANT per-group
+    // projection (VERDICT r12 #2): each group keyed by its canonical
+    // minimum member id, carrying size and score sum — order-stable even
+    // though the group_idx labels themselves are iteration-order
+    // artifacts, and value-raceable against the materialized kernel
+    // output via the declared eps oracle.
     QueryDef("q80_grouped_detections", None, noOracleReason = Some(
       "order-dependent greedy IoU grouping (reference bbox_grouping loop) is not " +
         "SQL-expressible and its float scores poison a cross-engine hash; kernel " +
         "pinned by BBoxSpec golden fixtures (reference's own Python) and the fully " +
-        "oracled companion q88 runs the same production kernel on a deterministic slice"))(
+        "oracled companion q88 runs the same production kernel on a deterministic " +
+        "slice; toleranced VALUE verification of the label-invariant per-group " +
+        "projection via the declared eps oracle (eps_oracle_sql.json, atol 1.1e-6 " +
+        "on score_sum rounding flips)"),
+      epsOracle = Some(EpsOracle(
+        sfDir => GroupedDetectionsTable.materializedPath(sfDir)
+          .map(DomainOracles.groupProjectionEpsSql),
+        atol = Map("score_sum" -> 1.1e-6),
+        note = "label-invariant per-group projection (min-member key, size, score " +
+          "sum) over ALL groups; the greedy labels enter only as the GROUP BY " +
+          "partition of the materialized kernel output (pinned by BBoxSpec/q88)")))(
       (spark, dir) =>
       grouped(spark, dir)
         .groupBy(col("file_name"), col("group_idx"))
-        .agg(count(lit(1)).as("group_size"), max(col("score")).as("best_score"))
-        .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
-        .orderBy(col("group_size"))),
+        .agg(min(col("det_idx")).as("min_member"),
+          count(lit(1)).as("group_size"),
+          round(sum(col("score")), 6).as("score_sum"))
+        .select(col("file_name"), col("min_member"), col("group_size"), col("score_sum"))
+        .orderBy(col("file_name"), col("min_member"))),
 
     // ── A4+J1+M10+U2: best-per-group → broadcast pose join → stride
     // subsample → pixel-to-3D ray. Rows-only (libm trig drift).
@@ -300,7 +316,19 @@ object Domain {
     QueryDef("q83_wall_planes", None, releases = Seq("wallFeatLive"), noOracleReason = Some(
       "DBSCAN cluster labels are reachability-order artifacts with no SQL oracle; " +
         "kernel pinned by DbscanSpec + WallPlanesTilingSpec (tiled≡global), and the " +
-        "oracled companion q93 hash-verifies the full feature prologue"))(
+        "oracled companion q93 hash-verifies the full feature prologue; toleranced " +
+        "VALUE verification of the per-cluster aggregates via the declared eps " +
+        "oracle (eps_oracle_sql.json, atol 1.1e-6), which doubles as a live-corpus " +
+        "tiled≡global race each Verify run"),
+      epsOracle = Some(EpsOracle(
+        sfDir => WallClustersTable.materializedPath(sfDir)
+          .map(DomainOracles.wallPlanesEpsSql),
+        atol = Map("avg_nx" -> 1.1e-6, "avg_ny" -> 1.1e-6, "avg_cx" -> 1.1e-6,
+          "avg_cy" -> 1.1e-6, "min_x" -> 1.1e-6, "max_x" -> 1.1e-6),
+        note = "per-cluster (size, centroid, bounds) aggregated by DuckDB over the " +
+          "materialized GLOBAL-kernel labels (DbscanSpec-pinned) vs q83's dumped " +
+          "TILED output — verifies the aggregate math and re-proves tiled≡global " +
+          "on the live corpus")))(
       (spark, dir) => {
       // On the materialized-table path, autoTiles' count() is a
       // footer-cheap parquet metadata read. On the DEGRADED path (table
@@ -403,4 +431,26 @@ object GroupedDetectionsTable extends graft.pipeline.InputTable(
   protected def dag(sfDir: String): Seq[graft.pipeline.Dag.Stage] =
     Seq(graft.pipeline.Dag.Stage("grouped_detections", Nil,
       (s, _) => Domain.grouped(s, sfDir)))
+}
+
+/** The DBSCAN kernel's per-point cluster assignment (cell_id, nx..cz,
+  * cluster; -1 = noise) materialized as a fingerprinted input table —
+  * NOT a read path for q83 (which always runs the production tiled
+  * clustering); it exists so the q83 EPS ORACLE (VERDICT r12 #2) can
+  * take the pinned kernel's labels as DuckDB input and value-verify the
+  * per-cluster aggregates computed downstream of them. Materialized
+  * from the GLOBAL single-kernel fit (the sklearn-matched reference
+  * shape, DbscanSpec-pinned); the tiled path q83 dumps is label-
+  * identical per WallPlanesTilingSpec, so the eps race doubles as a
+  * live-corpus re-proof of that equivalence each Verify run.
+  */
+object WallClustersTable extends graft.pipeline.InputTable(
+    "wall_clusters", "part",
+    graft.pipeline.Synthetic.meshCellsSql +
+      "|scaledFeatures(vth=0.1,aw=10000.0,cw=0.001)|dbscanGlobal(eps=0.03,min=20)",
+    version = 1) {
+  protected def dag(sfDir: String): Seq[graft.pipeline.Dag.Stage] =
+    Seq(graft.pipeline.Dag.Stage("wall_clusters", Nil,
+      (s, _) => graft.pipeline.WallPlanes.labeledGlobal(
+        graft.pipeline.Synthetic.wallFeatures(s, sfDir))))
 }

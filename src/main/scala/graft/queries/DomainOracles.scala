@@ -183,6 +183,34 @@ object DomainOracles {
      AND r.v_idx = h.v_idx
     GROUP BY r.file_name ORDER BY r.file_name"""
 
+  /** q80's eps oracle: the label-invariant per-group projection (size,
+    * min-member id, score sum — VERDICT r12 #2) over the materialized
+    * grouping-kernel output. GROUP BY keeps the kernel's own group_idx
+    * partition; the SELECT re-keys each group by its canonical minimum
+    * member, so the compared rows carry no order-dependent label.
+    */
+  private[queries] def groupProjectionEpsSql(groupedPath: String): String = s"""
+    SELECT file_name, min(det_idx) AS min_member, count(*) AS group_size,
+           round(sum(score), 6) AS score_sum
+    FROM read_parquet('$groupedPath/*.parquet')
+    GROUP BY file_name, group_idx
+    ORDER BY file_name, min_member"""
+
+  /** q83's eps oracle: per-cluster (size, centroid, bounds — VERDICT r12
+    * #2) aggregated by DuckDB over the materialized GLOBAL-kernel label
+    * assignment, raced against q83's dumped TILED output — one race
+    * verifies the aggregate math cross-engine AND re-proves tiled≡global
+    * on the live corpus.
+    */
+  private[queries] def wallPlanesEpsSql(clustersPath: String): String = s"""
+    SELECT cluster, count(*) AS n,
+           round(avg(nx), 6) AS avg_nx, round(avg(ny), 6) AS avg_ny,
+           round(avg(cx), 6) AS avg_cx, round(avg(cy), 6) AS avg_cy,
+           round(min(cx), 6) AS min_x, round(max(cx), 6) AS max_x
+    FROM read_parquet('$clustersPath/*.parquet')
+    WHERE cluster <> -1
+    GROUP BY cluster ORDER BY cluster"""
+
   val all: Seq[QueryDef] = Seq(
 
     // ── Partial oracle for q80: the grouping kernel's standalone rule
