@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Rehearsal passthrough (e.g. -Dspark.io.compression.codec=zstd or
+// -Dspark.local.dir=/tmp,/dev/shm/spill for scale runs) — forked mains
+// otherwise can't receive ad-hoc system properties.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))

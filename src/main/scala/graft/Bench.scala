@@ -231,6 +231,34 @@ object Bench {
     s"""{"detail":"full query names/precision; compact contract line follows","queries":$qs,"errors":$errs,"cache_build_ms":$cb,"sf":${Jsons.quote(sfDir)}}"""
   }
 
+  /** Machine-readable per-run config record (VERDICT r12 finding #3):
+    * the knobs a scale-rehearsal merge must carry per run — heap,
+    * local/spill dirs, codec, parallelism, master — so a merged
+    * multi-run artifact (BENCH_sf100_*) is reproducible from the
+    * artifact alone, not from prose. Printed on its own line BEFORE the
+    * detail line; tools/merge_bench.py lifts it into the merged
+    * artifact's `runs` block.
+    */
+  private[graft] def renderRunMetaJson(spark: SparkSession, sweeps: Int): String = {
+    val c = spark.sparkContext.getConf
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    val fields = Seq(
+      "heap_mb" -> heapMb.toString,
+      "cpus" -> Runtime.getRuntime.availableProcessors().toString,
+      "master" -> Jsons.quote(c.get("spark.master", "?")),
+      "local_dirs" -> Jsons.quote(
+        c.get("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "java.io.tmpdir"))),
+      "io_codec" -> Jsons.quote(c.get("spark.io.compression.codec", "lz4")),
+      "shuffle_spill_compress" -> Jsons.quote(c.get("spark.shuffle.spill.compress", "true")),
+      "executor_memory" -> Jsons.quote(c.get("spark.executor.memory", "driver-local")),
+      "shuffle_partitions" -> Jsons.quote(
+        spark.conf.get("spark.sql.shuffle.partitions", "?")),
+      "java" -> Jsons.quote(System.getProperty("java.version")),
+      "sweeps" -> sweeps.toString)
+    fields.map { case (k, v) => s"${Jsons.quote(k)}:$v" }
+      .mkString("""{"run_meta":{""", ",", "}}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -320,6 +348,7 @@ object Bench {
     graft.pipeline.SessionCache.drainBuildLog(spark)
     val results = mergeSweeps(
       (1 to sweeps).map(_ => runSweep(spark, sfDir, swept)))
+    println(renderRunMetaJson(spark, sweeps))
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
       Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)), skip))

@@ -41,9 +41,15 @@ object Sessions {
       // the graft classes dir explicitly (same box, same path). Executor
       // heap defaults to 1g in standalone; size it to the worker grant.
       val classes = Sessions.getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+      // Executor heap defaults to the full worker grant (the third
+      // local-cluster field, MiB) — one executor per worker, so asking
+      // for less just wastes the grant and asking for more refuses to
+      // start.
+      val workerMb = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)"
+        .r.findFirstMatchIn(master).map(_.group(1)).getOrElse("4096")
       b.config("spark.executor.extraClassPath", classes)
         .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "6g"))
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", s"${workerMb}m"))
     } else b
   }
 }

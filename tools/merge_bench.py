@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Merge per-run Bench logs into one scale-rehearsal artifact.
+
+VERDICT r12 finding #3: the r12 sf100 artifact carried per-query
+provenance (`source`) but dropped each run's CONFIG (heap, local dirs,
+codec, parallelism), leaving decade reproduction to prose. This tool
+lifts each run's machine-readable `run_meta` line (emitted by
+graft.Bench since r13) into a `runs` block alongside the best-of merge,
+so the merged artifact alone reproduces every run.
+
+Usage: merge_bench.py OUT.json NAME=BENCH_LOG [NAME=BENCH_LOG ...]
+
+Each BENCH_LOG is a Bench stdout capture containing (in order) the
+run_meta line, the detail line, and the contract line. Merge rule
+matches Bench.mergeSweeps: per-query MIN over error-free runs; a query
+that errored in every run keeps its first error; `source` records which
+run supplied each chosen number.
+"""
+import json, re, sys
+
+
+def extract(path):
+    meta, detail, contract = None, None, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith('{"run_meta"'):
+                meta = json.loads(line)["run_meta"]
+            elif line.startswith('{"detail"'):
+                detail = json.loads(line)
+            elif line.startswith('{"metric"'):
+                contract = json.loads(line)
+    if detail is None:
+        sys.exit(f"{path}: no detail line found")
+    return meta, detail, contract
+
+
+def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
+    out_path = sys.argv[1]
+    runs = {}
+    for arg in sys.argv[2:]:
+        if "=" not in arg:
+            sys.exit(f"expected NAME=LOG, got {arg}")
+        name, path = arg.split("=", 1)
+        runs[name] = extract(path)
+
+    best, source, errors, cache_build = {}, {}, {}, {}
+    skipped = set()
+    for name, (meta, detail, contract) in runs.items():
+        if contract and contract.get("skipped"):
+            skipped.update(contract["skipped"])
+        errs = detail.get("errors", {})
+        for q, sec in detail["queries"].items():
+            if q in errs:
+                errors.setdefault(q, f"{name}: {errs[q]}")
+                continue
+            if q not in best or sec < best[q]:
+                best[q], source[q] = sec, name
+                cb = detail.get("cache_build_ms", {}).get(q)
+                if cb is not None:
+                    cache_build[q] = cb
+                elif q in cache_build:
+                    del cache_build[q]
+    # A query that failed everywhere still reports (with its error), so
+    # the merged total never silently shrinks coverage.
+    merged_errors = {q: e for q, e in errors.items() if q not in best}
+
+    artifact = {
+        "metric": "total",
+        "value": round(sum(best.values()), 3),
+        "unit": "sec",
+        "sf": next((c.get("sf") for _, _, c in runs.values() if c), None),
+        "queries": dict(sorted(best.items())),
+        "errors": merged_errors,
+        "source": dict(sorted(source.items())),
+        "cache_build_ms": dict(sorted(cache_build.items())),
+        "skipped": sorted(skipped),
+        # The r12 gap, closed: one config block per run, machine-readable.
+        "runs": {name: {"config": meta,
+                        "queries": sorted(q for q, s in source.items() if s == name)}
+                 for name, (meta, _, _) in runs.items()},
+    }
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"{out_path}: {len(best)} queries, {len(merged_errors)} hard errors, "
+          f"{len(runs)} runs, total {artifact['value']}s")
+
+
+if __name__ == "__main__":
+    main()
