@@ -28,6 +28,16 @@ object RunDag {
     val refresh = !flags.contains("--no-refresh")
     val spark = Sessions.builder(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Publish this JVM's pid FIRST (the chaos.sh lesson: pattern-matching
+    // process lists kills the sbt LAUNCHER, not the app) — tools/
+    // dag_chaos.sh SIGKILLs exactly this process mid-materialize to
+    // prove cross-process crash-resume of the commit-marker protocol.
+    if (dagName != "inputs") {
+      new java.io.File(workDir).mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(workDir, "rundag.pid"),
+        ProcessHandle.current().pid().toString)
+    }
     if (dagName == "inputs") {
       // ensure() is always an incremental tick (fingerprint-gated reuse);
       // staleness here is structural, so --no-refresh has nothing to add.

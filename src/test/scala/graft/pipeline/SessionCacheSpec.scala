@@ -115,6 +115,35 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     SessionCache.release(spark, key) // double release is a no-op
   }
 
+  test("value entries: one build per key, released by the shared release path, attributed") {
+    // The q57 corpus-bloom shape (VERDICT r12 #1): a driver-side
+    // artifact built from a Spark job, cached per corpus identity.
+    val builds = new AtomicInteger(0)
+    val key = s"val:${System.nanoTime()}"
+    def get() = SessionCache.getOrBuildValue(spark, key) {
+      builds.incrementAndGet()
+      spark.range(100).stat.bloomFilter("id", 100, 0.01)
+    }
+    SessionCache.drainBuildLog(spark) // other suites' residue
+    val threads = (1 to 6).map(_ => new Thread(() => {
+      assert(get().mightContain(42L))
+    }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(builds.get() == 1, "value builder must run exactly once")
+    assert(SessionCache.liveKeys(spark).contains(key))
+    // Build wall time attributes into the same log Bench drains.
+    val log = SessionCache.drainBuildLog(spark)
+    assert(log.exists(_._1 == key), s"build log missing $key: $log")
+    // release() drops value entries through the same path as DataFrames;
+    // the next consumer rebuilds.
+    SessionCache.release(spark, key)
+    assert(!SessionCache.liveKeys(spark).contains(key))
+    assert(get().mightContain(42L))
+    assert(builds.get() == 2, "post-release access must rebuild")
+    SessionCache.release(spark, key)
+    SessionCache.drainBuildLog(spark)
+  }
+
   test("a full declared-query sweep keeps live entries bounded (releases fire)") {
     // Mirrors the Verify/Bench harness loop at sf0.001: run every
     // declared query in sorted order, fire its QueryDef releases, and
