@@ -55,17 +55,50 @@ object Bench {
         System.err.println(
           f"[bench] $name $dt%.1fs${err.map(e => s" ERROR $e").getOrElse("")}")
       }
-      // Post-timer shuffle-file reclaim, UNCONDITIONAL (not tied to the
-      // progress trace): in local mode, a completed query's shuffle
-      // files survive on disk until a JVM GC lets ContextCleaner notice
-      // the dereferenced shuffles — under a large rehearsal heap that
-      // can be never, and the r12 sf100 sweep accumulated 33 GB of dead
-      // shuffle files mid-sweep and ENOSPC'd the geometry chain. Any
-      // long sweep hits the same wall whether or not it traces progress.
-      // Outside the timed window, so per-query seconds are unaffected.
-      System.gc()
+      // Post-timer shuffle-file reclaim, gated on MEASURED on-disk
+      // volume — not on the progress-trace env (ADVICE r12 #2: a long
+      // sweep without the trace hit the same ENOSPC the gc was added to
+      // fix) and not unconditional either (measured this round: a gc
+      // after every sf0.1 query made the whole sweep ~30% slower — the
+      // post-GC ContextCleaner deletions land inside the NEXT query's
+      // timed window). In local mode a completed query's shuffle files
+      // survive until a JVM GC lets ContextCleaner notice the
+      // dereferenced shuffles — under a large rehearsal heap that can
+      // be never, and the r12 sf100 sweep accumulated 33 GB of dead
+      // files mid-sweep. Reclaim exactly when there is something worth
+      // reclaiming: gate-SF sweeps (a few hundred MB live at once)
+      // never trip it; scale rehearsals trip it long before ENOSPC.
+      if (shuffleDirBytes() > ShuffleReclaimBytes) System.gc()
       QueryRun(name, dt, err, builtMs)
     }
+
+  /** Reclaim threshold for the post-query gc gate: well under the
+    * r12 rehearsal's failure point (33 GB of dead files against ~50 GB
+    * free) and well over any gate-SF sweep's live footprint.
+    */
+  private[graft] val ShuffleReclaimBytes = 8L * 1024 * 1024 * 1024
+
+  /** Total bytes under this JVM's spark scratch dirs (blockmgr-* and
+    * spark-* temp trees): the dead-shuffle gauge for the reclaim gate.
+    * A filesystem walk, not SparkEnv internals — the dirs are few
+    * thousand entries even mid-rehearsal, and a broken walk must never
+    * kill a sweep (worst case the gauge under-reads and the gc skips).
+    */
+  private[graft] def shuffleDirBytes(): Long = {
+    val roots = sys.props.get("spark.local.dir")
+      .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
+      .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    def sizeOf(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty).foldLeft(0L)(_ + sizeOf(_))
+    try roots.map { r =>
+      Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+        .foldLeft(0L)(_ + sizeOf(_))
+    }.sum
+    catch { case scala.util.control.NonFatal(_) => 0L }
+  }
 
   /** Best-of-N merge of repeated sweeps: per-query MIN time (the
     * standard contention-noise eliminator — rounds 3/4/5 each produced
@@ -302,13 +335,22 @@ object Bench {
     // before a single query has run.
     Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
         graft.queries.ShinglesTable, graft.queries.DedupClustersTable).foreach { t =>
-      try { t.ensure(spark, sfDir); () }
+      // ensure + seed: a FRESH materialization of the dedup tables seeds
+      // shared SessionCache entries as a side effect of building through
+      // the cached readers ("build cost lands in setup" — by design);
+      // seedSessionCaches replays that on the REUSE path, so per-query
+      // bench numbers never depend on whether a committed table happened
+      // to pre-exist (the r12↔r13 q41 0.14↔1.97 swing was exactly this
+      // asymmetry: a warm jacPairs in r12's fresh-ensure setup, billed
+      // to q41 under r13's reuse).
+      try { t.ensure(spark, sfDir); t.seedSessionCaches(spark, sfDir) }
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal: an OOM'd JVM must die loudly, not continue into a
         // sweep that would manufacture garbage numbers.
         System.err.println(s"[bench] ${t.tableName} table unavailable, deriving in-query: $e")
       }
     }
+
     // Best-of-N sweeps (default 2): single-sweep numbers manufactured
     // 1.5–11× phantom regressions in three consecutive rounds, every
     // one adjudicated as transient machine contention. Each sweep

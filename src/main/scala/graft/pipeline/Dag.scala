@@ -528,6 +528,17 @@ abstract class InputTable(
     */
   protected def onReplaced(sfDir: String): Unit = ()
 
+  /** Subclass hook, called by timed harnesses after [[ensure]]: replay
+    * the SessionCache entries a FRESH materialization of this table
+    * seeds as a side effect of building through cached readers. The
+    * reuse path must leave the SAME session state as the build path, or
+    * per-query bench numbers depend on whether a committed table
+    * happened to pre-exist on disk (the r13 q41 finding). No-op by
+    * default — only tables whose dag stages read through SessionCache
+    * override it.
+    */
+  def seedSessionCaches(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = ()
+
   private def watchStamp(sfDir: String, p: String): Unit = {
     // A marker-committed dir with no stamp file is a legacy commit:
     // record a sentinel so a later REPLACEMENT by a stamped table

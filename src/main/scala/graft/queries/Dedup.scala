@@ -48,7 +48,7 @@ object Dedup {
     * cache at sf0.1) — and tokens materialize in their own projection so
     * the regex split runs once per row, not per consumer expression.
     */
-  private[queries] def shingleSets(spark: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def shingleSets(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.pipeline.SessionCache.getOrPersist(spark, s"shingleSets:$dir") {
       // Prefer the materialized input table ([[ShinglesTable]], ensured
       // by Bench/Verify setup); identical live derivation otherwise.
