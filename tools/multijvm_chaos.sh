@@ -35,9 +35,9 @@ KILLED=""
 for i in $(seq 1 300); do
   kill -0 $SBT_PID 2>/dev/null || break
   N=$(ls -d "$OUT"/q* 2>/dev/null | wc -l)
-  EXECS=$(pgrep -fc CoarseGrainedExecutorBackend || true)
+  EXECS=$(pgrep -fc "CoarseGrained[E]xecutorBackend" || true)
   if [ -z "$KILLED" ] && [ "$N" -ge 1 ] && [ "${EXECS:-0}" -ge 4 ]; then
-    VICTIM=$(pgrep -of CoarseGrainedExecutorBackend)
+    VICTIM=$(pgrep -of "CoarseGrained[E]xecutorBackend")
     echo "killing executor JVM $VICTIM after $N/8 dumps ($EXECS executors live)"
     kill -9 "$VICTIM" && KILLED=$VICTIM
   fi

@@ -32,9 +32,9 @@ for i in $(seq 1 600); do
   kill -0 $SBT_PID 2>/dev/null || break
   NB=$(ls -d "$WD"/sess_out/batch_* 2>/dev/null | wc -l)
   NS=$(ls -d "$WD"/nd_state/b* 2>/dev/null | wc -l)
-  EXECS=$(pgrep -fc CoarseGrainedExecutorBackend || true)
+  EXECS=$(pgrep -fc "CoarseGrained[E]xecutorBackend" || true)
   if [ -z "$KILLED" ] && [ "$NB" -ge 4 ] && [ "$NS" -ge 2 ] && [ "${EXECS:-0}" -ge 3 ]; then
-    VICTIM_EXEC=$(pgrep -of CoarseGrainedExecutorBackend)
+    VICTIM_EXEC=$(pgrep -of "CoarseGrained[E]xecutorBackend")
     echo "killing executor JVM $VICTIM_EXEC after $NB session batches / $NS segments ($EXECS executors live)"
     kill -9 "$VICTIM_EXEC" && KILLED=$VICTIM_EXEC
   fi
