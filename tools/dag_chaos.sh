@@ -10,10 +10,13 @@
 # The in-JVM racing specs (DagSpec) already pin same-process semantics;
 # this is the cross-process case production actually hits.
 #
-# Usage: tools/dag_chaos.sh [sfDir] [workDir]
+# Usage: tools/dag_chaos.sh [sfDir] [workDir] [minCommits]
+# minCommits (default 1): how many committed stages to wait for before
+# the SIGKILL — higher values land the kill deeper in the pipeline.
 set -u
 SF=${1:-/root/testdata/sf0.1}
 WD=${2:-/tmp/dag_chaos}
+MIN=${3:-1}
 REF="${WD}_ref"
 cd "$(dirname "$0")/.."
 rm -rf "$WD" "$REF"
@@ -39,7 +42,7 @@ KILLED=0
 for i in $(seq 1 300); do
   kill -0 "$VPID" 2>/dev/null || break
   N=$(commits)
-  if [ "$N" -ge 1 ] && [ "$N" -lt $STAGES ]; then
+  if [ "$N" -ge "$MIN" ] && [ "$N" -lt $STAGES ]; then
     echo "killing RunDag JVM $VPID after $N/$STAGES commits"
     kill -9 "$VPID" && KILLED=1
     break
