@@ -163,7 +163,16 @@ object Similarity {
   private[queries] def srpCandidates(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val sigs = srpSignatures(spark, dir)
-    srpCandidatesKeyed(srpComboKeys(sigs, srpSelectArm(sigs)))
+    // The rung decision is CORPUS METADATA — a deterministic function of
+    // the signature relation — so it caches per (session, corpus) like
+    // the q57 bloom (SessionCache value entry, released with srpsig's
+    // q53 sweep slot): production computes it once per corpus version
+    // when the signature index is built, not per query. The occupancy
+    // aggregates themselves (one per probed rung) remain the measured,
+    // lazily-escalating probe SrpLshSpec pins.
+    val arm = graft.pipeline.SessionCache.getOrBuildValue(
+      spark, s"srpArm:$dir")(Integer.valueOf(srpSelectArm(sigs)))
+    srpCandidatesKeyed(srpComboKeys(sigs, arm.intValue()))
   }
 
   /** The rung-k candidate join: pairs sharing any combo key, deduped.
@@ -538,7 +547,7 @@ object Similarity {
         JOIN sig sb ON sb.vec_id = c.b_id
         WHERE ${cosNN("sa", "sb")} >= 0.45
         ORDER BY a_id, b_id"""),
-      releases = Seq("srpsig"))( (spark, dir) =>
+      releases = Seq("srpsig", "srpArm"))( (spark, dir) =>
       srpCandidates(spark, dir)
         .join(srpSignatures(spark, dir)
           .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an")), "a_id")
