@@ -164,23 +164,37 @@ final class NearDupIngestDeduper(
             .select(col("p.doc_id").as("b_id"), col("c.doc_id").as("c_id"))
             .distinct()
 
-        // Exact verify: candidate ids pick up the batch doc's shingles
-        // (broadcast — bounded by candidates × shingle size), then the
-        // big shingle relation is scanned once, joined map-side. Each
-        // arm's candidate set is persisted and COUNTED first: when a
-        // probe finds no band collisions (the common case for a clean
+        // Exact verify. Only the candidate ID SET broadcasts (8-byte ids
+        // — bounded at any corpus or batch size); the big shingle
+        // relation is pruned MAP-SIDE to candidate rows before any
+        // shingle array moves, and the pruned relation, the candidate
+        // pairs, and the batch shingles assemble via SMJ — every
+        // post-prune side is candidate/batch-bounded and nothing
+        // candidate-VOLUME-scaled is ever broadcast. (r13 sf100-volume
+        // streaming rehearsal: the old broadcast of candidates WITH
+        // their shingle arrays — "bounded by candidates × shingle size"
+        // — is exactly a bound that GROWS with collision volume, and at
+        // 2.5M streamed docs / ~200k-doc batches it exceeded driver
+        // memory. The q53 lesson in streaming form: bound verify
+        // traffic, and never let a broadcast scale with it.) Each arm's
+        // candidate set is persisted and COUNTED first: when a probe
+        // finds no band collisions (the common case for a clean
         // micro-batch), the arm's shingle relation is never scanned at
-        // all — without the branch an empty broadcast side still pays
-        // the full corpus-side scan of the verify join.
+        // all.
         def verified(cands0: DataFrame, bigSh: => DataFrame): Option[DataFrame] = {
           val cands = cands0.persist()
           candCaches += cands
           if (cands.count() == 0) None
           else Some {
-            val withB = cands
-              .join(b.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), "b_id")
-            bigSh.select(col("doc_id").as("c_id"), col("shingles").as("c_sh"))
-              .join(broadcast(withB), "c_id")
+            val candIds = cands.select(col("c_id")).distinct()
+            val prunedBig = bigSh
+              .select(col("doc_id").as("c_id"), col("shingles").as("c_sh"))
+              .join(broadcast(candIds), Seq("c_id"), "left_semi")
+            prunedBig.hint("merge")
+              .join(cands.hint("merge"), "c_id")
+              .hint("merge")
+              .join(b.select(col("doc_id").as("b_id"), col("shingles").as("b_sh"))
+                .hint("merge"), "b_id")
               .filter(DF.jaccard(col("b_sh"), col("c_sh")) >= threshold)
               .select(col("b_id"))
           }
