@@ -326,6 +326,20 @@ object Bench {
     graft.pipeline.SessionCache.liveKeys(spark)
       .filterNot(_.endsWith(s":$sfDir"))
       .foreach(k => graft.pipeline.SessionCache.release(spark, k))
+    // Rehearsal knob (never set by the driver), the complement of
+    // SPARK_GRAFT_BENCH_SKIP: run ONLY the named queries. Exists for
+    // partial-corpus scale probes (a decade-4 corpus that fits this
+    // box's disk for documents/embeddings but not lineitem) — the
+    // artifact records every non-selected query in `skipped`, so a
+    // whitelisted sweep can never masquerade as a full one.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    val unknownOnly = only.diff(SparkEntry.queries.keySet)
+    if (unknownOnly.nonEmpty) {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknownOnly.toSeq.sorted.mkString(",")}")
+      sys.exit(2)
+    }
     // The detections input table (see pipeline.DetectionsTable): at scale
     // detections is an input TABLE the upstream Dag materialized, not a
     // per-query derivation — ensure it here (setup, like the driver's
@@ -333,6 +347,18 @@ object Bench {
     // Best-effort: a failed materialization (full /tmp, permissions)
     // must degrade to the in-query derivation, not kill the sweep
     // before a single query has run.
+    //
+    // Under ONLY the ensure is skipped outright: a whitelist probe runs
+    // at corpus scales where building the non-selected families' tables
+    // (detections at sf1000 is ~90 GB) would fill the disk before the
+    // first selected query ran. Committed tables are still USED if
+    // present (materializedPath checks commit state, not this setup);
+    // missing ones derive in-query with the build billed to the first
+    // consumer via cache_build_ms — attribution a probe artifact
+    // documents, not hides.
+    if (only.nonEmpty)
+      System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY set: skipping input-table ensure/seed")
+    else
     Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
         graft.queries.ShinglesTable, graft.queries.DedupClustersTable).foreach { t =>
       // ensure + seed: a FRESH materialization of the dedup tables seeds
@@ -382,9 +408,18 @@ object Bench {
         s"[bench] SPARK_GRAFT_BENCH_SKIP names not in the registry: ${unknown.toSeq.sorted.mkString(",")}")
       sys.exit(2)
     }
-    val swept = SparkEntry.queries.toSeq.filterNot { case (n, _) => skip(n) }
-    if (skip.nonEmpty)
-      System.err.println(s"[bench] skipping (SPARK_GRAFT_BENCH_SKIP): ${skip.toSeq.sorted.mkString(",")}")
+    // ONLY folds into the same exclusion set SKIP uses, so the artifact
+    // shape (and the can't-masquerade guarantee) is identical for both.
+    val excluded =
+      if (only.isEmpty) skip
+      else skip ++ SparkEntry.queries.keySet.diff(only)
+    val swept = SparkEntry.queries.toSeq.filterNot { case (n, _) => excluded(n) }
+    if (swept.isEmpty) {
+      System.err.println("[bench] ONLY/SKIP excluded every registry query — nothing to sweep")
+      sys.exit(2)
+    }
+    if (excluded.nonEmpty)
+      System.err.println(s"[bench] skipping (ONLY/SKIP): ${excluded.toSeq.sorted.mkString(",")}")
     // Warm-up and table-ensure built (and logged) cache entries of their
     // own — drain the log so the first timed query isn't billed for them.
     graft.pipeline.SessionCache.drainBuildLog(spark)
@@ -393,7 +428,7 @@ object Bench {
     println(renderRunMetaJson(spark, sweeps))
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
-      Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)), skip))
+      Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)), excluded))
     spark.stop()
   }
 }

@@ -19,10 +19,22 @@ COVERAGE.md):
   - events: event_id/user_id += k*1e6 (ts kept: 10x the density of the
     same stream window, the harder streaming-agg shape).
 
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies]
-Defaults: /root/testdata/sf0.1 /tmp/sf1 10
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies] [tables] [chunks]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10 <all> 1
+
+With chunks > 1 each shifted table is written as a DIRECTORY of
+per-k-range parquet part files instead of one file. The single-file
+COPY's `ORDER BY k` sorts the entire replicated relation in memory —
+at the decade-4 corpus (10000 copies of documents) that sort wanted
+>56 GB and starved a concurrently-running rehearsal JVM; per-chunk
+COPYs keep the working set at one chunk (copies/chunks replicas) while
+preserving copy-contiguous row-group locality inside each part. Spark
+reads the directory transparently; DuckDB oracles read
+'<dir>/*.parquet' (the sf<=100 gates all run on single files — the
+directory form is for scale probes above the oracle SFs).
 """
 import os
+import shutil
 import sys
 
 import duckdb
@@ -33,6 +45,7 @@ COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # Optional comma list: regenerate only these tables (a rehearsal that
 # dropped big tables to reclaim scratch disk puts them back piecemeal).
 ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+CHUNKS = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
 SHIFTS = {  # table -> {column: stride}
     "region": {},
@@ -90,11 +103,28 @@ def main() -> None:
                     "THEN 1.0 ELSE -1.0 END)::FLOAT) END AS embedding")
             else:
                 sel.append(c)
-        q = (f"COPY (SELECT {', '.join(sel)} FROM '{src}', "
-             f"(SELECT unnest(generate_series(0, {COPIES - 1})) AS k) "
-             f"ORDER BY k) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)")
-        con.execute(q)
-        n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        def copy_range(lo: int, hi: int, out: str) -> None:
+            q = (f"COPY (SELECT {', '.join(sel)} FROM '{src}', "
+                 f"(SELECT unnest(generate_series({lo}, {hi})) AS k) "
+                 f"ORDER BY k) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 200000)")
+            con.execute(q)
+
+        if CHUNKS <= 1:
+            copy_range(0, COPIES - 1, dst)
+            n = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+        else:
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            elif os.path.exists(dst):
+                os.remove(dst)
+            os.makedirs(dst)
+            per = (COPIES + CHUNKS - 1) // CHUNKS
+            for i, lo in enumerate(range(0, COPIES, per)):
+                hi = min(lo + per, COPIES) - 1
+                copy_range(lo, hi, f"{dst}/part_{i:04d}.parquet")
+                print(f"  {table}: chunk {i} (k {lo}..{hi}) done", flush=True)
+            n = con.execute(
+                f"SELECT count(*) FROM '{dst}/*.parquet'").fetchone()[0]
         print(f"  {table}: {n} rows")
 
 
