@@ -35,6 +35,16 @@ object Sessions {
       // refuses the file (PARQUET_TYPE_ILLEGAL). Tables.events converts
       // the long back to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Cached blocks that overflow the storage pool hit local disk
+      // UNCOMPRESSED by default; the corpus-sized shared caches
+      // (tokenArrays, shingleSets, srpsig) overflow by design one decade
+      // above whatever fits memory, and the decade-4 probe measured the
+      // raw spill at ~5x the parquet input (q78's token-array build
+      // filled a 35 GB scratch disk that the compressed form fits
+      // easily). Compressing disk-stored blocks through the io codec is
+      // the production default for cache-heavy corpora; in-memory-only
+      // runs (every gate SF) never hit this path.
+      .config("spark.rdd.compress", "true")
     if (master.startsWith("local-cluster")) {
       // Forked executors are fresh JVMs: they inherit the Spark dist
       // classpath via SPARK_HOME but NOT the sbt launch classpath — ship

@@ -128,20 +128,48 @@ object Similarity {
   private[queries] def srpEnumStats(sigs: DataFrame): (Long, Long) =
     srpKeyEnumStats(srpComboKeys(sigs, 1), 8)
 
-  /** The selected ladder rung: the smallest k ∈ {1, 2, 3} whose
-    * measured enumeration fits [[srpEnumBudget]]·n; rung 3 is the
-    * declared terminal operating point (≥3-of-8, 24-bit keys — good to
-    * ~10⁸ vectors under the uniform model; a larger corpus extends the
-    * ladder with quads/wider bands, same construction). Rungs are
-    * probed lazily — rung 2's stats aggregate only runs once rung 1 is
-    * over budget.
+  /** The selected ladder rung: the smallest k ∈ {1, …, 7} whose
+    * measured enumeration fits [[srpEnumBudget]]·n; rung 8 (the full
+    * 64-bit signature as one key — exact-signature buckets, the
+    * minimal-cost rung this signature family admits) is the terminal.
+    * Rungs are probed lazily — rung k+1's stats aggregate only runs
+    * once rung k is over budget, and the decision caches per corpus
+    * (srpArm value entry), so a settled corpus pays one probe sequence
+    * per version, not per query.
+    *
+    * Rung 3 stopped being terminal in r13: the decade-3.5 probe (6M
+    * vectors, 3× the sf100 rehearsal) ENOSPC'd the scratch disk in the
+    * verify join because the triple rung was accepted WITHOUT a probe —
+    * exactly the r12 lesson one rung up: no rung may be trusted
+    * unmeasured. The full measured ladder on this corpus family at
+    * sf100 (2M vectors), enumerated pairs PER VECTOR by rung:
+    * 36802 / 1182 / 528 / 522 / 367 / 168 / 45.2 / 5.4 — two regimes:
+    * subset-composition prunes the random collision mass (rungs 1→3),
+    * then SATURATES (rung 4 ≈ rung 3: the residue shares ≥4 bands —
+    * moderately-similar sub-threshold clusters 8-bit bands cannot
+    * separate), and only near-full-signature agreement (rungs 7, 8)
+    * discriminates again. The budget walks the whole ladder: sf100
+    * lands on rung 7 (45.2 ≤ 64), a 3× corpus on rung 8. Past rung 8
+    * the knob is signature WIDTH (128-bit sigs, 16-bit bands), not
+    * composition — out of scope for the declared 64-bit family.
     */
   private[queries] def srpSelectArm(sigs: DataFrame): Int =
-    Seq(1, 2).find { k =>
+    (1 to 7).find { k =>
       val (enumRows, n) =
         srpKeyEnumStats(srpComboKeys(sigs, k), combosOf8(k))
-      enumRows <= srpEnumBudget * n
-    }.getOrElse(3)
+      val fits = enumRows <= srpEnumBudget * n
+      // A rejected probe's shuffle files (n·C(8,k) key rows) are dead
+      // the moment its aggregate returns, but Spark only deletes them
+      // when the driver GC collects the shuffle references — and a deep
+      // ladder walk at decade-4 scale stacks seven probes' files
+      // (~25-30 GB at 20M vectors) under ONE query, ENOSPC'ing scratch
+      // the verify join then needs. This is corpus-metadata setup, run
+      // once per corpus version (the arm caches as a SessionCache value
+      // entry), so an explicit collection between rejected probes costs
+      // nothing measurable and keeps the walk's footprint at one rung.
+      if (!fits) System.gc()
+      fits
+    }.getOrElse(8)
 
   private def combosOf8(k: Int): Int = (0 until 8).combinations(k).size
 
@@ -200,6 +228,13 @@ object Similarity {
   /** Rung 3: "≥ 3 of 8 bands match" via C(8,3)=56 band-TRIPLE keys. */
   private[queries] def srpCandidatesTripleKey(sigs: DataFrame): DataFrame =
     srpCandidatesKeyed(srpComboKeys(sigs, 3))
+
+  /** Rung 4: "≥ 4 of 8 bands match" via C(8,4)=70 32-bit band-QUAD
+    * keys. Rungs 5-8 use the same generic construction (C(8,k)
+    * combined-mask keys); rung 8 is the single full-signature key.
+    */
+  private[queries] def srpCandidatesQuadKey(sigs: DataFrame): DataFrame =
+    srpCandidatesKeyed(srpComboKeys(sigs, 4))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -501,7 +536,12 @@ object Similarity {
     // CASE): the rung ladder — any-band while enumeration fits the
     // budget, ≥2-of-8 via 16-bit pair keys, ≥3-of-8 via 24-bit triple
     // keys (the r12 sf100 rehearsal rung: 425 pairs/vector of verify
-    // traffic ENOSPC'd the pair rung at 2M vectors).
+    // traffic ENOSPC'd the pair rung at 2M vectors), and on up through
+    // ≥k-of-8 combo keys to the full-signature rung 8 (the r13
+    // decade-3.5 lesson: the UNPROBED triple terminal went quadratic by
+    // 6M vectors, and composition saturates at rung ~4 on this corpus —
+    // only near-full-signature rungs discriminate the sub-threshold
+    // cluster mass; measured ladder in srpSelectArm's scaladoc).
     //
     // The testdata's "near-dups" sit at cos ≈ 0.45–0.51 — a weak-
     // similarity regime where every LSH family trades recall against
@@ -524,9 +564,10 @@ object Similarity {
         bands AS (
           SELECT vec_id, u.bk.band AS band, u.bk.key AS key
           FROM sig, (SELECT unnest(${VS.srpBandKeysExpr("sig", 8, 8)}) AS bk) u),
-        pairbands AS (
-          SELECT vec_id, u.pk.bp AS bp, u.pk.key AS key
-          FROM sig, (SELECT unnest(${VS.srpComboKeysExpr("sig", 8, 8, 2)}) AS pk) u),
+        ${(2 to 7).map(k => s"""combo$k AS (
+          SELECT vec_id, u.ck.bp AS bp, u.ck.key AS key
+          FROM sig, (SELECT unnest(${VS.srpComboKeysExpr("sig", 8, 8, k)}) AS ck) u)""")
+          .mkString(",\n        ")},
         cand AS (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id
           FROM bands a JOIN bands b
@@ -537,10 +578,11 @@ object Similarity {
                     FROM (SELECT count(*) AS d FROM bands GROUP BY band, key))
                    <= $srpEnumBudget * (SELECT count(*) FROM n)
               THEN 1
-              WHEN (SELECT coalesce(sum(d*(d-1)//2), 0)
-                    FROM (SELECT count(*) AS d FROM pairbands GROUP BY bp, key))
+              ${(2 to 7).map(k => s"""WHEN (SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM combo$k GROUP BY bp, key))
                    <= $srpEnumBudget * (SELECT count(*) FROM n)
-              THEN 2 ELSE 3 END))
+              THEN $k""").mkString("\n              ")}
+              ELSE 8 END))
         SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
         FROM cand c
         JOIN sig sa ON sa.vec_id = c.a_id

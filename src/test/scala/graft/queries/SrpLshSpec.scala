@@ -81,6 +81,32 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaTripleKeys.subsetOf(pair), "rung-3 candidates must nest inside rung-2's")
   }
 
+  test("quad-key rung ≡ declarative '≥4 of 8 bands' on the gate corpus") {
+    val sigs = Similarity.srpSignatures(spark, dir)
+    val viaQuadKeys = Similarity.srpCandidatesQuadKey(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val declarative = declarativeAtLeastKBands(sigs, 4)
+    assert(viaQuadKeys == declarative,
+      s"quad-key rung diverged: only-quadkey=${viaQuadKeys -- declarative} only-declarative=${declarative -- viaQuadKeys}")
+    // Strict nesting continues up the ladder.
+    val triple = declarativeAtLeastKBands(sigs, 3)
+    assert(viaQuadKeys.subsetOf(triple), "rung-4 candidates must nest inside rung-3's")
+  }
+
+  test("high rungs (7, 8) ≡ declarative '≥k of 8 bands' on the gate corpus") {
+    // The C(8,7)=8 and C(8,8)=1 key families exercise the combo-key
+    // construction at its sparse extreme (near-full and full signature
+    // agreement) — the rungs the saturated decade-3.5 corpus lands on.
+    val sigs = Similarity.srpSignatures(spark, dir)
+    Seq(7, 8).foreach { k =>
+      val viaKeys = Similarity.srpCandidatesKeyed(Similarity.srpComboKeys(sigs, k))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val declarative = declarativeAtLeastKBands(sigs, k)
+      assert(viaKeys == declarative,
+        s"rung-$k diverged: only-keyed=${viaKeys -- declarative} only-declarative=${declarative -- viaKeys}")
+    }
+  }
+
   test("rung selection derives from measured bucket occupancy, not row count") {
     // Gate corpus: low occupancy ⇒ the recall-first any-band rung.
     val sigs = Similarity.srpSignatures(spark, dir)
@@ -92,9 +118,12 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     // A bucket-CONCENTRATED corpus of the same modest row count must
     // escalate: 600 identical signatures put all 8 bands in one bucket
     // each ⇒ 8·600·599/2 ≈ 2.9e3 enumerations/vector on rung 1 AND
-    // 28·600·599/2 ≈ 5e6 on rung 2's pair keys — the ladder lands on
-    // rung 3 (the case the old 50k row-count constant got wrong by two
-    // orders of magnitude).
+    // every higher rung is all-pairs too (identical signatures match
+    // every C(8,k) combo key), so the ladder walks all seven probes and
+    // lands on the rung-8 terminal — true-duplicate cliques are
+    // irreducible by composition, the case that makes 8 the honest
+    // terminal (r13: no rung is trusted unprobed; the unprobed triple
+    // terminal went quadratic at the 6M-vector decade-3.5 rehearsal).
     val s = spark; import s.implicits._
     val dense = (0L until 600L).map(i => (i, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
       .select(col("vec_id"), graft.functions.VectorFunctions
@@ -102,8 +131,8 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (denseEnum, denseN) = Similarity.srpEnumStats(dense)
     assert(denseN == 600 && denseEnum > Similarity.srpEnumBudget * denseN,
       s"concentrated corpus must leave rung 1: $denseEnum vs ${Similarity.srpEnumBudget * denseN}")
-    assert(Similarity.srpSelectArm(dense) == 3,
-      "fully-concentrated buckets blow rung 2's budget too — terminal rung")
+    assert(Similarity.srpSelectArm(dense) == 8,
+      "fully-concentrated buckets blow every probed rung's budget — terminal rung")
     // Empty relation: defined decision (rung 1), no div-by-zero.
     val (e0, n0) = Similarity.srpEnumStats(dense.limit(0))
     assert(e0 == 0 && n0 == 0)
