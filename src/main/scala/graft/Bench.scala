@@ -68,7 +68,14 @@ object Bench {
       // files mid-sweep. Reclaim exactly when there is something worth
       // reclaiming: gate-SF sweeps (a few hundred MB live at once)
       // never trip it; scale rehearsals trip it long before ENOSPC.
-      if (shuffleDirBytes() > ShuffleReclaimBytes) System.gc()
+      val scratch = shuffleDirBytes()
+      if (scratch > ShuffleReclaimBytes) {
+        // Trip is logged (ADVICE r13 #1): a sweep whose timings carry
+        // ContextCleaner-deletion skew must be diagnosable from stderr.
+        System.err.println(
+          s"[bench] gc gate tripped after $name: ${scratch >> 20} MB live scratch")
+        System.gc()
+      }
       QueryRun(name, dt, err, builtMs)
     }
 
@@ -78,23 +85,49 @@ object Bench {
     */
   private[graft] val ShuffleReclaimBytes = 8L * 1024 * 1024 * 1024
 
-  /** Total bytes under this JVM's spark scratch dirs (blockmgr-* and
-    * spark-* temp trees): the dead-shuffle gauge for the reclaim gate.
-    * A filesystem walk, not SparkEnv internals — the dirs are few
-    * thousand entries even mid-rehearsal, and a broken walk must never
-    * kill a sweep (worst case the gauge under-reads and the gc skips).
-    */
-  private[graft] def shuffleDirBytes(): Long = {
-    val roots = sys.props.get("spark.local.dir")
+  private def scratchRoots: Array[String] =
+    sys.props.get("spark.local.dir")
       .orElse(sys.env.get("SPARK_LOCAL_DIRS"))
       .getOrElse(System.getProperty("java.io.tmpdir", "/tmp"))
       .split(",").map(_.trim).filter(_.nonEmpty)
+
+  private def isScratchName(n: String): Boolean =
+    n.startsWith("blockmgr-") || n.startsWith("spark-")
+
+  /** Scratch dir names that existed BEFORE this JVM's session spun up —
+    * concurrent rehearsal JVMs' dirs and kill -9 orphans. System.gc()
+    * cannot reclaim foreign files, so counting them makes the gate fire
+    * after EVERY query once foreign bytes exceed the threshold,
+    * reintroducing exactly the ~30% ContextCleaner timing skew the gate
+    * exists to avoid (ADVICE r13 #1). Snapshot at first touch of this
+    * object — main's entry, before the session (and in local-cluster
+    * mode its worker/executor JVMs) creates any dirs of its own.
+    * Foreign dirs created AFTER startup still count — unavoidable
+    * without owning the other JVM, and bounded to true mid-sweep
+    * concurrency rather than every orphan ever left on the box.
+    */
+  private[graft] val preexistingScratch: Set[String] =
+    try scratchRoots.flatMap { r =>
+      Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
+        .iterator.map(_.getName).filter(isScratchName)
+    }.toSet
+    catch { case scala.util.control.NonFatal(_) => Set.empty }
+
+  /** Total bytes under THIS run's spark scratch dirs (blockmgr-* and
+    * spark-* temp trees created since JVM start): the dead-shuffle gauge
+    * for the reclaim gate. A filesystem walk, not SparkEnv internals —
+    * the dirs are few thousand entries even mid-rehearsal, the walk
+    * covers local-cluster executor dirs a driver-side SparkEnv query
+    * would miss, and a broken walk must never kill a sweep (worst case
+    * the gauge under-reads and the gc skips).
+    */
+  private[graft] def shuffleDirBytes(): Long = {
     def sizeOf(f: java.io.File): Long =
       if (f.isFile) f.length()
       else Option(f.listFiles()).getOrElse(Array.empty).foldLeft(0L)(_ + sizeOf(_))
-    try roots.map { r =>
+    try scratchRoots.map { r =>
       Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+        .filter(f => isScratchName(f.getName) && !preexistingScratch(f.getName))
         .foldLeft(0L)(_ + sizeOf(_))
     }.sum
     catch { case scala.util.control.NonFatal(_) => 0L }
@@ -272,10 +305,11 @@ object Bench {
     * detail line; tools/merge_bench.py lifts it into the merged
     * artifact's `runs` block.
     */
-  private[graft] def renderRunMetaJson(spark: SparkSession, sweeps: Int): String = {
+  private[graft] def renderRunMetaJson(spark: SparkSession, sweeps: Int,
+      calibrationS: Option[Double] = None): String = {
     val c = spark.sparkContext.getConf
     val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
-    val fields = Seq(
+    val fields = calibrationS.map(s => "calibration_s" -> fmt(s, 3)).toSeq ++ Seq(
       "heap_mb" -> heapMb.toString,
       "cpus" -> Runtime.getRuntime.availableProcessors().toString,
       "master" -> Jsons.quote(c.get("spark.master", "?")),
@@ -319,6 +353,20 @@ object Bench {
             .write.format("noop").mode("overwrite").save())
       }
     } catch { case scala.util.control.NonFatal(_) => () }
+    // Machine-noise canary (VERDICT r13 #8): a FIXED workload — corpus-
+    // independent, cache-independent, shuffle-free — timed once per run
+    // after warm-up, so "is the box slower this round?" is a number in
+    // the artifact instead of an hour of cross-round adjudication (r13's
+    // +16% driver drift). 10^8-row hash+sort-within-partitions exercises
+    // codegen, the sorter, and memory bandwidth without touching disk.
+    val calibrationS =
+      try {
+        val t0 = System.nanoTime()
+        spark.range(100000000L).selectExpr("hash(id) AS h")
+          .sortWithinPartitions("h")
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case scala.util.control.NonFatal(_) => None }
     // The warm-up built SessionCache entries keyed with the warm dir;
     // the sweep's releases are keyed with sfDir and would never drop
     // them. Outside the try — a half-failed warm-up must still clean
@@ -425,7 +473,7 @@ object Bench {
     graft.pipeline.SessionCache.drainBuildLog(spark)
     val results = mergeSweeps(
       (1 to sweeps).map(_ => runSweep(spark, sfDir, swept)))
-    println(renderRunMetaJson(spark, sweeps))
+    println(renderRunMetaJson(spark, sweeps, calibrationS))
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
       Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)), excluded))

@@ -196,5 +196,11 @@ object SessionCache {
         false
       } else true
     }
+    // Value entries share the release contract (ADVICE r13 #2): a table
+    // rebuilt in place invalidates derived driver-side artifacts (the
+    // corpus bloom, the fitted SRP arm) exactly as it invalidates cached
+    // scans — a same-keyed value surviving here would serve stale
+    // corpus state to every later session.
+    values.filterInPlace { case ((_, k), _) => k != key }
   }
 }

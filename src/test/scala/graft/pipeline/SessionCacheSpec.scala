@@ -125,10 +125,16 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.range(100).stat.bloomFilter("id", 100, 0.01)
     }
     SessionCache.drainBuildLog(spark) // other suites' residue
+    // Thread results collect into the main thread (ADVICE r13 #4): an
+    // AssertionError thrown in a child thread is swallowed by the
+    // default handler and can never fail the suite — assert after join.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val threads = (1 to 6).map(_ => new Thread(() => {
-      assert(get().mightContain(42L))
+      try assert(get().mightContain(42L))
+      catch { case t: Throwable => failures.add(t) }
     }))
     threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"child-thread failures: $failures")
     assert(builds.get() == 1, "value builder must run exactly once")
     assert(SessionCache.liveKeys(spark).contains(key))
     // Build wall time attributes into the same log Bench drains.

@@ -76,11 +76,18 @@ def main():
         "errors": merged_errors,
         "source": dict(sorted(source.items())),
         "cache_build_ms": dict(sorted(cache_build.items())),
-        "skipped": sorted(skipped),
+        # Only queries with NO measurement in any merged run (ADVICE r13
+        # #3): a query another run actually measured must not also appear
+        # skipped — an ambiguous artifact would weaken the
+        # "whitelisted sweep can never masquerade as full" invariant.
+        "skipped": sorted(skipped - set(best) - set(errors)),
         # The r12 gap, closed: one config block per run, machine-readable.
+        # sweep_stats rides per-run when the contract line carried it.
         "runs": {name: {"config": meta,
+                        **({"sweep_stats": contract["sweep_stats"]}
+                           if contract and "sweep_stats" in contract else {}),
                         "queries": sorted(q for q, s in source.items() if s == name)}
-                 for name, (meta, _, _) in runs.items()},
+                 for name, (meta, _, contract) in runs.items()},
     }
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
