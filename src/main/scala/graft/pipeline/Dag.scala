@@ -32,12 +32,31 @@ object Dag {
     *   scan instead of reading the whole table — the boundary that
     *   matters when the handoff is 100 TB and a consumer wants one
     *   split.
+    * @param requireChecks fail-closed quality gates (VERDICT r13 #7):
+    *   each takes the CANDIDATE table — the written-but-uncommitted tmp
+    *   output, read back from parquet so the gate judges exactly the
+    *   bytes that would commit — and returns a [[graft.quality
+    *   .DataQuality]] report `(check, violations, total, metric, pass)`.
+    *   Any `pass = false` row aborts the stage BEFORE the commit swap:
+    *   the poisoned batch is deleted, the previously committed table
+    *   stays live (a daily tick keeps serving yesterday's good data),
+    *   and dependents never start. A real scheduled pipeline quarantines
+    *   a failing batch; metrics nobody consumes gate nothing.
     */
   final case class Stage(
       name: String,
       deps: Seq[String],
       build: (SparkSession, Map[String, DataFrame]) => DataFrame,
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      requireChecks: Seq[DataFrame => DataFrame] = Nil)
+
+  /** A stage's candidate output failed its declared quality gate. The
+    * failing check rows ride along for the scheduler's alert; the
+    * previously committed table is untouched.
+    */
+  final class QualityGateException(val stage: String, val failed: Seq[String])
+    extends RuntimeException(
+      s"stage $stage failed quality gate; prior committed table left live: ${failed.mkString("; ")}")
 
   final case class StageRun(name: String, rows: Long, millis: Long, skipped: Boolean)
 
@@ -319,6 +338,28 @@ object Dag {
         spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], built.schema)
           .repartition(1).write.mode("append").parquet(tmp)
+      // Quality gate, BEFORE the stamp and commit marker exist: a
+      // failing candidate is deleted and the stage throws — the target
+      // keeps its previously committed table, and a crash DURING the
+      // gate leaves an unmarked tmp the next tick sweeps. The gate
+      // reads the tmp parquet back (not the live plan) so it judges
+      // the exact bytes that would commit. collect() is driver-tiny:
+      // one report row per declared check.
+      if (s.requireChecks.nonEmpty) {
+        val candidate = spark.read.parquet(tmp)
+        val failed = s.requireChecks.flatMap { gate =>
+          gate(candidate)
+            .filter(!org.apache.spark.sql.functions.col("pass"))
+            .collect()
+            .map(r => s"${r.getAs[String]("check")}" +
+              s" violations=${r.getAs[Long]("violations")}/${r.getAs[Long]("total")}" +
+              s" metric=${r.getAs[Double]("metric")}")
+        }
+        if (failed.nonEmpty) {
+          graft.Fs.rmTree(new java.io.File(tmp))
+          throw new QualityGateException(s.name, failed)
+        }
+      }
       val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
       java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
         (own +: expectedChain.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })

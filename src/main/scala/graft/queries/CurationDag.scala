@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
 import graft.pipeline.Dag
+import graft.quality.DataQuality
 import graft.sources.Tables
 
 /** The q99 curation pipeline as a SCHEDULED-BATCH DAG (VERDICT r5 ask
@@ -91,7 +92,20 @@ object CurationDag {
         .select(col("doc_id"), col("lang"), TextAnalysis.splitName.as("split"),
           col("n_tokens"), col("pack_id"))
         .orderBy(col("doc_id")),
-      partitionBy = Seq("split")))
+      partitionBy = Seq("split"),
+      // Fail-closed gate on the publishable manifest (VERDICT r13 #7):
+      // a tick that would emit null keys, a split outside the declared
+      // domain, sub-floor documents, or duplicate doc_ids aborts before
+      // the commit swap and the prior manifest stays live. These mirror
+      // the q96/q97 check families — here they CONSUME the metrics as a
+      // gate instead of only reporting them.
+      requireChecks = Seq(
+        DataQuality.run(_, Seq(
+          DataQuality.NotNull("doc_id"),
+          DataQuality.NotNull("pack_id"),
+          DataQuality.InRange("n_tokens", 15, Long.MaxValue.toDouble),
+          DataQuality.AcceptedValues("split", Seq("train", "val", "test")))),
+        DataQuality.uniqueness(_, Seq("doc_id")))))
 
   /** SessionCache keys the root stages build through the shared relation
     * builders — a standalone DAG run (RunDag, specs) releases them after

@@ -179,6 +179,54 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.Fs.rmTree(new java.io.File(dir))
   }
 
+  test("a poisoned batch fails its quality gate and cannot replace the good committed table") {
+    import org.apache.spark.sql.functions._
+    import graft.quality.DataQuality
+    val dir = java.nio.file.Files.createTempDirectory("dag-dq").toString
+    // The fail-closed contract (VERDICT r13 #7): the gate judges the
+    // written candidate; pass=false aborts BEFORE the commit swap.
+    val gate: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      DataQuality.run(_, Seq(DataQuality.NotNull("v"))),
+      DataQuality.uniqueness(_, Seq("id")))
+    def tick(rows: org.apache.spark.sql.DataFrame, refresh: Boolean) =
+      Dag.materialize(spark, Seq(
+        Dag.Stage("manifest", Nil, (_, _) => rows, requireChecks = gate),
+        Dag.Stage("consumer", Seq("manifest"), (sp, up) =>
+          up("manifest").agg(count(lit(1)).as("n")))), dir, refresh)
+
+    // Tick 1: a healthy batch commits through the gate.
+    val good = spark.range(5).select(col("id"), lit("x").as("v"))
+    val first = tick(good, refresh = true)
+    assert(first.forall(r => !r.skipped && r.rows > 0))
+    val goodStamp = Dag.commitStamp(new java.io.File(s"$dir/manifest.parquet"))
+    assert(goodStamp.isDefined)
+
+    // Tick 2: a poisoned batch — one null v, duplicated ids — must
+    // abort with BOTH failing checks named, and the dependent must
+    // never rebuild over it.
+    val poisoned = spark.range(5).select((col("id") % 2).as("id"),
+      when(col("id") === 3, lit(null)).otherwise(lit("x")).as("v"))
+    val e = intercept[Dag.QualityGateException](tick(poisoned, refresh = true))
+    assert(e.stage == "manifest")
+    assert(e.failed.exists(_.startsWith("not_null:v")), e.failed.mkString("; "))
+    assert(e.failed.exists(_.startsWith("unique:id")), e.failed.mkString("; "))
+
+    // The good table is still live: same commit stamp, same contents,
+    // and no tmp residue from the quarantined batch.
+    assert(Dag.commitStamp(new java.io.File(s"$dir/manifest.parquet")) == goodStamp)
+    assert(spark.read.parquet(s"$dir/manifest.parquet")
+      .filter(col("v").isNull).count() == 0)
+    assert(spark.read.parquet(s"$dir/manifest.parquet").count() == 5)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")),
+      "quarantined batch must not leave tmp residue")
+
+    // Tick 3 (refresh=false): the scheduler's next incremental tick
+    // keeps serving yesterday's good manifest.
+    val again = tick(good, refresh = false)
+    assert(again.forall(_.skipped) && again.head.rows == 5)
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("a partition-layout change rebuilds a committed stage once under refresh=false") {
     val dir = java.nio.file.Files.createTempDirectory("dag-layout").toString
     def stages(pb: Seq[String]) = Seq(Dag.Stage("m", Nil, (sp, _) =>
