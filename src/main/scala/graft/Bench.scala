@@ -226,10 +226,22 @@ object Bench {
     * per-query times are never degraded (full detail is on the
     * preceding detail line regardless).
     */
+  /** Render the SRP-recall record (VERDICT r13 #2): q53's survivors are
+    * a subset of q44's exact answer by construction, so recall is the
+    * row-count ratio. -1 ratio = the exact baseline found nothing
+    * (undefined, never observed on real corpora).
+    */
+  private def recallField(recall: Option[(Long, Long)]): String =
+    recall.map { case (lsh, exact) =>
+      val ratio = if (exact == 0) -1.0 else lsh.toDouble / exact
+      s""","recall":{"q53_pairs":$lsh,"q44_pairs":$exact,"ratio":${fmt(ratio, 6)}}"""
+    }.getOrElse("")
+
   private[graft] def renderJson(
       results: Seq[QueryRun], sfDir: String, sweeps: Int,
       sweepStats: Option[(Long, Long, Long)] = None,
-      skipped: Set[String] = Set.empty): String = {
+      skipped: Set[String] = Set.empty,
+      recall: Option[(Long, Long)] = None): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
     // Per-query cache-construction ms (VERDICT r11 #7), keyed like the
@@ -252,10 +264,11 @@ object Bench {
     // (the driver's case) the line is byte-identical to before.
     val sk = if (skipped.isEmpty) ""
       else s""","skipped":[${skipped.toSeq.sorted.map(Jsons.quote).mkString(",")}]"""
+    val rc = recallField(recall)
     val total = results.map(_.seconds).sum
     def qsAt(dec: Int) = renderMaps(results, key, fmt(_, dec), 0, 0)._1
     def line(qs: String, errs: String, cb: String) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk,"sf":${Jsons.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk$rc,"sf":${Jsons.quote(sfDir)}}"""
     val failed = results.collect { case QueryRun(n, _, Some(m), _) => (n, m) }
     // Degrade order: error detail first (a failure round is when the
     // artifact matters most), then the cache-build map, then per-query
@@ -473,10 +486,31 @@ object Bench {
     graft.pipeline.SessionCache.drainBuildLog(spark)
     val results = mergeSweeps(
       (1 to sweeps).map(_ => runSweep(spark, sfDir, swept)))
+    // SRP-LSH recall vs the exact baseline (VERDICT r13 #2): q53's
+    // verified pairs ⊆ q44's exact answer by construction, so recall is
+    // a row-count ratio. Measured UNTIMED after the sweep, only when
+    // both queries ran clean — a rehearsal that excludes q44's declared-
+    // O(n²) baseline gets no recall field, and the `skipped` list
+    // already records why. This is the number that tracks the ladder's
+    // USEFULNESS per SF (recall collapse under a constant change fails
+    // the artifact trail, not just a spec fixture).
+    val recallQs = Seq("q53_srp_lsh", "q44_embedding_neardup")
+    val recall =
+      if (recallQs.forall(q => results.exists(r => r.name == q && r.error.isEmpty)))
+        try {
+          val counts = recallQs.map(q => SparkEntry.queries(q)(spark, sfDir).count())
+          recallQs.foreach(q => graft.queries.Registry.byName(q).releases
+            .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir")))
+          Some((counts(0), counts(1)))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] recall measurement failed: $e"); None
+        }
+      else None
     println(renderRunMetaJson(spark, sweeps, calibrationS))
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
-      Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)), excluded))
+      Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)),
+      excluded, recall))
     spark.stop()
   }
 }
