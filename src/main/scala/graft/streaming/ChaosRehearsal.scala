@@ -45,6 +45,9 @@ object ChaosRehearsal {
     StructField("value", DoubleType)))
   private val docSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
+  private val lateSchema = StructType(Seq(
+    StructField("ts", TimestampType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
 
   def main(args: Array[String]): Unit = {
     val Array(phase, sfDir, workDir) = args.take(3)
@@ -139,7 +142,31 @@ object ChaosRehearsal {
         workDir, f"$workDir/docs_src/chunk_$k%03d.parquet", base + k * 2000L)
     }
     dRanked.unpersist()
-    println(s"""{"phase":"prep","events":$n,"event_chunks":${EventChunks + 1},"docs":$dn,"doc_chunks":$DocChunks}""")
+    // Late-replay stream (VERDICT r13 #4): the q108 arrival model — one
+    // chunk per 6-hour ARRIVAL bucket, fed in bucket order, so the
+    // watermark-drop classification lateClassified declares (and the
+    // q108 oracle checks in DuckDB) is exactly what the streaming
+    // tumbling aggregate must drop, kill -9 or not.
+    val classified = EventStreams.lateClassified(
+        graft.sources.Tables.events(spark, sfDir))
+      .select(col("batch_id"), col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value").cast("double"), col("late"))
+    classified.persist()
+    val lateBuckets = classified.select("batch_id").distinct()
+      .orderBy("batch_id").collect().map(_.getLong(0))
+    lateBuckets.zipWithIndex.foreach { case (b, k) =>
+      writeChunk(
+        classified.filter(col("batch_id") === b)
+          .select(col("ts"), col("event_type"), col("value")),
+        workDir, f"$workDir/late_src/chunk_$k%04d.parquet", base + k * 2000L)
+    }
+    val nLate = classified.filter(col("late")).count()
+    classified.unpersist()
+    writeChunk(
+      Seq((flushTs, "flush", 0.0)).toDF("ts", "event_type", "value"),
+      workDir, f"$workDir/late_src/chunk_${lateBuckets.length}%04d.parquet",
+      base + lateBuckets.length * 2000L)
+    println(s"""{"phase":"prep","events":$n,"event_chunks":${EventChunks + 1},"docs":$dn,"doc_chunks":$DocChunks,"late_buckets":${lateBuckets.length},"late_rows":$nLate}""")
   }
 
   private def corpusShingles(spark: SparkSession, sfDir: String): DataFrame = {
@@ -183,8 +210,28 @@ object ChaosRehearsal {
         deduper(batch, batchId).count(); ()
       }
       .start()
+    // ── Late-replay stream: q108's arrival model (one 6-hour arrival
+    // bucket per micro-batch), 30-minute watermark, 6-hour tumbling
+    // aggregate in append mode. Dropped-late rows must STAY dropped
+    // across the kill: the recovered watermark comes from the commit
+    // log, so a replayed batch re-drops exactly what the classification
+    // says — validated against the batch on-time aggregate below.
+    val lateOut = s"$workDir/late_out"
+    val lateQ = EventStreams.tumbling(
+        spark.readStream.schema(lateSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$workDir/late_src")
+          .withWatermark("ts", "30 minutes"))
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_late")
+      .outputMode("append")
+      .foreachBatch { (out: DataFrame, batchId: Long) =>
+        out.write.mode("overwrite").parquet(f"$lateOut/batch_$batchId%05d")
+      }
+      .start()
     sessQ.processAllAvailable(); sessQ.stop()
     ndQ.processAllAvailable(); ndQ.stop()
+    lateQ.processAllAvailable(); lateQ.stop()
     if (!validate) {
       // The victim is not supposed to get here — the harness's kill
       // should land first. Record that it survived so the script can
@@ -239,14 +286,44 @@ object ChaosRehearsal {
     ref.close()
     deduper.close()
 
-    // 3. SegmentStore hygiene after the kill + rehydration: no orphaned
+    // 3. Late-row accounting across the kill (VERDICT r13 #4): the
+    // streaming tumbling aggregate over the arrival replay must equal
+    // the batch aggregate over EXACTLY the rows lateClassified calls
+    // on-time — one admitted late row or one over-dropped on-time row
+    // diverges some window's (n, total). Dropped stays dropped across
+    // recovery; admitted stays admitted.
+    val lateGot = spark.read.schema(StructType(Seq(
+        StructField("window_start", StringType), StructField("event_type", StringType),
+        StructField("n", LongType), StructField("total", DoubleType))))
+      .parquet(s"$workDir/late_out/batch_*")
+      .filter(col("event_type") =!= "flush")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val classified = EventStreams.lateClassified(
+        graft.sources.Tables.events(spark, sfDir))
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        col("value").cast("double").as("value"), col("late"))
+      .persist()
+    val nLate = classified.filter(col("late")).count()
+    val lateExpect = EventStreams.tumbling(classified.filter(!col("late")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    classified.unpersist()
+    check("late_stream_no_duplicate_windows", lateGot.size == lateGot.distinct.size,
+      s"rows=${lateGot.size} distinct=${lateGot.distinct.size}")
+    check("late_drops_match_batch_classification", lateGot.toSet == lateExpect.toSet,
+      s"stream=${lateGot.size} batch=${lateExpect.size} late_rows=$nLate " +
+        s"onlyStream=${(lateGot.toSet -- lateExpect.toSet).size} onlyBatch=${(lateExpect.toSet -- lateGot.toSet).size}")
+    check("late_fixture_nonvacuous", nLate > 0, s"late_rows=$nLate")
+
+    // 4. SegmentStore hygiene after the kill + rehydration: no orphaned
     // tmp dirs, no marker-less (torn) segment dirs left on disk.
     val state = new java.io.File(s"$workDir/nd_state").listFiles().toSeq
     val torn = state.filter(f => f.isDirectory &&
       !new java.io.File(f, "_graft_commit").exists())
     check("segment_store_zero_torn_or_tmp", torn.isEmpty,
       torn.map(_.getName).mkString(","))
-    println(s"""{"phase":"resume","failures":$failures,"accepted":${accepted.size},"sessions":${gotRows.size}}""")
+    println(s"""{"phase":"resume","failures":$failures,"accepted":${accepted.size},"sessions":${gotRows.size},"late_windows":${lateGot.size},"late_rows_dropped":$nLate}""")
     if (failures > 0) { spark.stop(); sys.exit(1) }
   }
 

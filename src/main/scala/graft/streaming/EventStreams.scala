@@ -96,6 +96,58 @@ object EventStreams {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total"))
 
+  /** Deterministic late-data replay model + Spark's watermark-drop rule
+    * as a BATCH classification (VERDICT r13 #4): the contract for what
+    * `withWatermark("ts", "30 minutes")` + a 6-hour tumbling aggregate
+    * DROPS when this corpus is replayed in arrival order.
+    *
+    * Arrival model (pure function of the row, so both engines and the
+    * streaming replay agree): each event arrives `jit_ms` after its
+    * event time — 1 in 20 events straggles up to 24 h (the realistic
+    * heavy tail that actually exercises the drop path), the rest ≤ 10
+    * min. Micro-batches are 6-hour buckets of ARRIVAL time, fed in
+    * order. Spark's watermark before batch k is then
+    * `max over batches < k of (max event ts, floored to ms) − 30 min`
+    * (the floor mirrors EventTimeStats' microsecond→millisecond
+    * truncation), and a row is dropped iff its 6-hour window END ≤ that
+    * watermark — the eviction predicate streaming aggregation applies.
+    * LateDataSpec proves the equivalence against a real MemoryStream
+    * replay; the q108 oracle races the same classification in DuckDB.
+    *
+    * Scale shape: one groupBy over arrival buckets (tiny output — 4 per
+    * day), a driver-scale running max, broadcast join back; no global
+    * row ordering anywhere.
+    */
+  def lateClassified(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = org.apache.spark.sql.graft.GraftExpressions.polyHash(
+      concat(lit("late|"), col("event_id").cast("string")))
+    // ts arrives TIMESTAMP_NTZ from the nanos-parquet conversion;
+    // unix_micros needs TIMESTAMP and the session is pinned UTC, so the
+    // cast is a pure reinterpretation (matches DuckDB's epoch_us over
+    // the same naive timestamps).
+    val rows = events
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("h", h)
+      .withColumn("jit_ms", when(col("h") % 20 === 0, col("h") % 86400000L)
+        .otherwise(col("h") % 600000L))
+      .withColumn("arr_us", col("ts_us") + col("jit_ms") * 1000L)
+      .withColumn("batch_id", expr("arr_us div 21600000000"))
+      .withColumn("wend_us", (expr("ts_us div 21600000000") + lit(1L)) * 21600000000L)
+    // Watermark per arrival batch: prior batches' max event time (ms
+    // floor) − 30 min. The unpartitioned window is over ONE ROW PER
+    // 6-HOUR BUCKET — ~1500 rows per corpus-year, driver-scale by
+    // construction, then broadcast back to the events.
+    val wm = rows.groupBy(col("batch_id"))
+      .agg(max(expr("ts_us div 1000")).as("bmax_ms"))
+      .withColumn("wm_us",
+        (max(col("bmax_ms")).over(Window.orderBy(col("batch_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)) - 1800000L) * 1000L)
+      .select(col("batch_id"), col("wm_us"))
+    rows.join(broadcast(wm), "batch_id")
+      .withColumn("late", col("wm_us").isNotNull && col("wend_us") <= col("wm_us"))
+  }
+
   // ── Custom stateful sessionization (flatMapGroupsWithState) ─────────
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -35,16 +35,19 @@ if [ -z "$VPID" ]; then
   exit 3
 fi
 
-# Kill only after BOTH queries committed real progress: >=4 session
-# batches and >=3 state segments means the SIGKILL lands mid-stream
-# with open RocksDB state and committed-but-unfinished segments.
+# Kill only after ALL THREE queries committed real progress: >=4
+# session batches, >=3 state segments, and >=3 late-replay batches
+# means the SIGKILL lands mid-stream with open RocksDB state,
+# committed-but-unfinished segments, and a live watermark that already
+# dropped late rows.
 KILLED=0
 for i in $(seq 1 180); do
   kill -0 "$VPID" 2>/dev/null || break
   NB=$(ls -d "$WD"/sess_out/batch_* 2>/dev/null | wc -l)
   NS=$(ls -d "$WD"/nd_state/b* 2>/dev/null | wc -l)
-  if [ "$NB" -ge 4 ] && [ "$NS" -ge 3 ]; then
-    echo "killing victim JVM $VPID after $NB session batches / $NS state segments"
+  NL=$(ls -d "$WD"/late_out/batch_* 2>/dev/null | wc -l)
+  if [ "$NB" -ge 4 ] && [ "$NS" -ge 3 ] && [ "$NL" -ge 3 ]; then
+    echo "killing victim JVM $VPID after $NB session batches / $NS state segments / $NL late batches"
     kill -9 "$VPID" && KILLED=1
     break
   fi

@@ -19,8 +19,29 @@ COVERAGE.md):
   - events: event_id/user_id += k*1e6 (ts kept: 10x the density of the
     same stream window, the harder streaming-agg shape).
 
-Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies] [tables] [chunks]
-Defaults: /root/testdata/sf0.1 /tmp/sf1 10 <all> 1
+Usage: python3 tools/make_sf1.py [src_dir] [dst_dir] [copies] [tables] [chunks] [skew]
+Defaults: /root/testdata/sf0.1 /tmp/sf1 10 <all> 1 0
+
+With skew=1 (VERDICT r13 #1: the adversarial-Zipf arm) three planted
+pathologies ride on top of the normal replication, exercising the
+guards no uniform corpus ever fires:
+
+  - lineitem: ~1/293-rate rows (tuned to ~20-24k at sf1) remap onto ONE
+    synthetic hot panorama block (l_orderkey = 380000000 + partkey%38 ->
+    pano_10000000.jpg with >20000 detections, over the default
+    dense-group threshold; boxes spread over the 38 orderkey slots so
+    the greedy adjacency stays sparse-bounded). These rows deliberately
+    orphan their orders FK - q98's referential check must REPORT the
+    dirt (both engines compute the same violation counts, so the oracle
+    stays green while the check fires).
+  - events: 5% of all events (event_id % 20 == 3) remap to user_id 1 -
+    one hot user owning 1/20th of the stream (hot sessions, hot window
+    partitions, skewed join keys).
+  - documents: ids with id%50==7 in [100, 200000) are rewritten as
+    near-identical variants of one template (pairwise 3-shingle
+    Jaccard ~0.89) - ONE mega near-dup cluster (~800 members at sf1,
+    absolute-capped so the q41 df-cap=10000 contract is never crossed
+    and the O(n^2) oracle stays exact). Eval ids (<64) are untouched.
 
 With chunks > 1 each shifted table is written as a DIRECTORY of
 per-k-range parquet part files instead of one file. The single-file
@@ -44,8 +65,18 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # Optional comma list: regenerate only these tables (a rehearsal that
 # dropped big tables to reclaim scratch disk puts them back piecemeal).
-ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 and sys.argv[4] else None
 CHUNKS = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+SKEW = len(sys.argv) > 6 and sys.argv[6] == "1"
+
+# Hot-panorama constants (skew mode): all hot lineitem rows land in the
+# 38-orderkey block of pano 10,000,000 — far beyond any replicated key,
+# so the planted monster is attributable at a glance.
+HOT_PANO_BASE = 38 * 10_000_000
+MEGA_TEMPLATE = (
+    "the quick brown fox jumps over the lazy dog while ninety seven "
+    "sensors record every frame of the survey run and the archive "
+    "keeps one canonical copy of each observed facade for later review")
 
 SHIFTS = {  # table -> {column: stride}
     "region": {},
@@ -81,9 +112,43 @@ def main() -> None:
             print(f"  {table}: copied (fixed)")
             continue
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
+        # Skew-arm hot-row predicates (deterministic, pure functions of
+        # the row + copy index so re-generation is byte-stable).
+        hot_li_pred = None
+        if SKEW and table == "lineitem":
+            n_src = con.execute(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+            total = n_src * COPIES
+            # Hot-pano size: ~0.33% of the corpus, absolute-capped at
+            # ~23k rows so (a) it clears the 20000 dense-group threshold
+            # at sf1+ with margin (p is a floor-division approximation)
+            # and (b) the single-task greedy adjacency stays
+            # memory-bounded at any rehearsal SF.
+            target = min(23000, max(200, total // 260))
+            p = max(1, total // target)
+            hot_li_pred = f"(l_orderkey * 97 + l_partkey * 31 + l_linenumber + k) % {p} = 0"
+        mega_doc_pred = ("(doc_id + k * 100000) % 50 = 7 AND "
+                         "(doc_id + k * 100000) BETWEEN 100 AND 199999")
         sel = []
         for c in cols:
-            if c in shifts:
+            if SKEW and table == "lineitem" and c == "l_orderkey":
+                # Hot panorama: ~21k rows onto one 38-key block (boxes
+                # spread over the block's slots via partkey). FK dirt is
+                # deliberate - q98 must report it.
+                sel.append(
+                    f"CASE WHEN {hot_li_pred} THEN {HOT_PANO_BASE} + (l_partkey % 38) "
+                    f"ELSE l_orderkey + k * {shifts[c]} END AS l_orderkey")
+            elif SKEW and table == "events" and c == "user_id":
+                sel.append(
+                    "CASE WHEN (event_id + k * 1000000) % 20 = 3 THEN 1 "
+                    f"ELSE user_id + k * {shifts[c]} END AS user_id")
+            elif SKEW and table == "documents" and c == "text":
+                sel.append(
+                    f"CASE WHEN {mega_doc_pred} "
+                    f"THEN '{MEGA_TEMPLATE}' || ' uniq' || (doc_id + k * 100000) "
+                    "WHEN k = 0 THEN text ELSE "
+                    "array_to_string(list_transform(string_split(text, ' '), "
+                    "t -> t || 'zz' || k), ' ') END AS text")
+            elif c in shifts:
                 sel.append(f"{c} + k * {shifts[c]} AS {c}")
             elif table == "documents" and c == "text":
                 # Suffix every token with zz<k> in copies k>0.
