@@ -84,8 +84,8 @@ def main():
         # The r12 gap, closed: one config block per run, machine-readable.
         # sweep_stats rides per-run when the contract line carried it.
         "runs": {name: {"config": meta,
-                        **({"sweep_stats": contract["sweep_stats"]}
-                           if contract and "sweep_stats" in contract else {}),
+                        **{k: contract[k] for k in ("sweep_stats", "recall")
+                           if contract and k in contract},
                         "queries": sorted(q for q, s in source.items() if s == name)}
                  for name, (meta, _, contract) in runs.items()},
     }
