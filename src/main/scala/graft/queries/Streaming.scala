@@ -103,8 +103,12 @@ object Streaming {
     // The oracle mirrors Spark's watermark mechanics operation-for-
     // operation: ms-floored max event time per arrival batch, running
     // max over PRIOR batches, window-END ≤ watermark drops. LateDataSpec
-    // proves real Structured Streaming drops exactly this set; the
-    // chaos harness proves dropped rows stay dropped across SIGKILL.
+    // proves real Structured Streaming drops exactly this set under
+    // per-bucket pacing (each batch fully processed before the next
+    // arrives — the lag-1 trajectory; a back-to-back file replay lags
+    // one batch more, see lateClassified's scaladoc); the chaos harness
+    // proves kill-invariance and sandwiches the replay between the
+    // lag-1/lag-2 models.
     QueryDef(
       "q108_late_watermark",
       Some(s"""

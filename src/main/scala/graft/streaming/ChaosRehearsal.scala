@@ -286,35 +286,76 @@ object ChaosRehearsal {
     ref.close()
     deduper.close()
 
-    // 3. Late-row accounting across the kill (VERDICT r13 #4): the
-    // streaming tumbling aggregate over the arrival replay must equal
-    // the batch aggregate over EXACTLY the rows lateClassified calls
-    // on-time — one admitted late row or one over-dropped on-time row
-    // diverges some window's (n, total). Dropped stays dropped across
-    // recovery; admitted stays admitted.
-    val lateGot = spark.read.schema(StructType(Seq(
-        StructField("window_start", StringType), StructField("event_type", StringType),
-        StructField("n", LongType), StructField("total", DoubleType))))
-      .parquet(s"$workDir/late_out/batch_*")
-      .filter(col("event_type") =!= "flush")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-      .toSeq
-    val classified = EventStreams.lateClassified(
-        graft.sources.Tables.events(spark, sfDir))
-      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
-        col("value").cast("double").as("value"), col("late"))
-      .persist()
-    val nLate = classified.filter(col("late")).count()
-    val lateExpect = EventStreams.tumbling(classified.filter(!col("late")))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-      .toSeq
-    classified.unpersist()
+    // 3. Late-row accounting across the kill (VERDICT r13 #4), in two
+    // halves. (a) KILL-INVARIANCE — the direct exactly-once proof,
+    // independent of any watermark model: replay the identical stream
+    // from scratch in THIS process (fresh checkpoint, no kill) and
+    // demand the final window set is bit-identical to the killed+
+    // recovered run's. (b) MODEL SANDWICH — ties the replay to the
+    // declared q108 classification: the watermark trajectory of a
+    // back-to-back file replay lags one batch behind the per-bucket-
+    // paced model (see lateClassified's scaladoc; measured, not
+    // assumed), so every window's admitted count must sit between the
+    // lag-1 aggregate (the q108 oracle's model — the most drops) and
+    // the lag-2 aggregate (the fewest). A dropped-late row that
+    // REAPPEARED after recovery would break (a) and push some window
+    // past its lag-2 bound in (b).
+    def readWindows(dir: String): Seq[(String, String, Long, Double)] =
+      spark.read.schema(StructType(Seq(
+          StructField("window_start", StringType), StructField("event_type", StringType),
+          StructField("n", LongType), StructField("total", DoubleType))))
+        .parquet(dir)
+        .filter(col("event_type") =!= "flush")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val lateGot = readWindows(s"$workDir/late_out/batch_*")
     check("late_stream_no_duplicate_windows", lateGot.size == lateGot.distinct.size,
       s"rows=${lateGot.size} distinct=${lateGot.distinct.size}")
-    check("late_drops_match_batch_classification", lateGot.toSet == lateExpect.toSet,
-      s"stream=${lateGot.size} batch=${lateExpect.size} late_rows=$nLate " +
-        s"onlyStream=${(lateGot.toSet -- lateExpect.toSet).size} onlyBatch=${(lateExpect.toSet -- lateGot.toSet).size}")
-    check("late_fixture_nonvacuous", nLate > 0, s"late_rows=$nLate")
+
+    val refQ = EventStreams.tumbling(
+        spark.readStream.schema(lateSchema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$workDir/late_src")
+          .withWatermark("ts", "30 minutes"))
+      .writeStream
+      .option("checkpointLocation", s"$workDir/ckpt_late_ref")
+      .outputMode("append")
+      .foreachBatch { (out: DataFrame, batchId: Long) =>
+        out.write.mode("overwrite").parquet(f"$workDir/late_out_ref/batch_$batchId%05d")
+      }
+      .start()
+    refQ.processAllAvailable(); refQ.stop()
+    val lateRef = readWindows(s"$workDir/late_out_ref/batch_*")
+    check("late_kill_invariance", lateGot.toSet == lateRef.toSet,
+      s"killed=${lateGot.size} unkilled=${lateRef.size} " +
+        s"onlyKilled=${(lateGot.toSet -- lateRef.toSet).size} onlyUnkilled=${(lateRef.toSet -- lateGot.toSet).size}")
+
+    def modelAgg(lag: Int): Map[(String, String), Long] = {
+      val classified = EventStreams.lateClassified(
+          graft.sources.Tables.events(spark, sfDir), lag)
+        .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+          col("value").cast("double").as("value"), col("late"))
+      EventStreams.tumbling(classified.filter(!col("late")))
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    }
+    val lag1 = modelAgg(1)
+    val lag2 = modelAgg(2)
+    val gotN = lateGot.map(t => ((t._1, t._2), t._3)).toMap
+    val keys = lag1.keySet ++ lag2.keySet ++ gotN.keySet
+    val violations = keys.toSeq.filter { k =>
+      val g = gotN.getOrElse(k, 0L)
+      g < lag1.getOrElse(k, 0L) || g > lag2.getOrElse(k, 0L)
+    }
+    val gotSum = lateGot.map(_._3).sum
+    val totalEvents = graft.sources.Tables.events(spark, sfDir).count()
+    check("late_drops_sandwiched_between_lag_models", violations.isEmpty,
+      s"windows=${keys.size} violations=${violations.take(3).mkString(",")} " +
+        s"sum lag1=${lag1.values.sum} got=$gotSum lag2=${lag2.values.sum}")
+    // Non-vacuous: the replay really dropped rows (admitted < corpus)
+    // and the model really classified rows late (lag-1 on-time < corpus).
+    check("late_fixture_nonvacuous",
+      gotSum < totalEvents && lag1.values.sum < totalEvents,
+      s"got=$gotSum lag1=${lag1.values.sum} corpus=$totalEvents")
 
     // 4. SegmentStore hygiene after the kill + rehydration: no orphaned
     // tmp dirs, no marker-less (torn) segment dirs left on disk.
@@ -323,7 +364,7 @@ object ChaosRehearsal {
       !new java.io.File(f, "_graft_commit").exists())
     check("segment_store_zero_torn_or_tmp", torn.isEmpty,
       torn.map(_.getName).mkString(","))
-    println(s"""{"phase":"resume","failures":$failures,"accepted":${accepted.size},"sessions":${gotRows.size},"late_windows":${lateGot.size},"late_rows_dropped":$nLate}""")
+    println(s"""{"phase":"resume","failures":$failures,"accepted":${accepted.size},"sessions":${gotRows.size},"late_windows":${lateGot.size},"late_rows_dropped":${totalEvents - gotSum},"late_model_lag1_drops":${totalEvents - lag1.values.sum},"late_model_lag2_drops":${totalEvents - lag2.values.sum}}""")
     if (failures > 0) { spark.stop(); sys.exit(1) }
   }
 

@@ -107,18 +107,29 @@ object EventStreams {
     * heavy tail that actually exercises the drop path), the rest ≤ 10
     * min. Micro-batches are 6-hour buckets of ARRIVAL time, fed in
     * order. Spark's watermark before batch k is then
-    * `max over batches < k of (max event ts, floored to ms) − 30 min`
+    * `max over batches ≤ k−lag of (max event ts, floored to ms) − 30 min`
     * (the floor mirrors EventTimeStats' microsecond→millisecond
     * truncation), and a row is dropped iff its 6-hour window END ≤ that
     * watermark — the eviction predicate streaming aggregation applies.
-    * LateDataSpec proves the equivalence against a real MemoryStream
-    * replay; the q108 oracle races the same classification in DuckDB.
+    *
+    * `lag` names a REAL pacing dependence, measured not assumed: when
+    * each bucket is fed and fully processed before the next arrives
+    * (the LateDataSpec MemoryStream replay — an idle no-data batch
+    * absorbs the watermark update between buckets), batch k drops
+    * against stats through k−1 (`lag = 1`, the q108 oracle's model).
+    * When buckets replay back-to-back from files (the chaos harness),
+    * the update takes one extra batch to land in the offsets log and
+    * batch k drops against stats through k−2 (`lag = 2`; measured
+    * exactly — 23,335 of 38,648 model-late rows dropped at sf1, equal
+    * to the lag-2 prediction, kill or no kill). Any real trajectory
+    * sits between the two: ChaosRehearsal sandwiches the replay
+    * per-window between the lag-1 and lag-2 aggregates.
     *
     * Scale shape: one groupBy over arrival buckets (tiny output — 4 per
     * day), a driver-scale running max, broadcast join back; no global
     * row ordering anywhere.
     */
-  def lateClassified(events: DataFrame): DataFrame = {
+  def lateClassified(events: DataFrame, lag: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = org.apache.spark.sql.graft.GraftExpressions.polyHash(
       concat(lit("late|"), col("event_id").cast("string")))
@@ -142,7 +153,7 @@ object EventStreams {
       .agg(max(expr("ts_us div 1000")).as("bmax_ms"))
       .withColumn("wm_us",
         (max(col("bmax_ms")).over(Window.orderBy(col("batch_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)) - 1800000L) * 1000L)
+          .rowsBetween(Window.unboundedPreceding, -lag)) - 1800000L) * 1000L)
       .select(col("batch_id"), col("wm_us"))
     rows.join(broadcast(wm), "batch_id")
       .withColumn("late", col("wm_us").isNotNull && col("wend_us") <= col("wm_us"))
