@@ -421,7 +421,17 @@ object Bench {
       System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY set: skipping input-table ensure/seed")
     else
     Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
-        graft.queries.ShinglesTable, graft.queries.DedupClustersTable).foreach { t =>
+        graft.queries.ShinglesTable, graft.queries.DedupClustersTable,
+        // The grouping/clustering kernels' tables too (same reason as
+        // the r13 q41 fix): without them a sweep whose /tmp happens to
+        // lack a committed grouped_detections runs the grouping kernel
+        // in-sweep — q80's time gains a cache_build bill AND the
+        // sweep-kernel skew accumulators double (the grouping kernel
+        // enumerates the same y-overlap pairs as q81's sweep), so
+        // pairs_enumerated reads 2x across rounds for a disk accident
+        // (measured r13→r14: 104.7M vs 209.4M at sweeps=2).
+        graft.queries.GroupedDetectionsTable,
+        graft.queries.WallClustersTable).foreach { t =>
       // ensure + seed: a FRESH materialization of the dedup tables seeds
       // shared SessionCache entries as a side effect of building through
       // the cached readers ("build cost lands in setup" — by design);
