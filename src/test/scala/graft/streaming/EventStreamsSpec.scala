@@ -91,6 +91,41 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want)
   }
 
+  test("dropDuplicatesWithinWatermark: dedup inside the horizon, re-emission after it") {
+    // The watermark-BOUNDED dedup q63's scaladoc points to for unbounded
+    // key cardinality: state holds one entry per key only until the
+    // watermark passes its expiry, so (a) duplicates within the lateness
+    // horizon are dropped, and (b) a key that goes quiet longer than the
+    // horizon RE-EMITS — the documented trade, pinned here so the
+    // contract is measured, not prose.
+    val s = spark; import s.implicits._
+    implicit val sq = spark.sqlContext
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[Ev]
+    val sink = s"ddww_${System.nanoTime()}"
+    val q = mem.toDF().withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    // Batch 1: first occurrence of key 1 plus an in-horizon duplicate.
+    mem.addData(Ev(t(0, 0), 1, "click", 1.0), Ev(t(0, 10), 1, "click", 2.0))
+    q.processAllAvailable()
+    // Batch 2: frontier jumps to 10:00 → watermark 09:00 — far past key
+    // 1's expiry (first ts + 1 h = 01:00): its state evicts.
+    mem.addData(Ev(t(10, 0), 2, "view", 3.0))
+    q.processAllAvailable()
+    // Batch 3: key 1 again, AFTER the horizon — must re-emit.
+    mem.addData(Ev(t(9, 30), 1, "click", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val byKey = spark.table(sink).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(byKey(2L) == Seq(3.0))
+    assert(byKey(1L) == Seq(1.0, 4.0),
+      s"key 1 must emit its first row, drop the in-horizon dup, and re-emit post-horizon: $byKey")
+  }
+
   test("stream-stream interval join converges to the batch join") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext
