@@ -39,6 +39,24 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(planOf("q05_broadcast_join").contains("BroadcastHashJoin"))
   }
 
+  test("q108: watermark table broadcasts onto the events; the only window is per-bucket") {
+    // The late-classification's scale contract: the watermark relation
+    // (one row per 6-hour arrival bucket — driver-scale at any SF)
+    // BROADCASTS back onto the corpus, and the single unpartitioned
+    // window runs over that tiny relation, never over the events.
+    val p = planOf("q108_late_watermark")
+    assert(p.contains("BroadcastHashJoin"), "wm relation must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-side merge join")
+    // Window feeds from the bucket aggregate (its child is the
+    // HashAggregate over batch_id), not from a corpus-wide exchange:
+    // the plan has exactly one Window and it sits above the 1-row-per-
+    // bucket aggregate — cheap structural proxy: the window's
+    // running-max expression names bmax_ms, the bucket aggregate's
+    // output.
+    assert("Window \\[max\\(bmax_ms".r.findFirstIn(p).isDefined,
+      s"window must run over the bucket aggregate, got:\n${p.take(600)}")
+  }
+
   test("q01: aggregation is partial+final (map-side combine)") {
     val p = planOf("q01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial and final HashAggregate")
