@@ -422,16 +422,20 @@ object Bench {
     else
     Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
         graft.queries.ShinglesTable, graft.queries.DedupClustersTable,
-        // The grouping/clustering kernels' tables too (same reason as
-        // the r13 q41 fix): without them a sweep whose /tmp happens to
-        // lack a committed grouped_detections runs the grouping kernel
-        // in-sweep — q80's time gains a cache_build bill AND the
-        // sweep-kernel skew accumulators double (the grouping kernel
-        // enumerates the same y-overlap pairs as q81's sweep), so
-        // pairs_enumerated reads 2x across rounds for a disk accident
-        // (measured r13→r14: 104.7M vs 209.4M at sweeps=2).
-        graft.queries.GroupedDetectionsTable,
-        graft.queries.WallClustersTable).foreach { t =>
+        // The grouping table too (same reason as the r13 q41 fix):
+        // without it a sweep whose /tmp happens to lack a committed
+        // grouped_detections runs the grouping kernel in-sweep — q80's
+        // time gains a cache_build bill AND the sweep-kernel skew
+        // accumulators double (the grouping kernel enumerates the same
+        // y-overlap pairs as q81's sweep), so pairs_enumerated reads 2x
+        // across rounds for a disk accident (measured r13→r14: 104.7M
+        // vs 209.4M at sweeps=2). WallClustersTable is deliberately NOT
+        // here: no bench query reads it (it exists only as q83's
+        // eps-oracle reference, Verify's job), and its GLOBAL DBSCAN
+        // kernel is gate-SF-sized by design — ensuring it at a
+        // rehearsal SF OOMs on the O(n²) adjacency (measured at sf10:
+        // 2.5M wall features).
+        graft.queries.GroupedDetectionsTable).foreach { t =>
       // ensure + seed: a FRESH materialization of the dedup tables seeds
       // shared SessionCache entries as a side effect of building through
       // the cached readers ("build cost lands in setup" — by design);

@@ -73,9 +73,15 @@ object Streaming {
          AND c.ts <= e.ts AND c.ts >= e.ts - INTERVAL '1 hour'
         ORDER BY click_id, error_id"""))( (spark, dir) => {
       val ev = events(spark, dir)
-      EventStreams.intervalJoin(
+      // Bucketed form (r14): hour rides the equi-key so a hot user's
+      // per-key work is bounded per (user, hour) instead of quadratic
+      // in the user's total rows — row-identical to the plain join the
+      // oracle declares (see intervalJoinBucketed's scaladoc; the
+      // streaming replay keeps intervalJoin, where the watermark bounds
+      // state instead).
+      EventStreams.intervalJoinBucketed(
         ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "error"), "1 HOUR")
+        ev.filter(col("event_type") === "error"), 3600L * 1000000L)
         .select(col("event_id").as("click_id"), col("r_event_id").as("error_id"))
         .orderBy(col("click_id"), col("error_id"))
     }),

@@ -84,6 +84,37 @@ object EventStreams {
       && col("ts") >= col("r_ts") - expr(s"INTERVAL $window"))
   }
 
+  /** Batch interval join with a coarse time-bucket riding the equi-key:
+    * answer-identical to [[intervalJoin]] when the bucket width equals
+    * the interval (a right row at bucket b matches only left rows in
+    * buckets {b−1, b}, so replicating each LEFT row to {its bucket,
+    * its bucket+1} covers every candidate exactly once — never twice,
+    * because exactly one replica's bucket equals the right row's).
+    *
+    * Why it exists (r14 skew rehearsal, measured): a plain equi-join on
+    * user_id makes per-key work QUADRATIC in the key's row count — one
+    * hot user owning 5% of a 10M-event corpus put ~10¹⁰ pair
+    * evaluations into a single SMJ task (q64 alone outweighed the rest
+    * of the sweep). With the bucket in the join key the same hot user's
+    * work spreads over its (user, hour) groups: bounded per task,
+    * parallel across the timeline, and AQE-splittable. The range
+    * predicate still applies post-join, so results are row-identical —
+    * the oracle stays the plain declarative join.
+    */
+  def intervalJoinBucketed(left: DataFrame, right: DataFrame, windowUs: Long): DataFrame = {
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withColumn("r_bk", expr(s"unix_micros(cast(r_ts as timestamp)) div $windowUs"))
+    val l = left
+      .withColumn("l_b0", expr(s"unix_micros(cast(ts as timestamp)) div $windowUs"))
+      .withColumn("l_bk", explode(array(col("l_b0"), col("l_b0") + 1)))
+      .drop("l_b0")
+    l.join(r, col("user_id") === col("r_user_id")
+        && col("l_bk") === col("r_bk")
+        && col("ts") <= col("r_ts")
+        && col("ts") >= col("r_ts") - expr(s"INTERVAL $windowUs MICROSECOND"))
+      .drop("l_bk", "r_bk")
+  }
+
   /** Stream-static enrichment: the events stream joined to a broadcast
     * customer dimension — THE most common production streaming shape
     * (enrich-then-aggregate). The static side is planned as a broadcast

@@ -276,10 +276,14 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       "tokenize must not run below the join — only cluster members pay it")
   }
 
-  test("q64: interval join is an equi join on user_id with a range post-filter") {
+  test("q64: interval join is an equi join on (user_id, hour bucket) with a range post-filter") {
     val p = planOf("q64_interval_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(p.contains("user_id"))
+    // The hour bucket rides the JOIN KEY (r14 skew rehearsal: without
+    // it one hot user's per-key work is quadratic in its row count —
+    // ~10^10 pair evals in one task at skewed sf10).
+    assert(p.contains("l_bk"), "bucket column must be part of the equi key")
   }
 
   test("q96: six quality checks collapse into one aggregate pass over one scan") {
