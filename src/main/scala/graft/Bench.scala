@@ -106,7 +106,18 @@ object Bench {
     * without owning the other JVM, and bounded to true mid-sweep
     * concurrency rather than every orphan ever left on the box.
     */
-  private[graft] val preexistingScratch: Set[String] =
+  @volatile private[graft] var preexistingScratch: Set[String] = snapshotScratch()
+
+  /** Re-taken explicitly at the top of main() (ADVICE r14 #2): the
+    * object-init snapshot above covers the common path, but any entry
+    * that touches Bench AFTER a session already created its scratch
+    * dirs (tests, future tools) would otherwise permanently classify
+    * this JVM's own blockmgr-* and spark-* dirs as foreign — shuffleDirBytes
+    * reads 0 forever and the reclaim gate can never fire (ENOSPC on a
+    * long rehearsal). main() owns its session, so its explicit snapshot
+    * is always pre-session regardless of object-init ordering.
+    */
+  private[graft] def snapshotScratch(): Set[String] =
     try scratchRoots.flatMap { r =>
       Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
         .iterator.map(_.getName).filter(isScratchName)
@@ -241,7 +252,8 @@ object Bench {
       results: Seq[QueryRun], sfDir: String, sweeps: Int,
       sweepStats: Option[(Long, Long, Long)] = None,
       skipped: Set[String] = Set.empty,
-      recall: Option[(Long, Long)] = None): String = {
+      recall: Option[(Long, Long)] = None,
+      calibrationS: Option[Double] = None): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
     // Per-query cache-construction ms (VERDICT r11 #7), keyed like the
@@ -264,11 +276,25 @@ object Bench {
     // (the driver's case) the line is byte-identical to before.
     val sk = if (skipped.isEmpty) ""
       else s""","skipped":[${skipped.toSeq.sorted.map(Jsons.quote).mkString(",")}]"""
-    val rc = recallField(recall)
+    val rcFull = recallField(recall)
+    // Degraded recall (pathological-width lines only): the ratio is the
+    // number the artifact trail tracks; the pair counts live on the
+    // detail line's queries regardless.
+    val rcCompact = recall.map { case (lsh, exact) =>
+      s""","recall_ratio":${fmt(if (exact == 0) -1.0 else lsh.toDouble / exact, 4)}"""
+    }.getOrElse("")
+    // Machine-noise canary ON the contract line (VERDICT r14 #1): the
+    // driver keeps only a 2000-char stdout tail, so a canary living in
+    // run_meta (its own earlier line) never reached the one artifact the
+    // judge reads first — the +10% paper drifts it was built to
+    // adjudicate cost a judge-hour each in r13 AND r14. ~12 chars, and
+    // NEVER degraded away: it exists precisely for the rounds where the
+    // line is under pressure.
+    val cal = calibrationS.map(s => s""","cal":${fmt(s, 2)}""").getOrElse("")
     val total = results.map(_.seconds).sum
     def qsAt(dec: Int) = renderMaps(results, key, fmt(_, dec), 0, 0)._1
-    def line(qs: String, errs: String, cb: String) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk$rc,"sf":${Jsons.quote(sfDir)}}"""
+    def line(qs: String, errs: String, cb: String, rc: String) =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk$rc$cal,"sf":${Jsons.quote(sfDir)}}"""
     val failed = results.collect { case QueryRun(n, _, Some(m), _) => (n, m) }
     // Degrade order: error detail first (a failure round is when the
     // artifact matters most), then the cache-build map, then per-query
@@ -276,24 +302,24 @@ object Bench {
     // seconds — one char per query is what puts a 107-query line back
     // under the tail budget; full precision is on the detail line).
     val attempts = Iterator(
-      (3, cbDetailed, renderMaps(results, key, fmt(_, 3), 120, failed.size)._2),
-      (3, cbDetailed, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
-      (3, cbCompact, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2),
-      (2, cbCompact, renderMaps(results, key, fmt(_, 2), 40, failed.size)._2),
+      (3, cbDetailed, renderMaps(results, key, fmt(_, 3), 120, failed.size)._2, rcFull),
+      (3, cbDetailed, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2, rcFull),
+      (3, cbCompact, renderMaps(results, key, fmt(_, 3), 40, failed.size)._2, rcFull),
+      (2, cbCompact, renderMaps(results, key, fmt(_, 2), 40, failed.size)._2, rcCompact),
       // First 5 errors + a "_truncated" count (ADVICE r10: this step
       // makes renderMaps' overflow marker reachable) before degrading
       // to counts only.
-      (2, cbCompact, renderMaps(results, key, fmt(_, 2), 40, 5)._2),
+      (2, cbCompact, renderMaps(results, key, fmt(_, 2), 40, 5)._2, rcCompact),
       (2, cbCompact, s"""{"_n":${failed.size}${
         failed.headOption.map { case (n, m) =>
           s""","_first":${Jsons.quote(s"${key(n)}: ${m.take(40)}")}"""
         }.getOrElse("")
-      }}"""))
-    attempts.map { case (dec, cb, errs) => line(qsAt(dec), errs, cb) }
+      }}""", rcCompact))
+    attempts.map { case (dec, cb, errs, rc) => line(qsAt(dec), errs, cb, rc) }
       .find(_.length <= ContractLineBudget)
       // Last resort (pathological name lengths): emit anyway — a long
       // line beats no line.
-      .getOrElse(line(qsAt(2), s"""{"_n":${failed.size}}""", cbCompact))
+      .getOrElse(line(qsAt(2), s"""{"_n":${failed.size}}""", cbCompact, rcCompact))
   }
 
   /** Full-name, full-precision record printed BEFORE the contract line.
@@ -340,6 +366,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    preexistingScratch = snapshotScratch() // before the session exists
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(cpus).getOrCreate()
@@ -367,18 +394,27 @@ object Bench {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     // Machine-noise canary (VERDICT r13 #8): a FIXED workload — corpus-
-    // independent, cache-independent, shuffle-free — timed once per run
-    // after warm-up, so "is the box slower this round?" is a number in
-    // the artifact instead of an hour of cross-round adjudication (r13's
-    // +16% driver drift). 10^8-row hash+sort-within-partitions exercises
-    // codegen, the sorter, and memory bandwidth without touching disk.
+    // independent, cache-independent, shuffle-free — so "is the box
+    // slower this round?" is a number in the artifact instead of an hour
+    // of cross-round adjudication (r13's +16% driver drift). 10^8-row
+    // hash+sort-within-partitions exercises codegen, the sorter, and
+    // memory bandwidth without touching disk. Run TWICE, second run
+    // timed (VERDICT r14 #2): the canary is the first big job of the
+    // JVM, and a single cold pass times C2 compilation of the sort loop
+    // as much as the box — the judge's fresh run read 15.6 s against the
+    // builder's 2.7–8.1 warm band on IDENTICAL hardware, i.e. the drift
+    // adjudicator was itself the noisiest number in the artifact.
     val calibrationS =
       try {
-        val t0 = System.nanoTime()
-        spark.range(100000000L).selectExpr("hash(id) AS h")
-          .sortWithinPartitions("h")
-          .write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        def pass(): Double = {
+          val t0 = System.nanoTime()
+          spark.range(100000000L).selectExpr("hash(id) AS h")
+            .sortWithinPartitions("h")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        pass() // JIT warm-up: compile the generated sort loop untimed
+        Some(pass())
       } catch { case scala.util.control.NonFatal(_) => None }
     // The warm-up built SessionCache entries keyed with the warm dir;
     // the sweep's releases are keyed with sfDir and would never drop
@@ -524,7 +560,7 @@ object Bench {
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
       Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)),
-      excluded, recall))
+      excluded, recall, calibrationS))
     spark.stop()
   }
 }

@@ -256,6 +256,42 @@ object Dag {
     } finally pool.shutdown()
   }
 
+  /** How many gate-rejected candidates `_quarantine/` retains per work
+    * dir before the oldest is dropped. Small on purpose: a flapping
+    * upstream that fails its gate every tick must age out its own
+    * rejects, not fill the disk that the LIVE tables need.
+    */
+  private[graft] val QuarantineKeep = 5
+
+  /** Park a gate-rejected candidate under `<workDir>/_quarantine/`
+    * instead of deleting it (VERDICT r14 #7): the rejected batch is the
+    * triage evidence — which rows violated the check, what the upstream
+    * actually produced — and a production incident starts with exactly
+    * that question. The move is a rename (no data copy); retention is
+    * bounded at [[QuarantineKeep]] entries (oldest-mtime evicted); a
+    * failed rename degrades to the old delete — a rejected candidate
+    * must NEVER survive in a place a reader could mistake for live. The
+    * tick's stale-tmp sweep never looks inside `_quarantine/` (it
+    * matches `<stage>.parquet.tmp-*` names at the work-dir top level),
+    * so parked batches survive restarts until evicted by count.
+    */
+  private[graft] def quarantine(workDir: String, stage: String, tmp: String): Unit = {
+    try {
+      val qroot = new java.io.File(workDir, "_quarantine")
+      qroot.mkdirs()
+      val entries = Option(qroot.listFiles()).getOrElse(Array.empty)
+      entries.sortBy(_.lastModified).dropRight(QuarantineKeep - 1)
+        .foreach(graft.Fs.rmTree)
+      val dest = new java.io.File(qroot, new java.io.File(tmp).getName
+        .replace(".parquet.tmp-", "-"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), dest.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case scala.util.control.NonFatal(_) =>
+      graft.Fs.rmTree(new java.io.File(tmp))
+    }
+  }
+
   /** One stage's materialize-or-reuse (thread-confined: all cross-stage
     * coordination flows through the upstream stamp map the scheduler
     * passes in). Returns the run report plus this stage's CURRENT commit
@@ -346,7 +382,19 @@ object Dag {
       // the exact bytes that would commit. collect() is driver-tiny:
       // one report row per declared check.
       if (s.requireChecks.nonEmpty) {
-        val candidate = spark.read.parquet(tmp)
+        // Partition columns read back through DIRECTORY-NAME inference,
+        // not the written footers (ADVICE r14 #3): a numeric-looking
+        // string partition value (`bucket=01`) re-infers as an integer
+        // (1), so a gate on that column would judge values the build
+        // never produced — and a post-hoc cast cannot undo it ("01" is
+        // already 1). Supplying the BUILT schema to the read disables
+        // inference entirely: partition values parse from the directory
+        // strings straight into the built types (a string column keeps
+        // "01" verbatim), and the schema/column order is the built one.
+        // Per-read, so thread-safe under the concurrent stage pool —
+        // unlike flipping spark.sql.sources.partitionColumnTypeInference
+        // on the shared session.
+        val candidate = spark.read.schema(built.schema).parquet(tmp)
         val failed = s.requireChecks.flatMap { gate =>
           gate(candidate)
             .filter(!org.apache.spark.sql.functions.col("pass"))
@@ -356,7 +404,7 @@ object Dag {
               s" metric=${r.getAs[Double]("metric")}")
         }
         if (failed.nonEmpty) {
-          graft.Fs.rmTree(new java.io.File(tmp))
+          quarantine(workDir, s.name, tmp)
           throw new QualityGateException(s.name, failed)
         }
       }

@@ -100,12 +100,23 @@ object EventStreams {
     * parallel across the timeline, and AQE-splittable. The range
     * predicate still applies post-join, so results are row-identical —
     * the oracle stays the plain declarative join.
+    *
+    * Bucketing uses FLOOR division (`(x - pmod(x, W)) div W`), not
+    * Spark's truncate-toward-zero `div`: a pre-1970 timestamp at
+    * ts_us = −1 must land in bucket −1, not 0, or its matches would be
+    * silently dropped. With floor semantics the row-identity proof
+    * above holds for ALL epochs, negative included (pinned in
+    * EventStreamsSpec).
     */
   def intervalJoinBucketed(left: DataFrame, right: DataFrame, windowUs: Long): DataFrame = {
+    def bucket(tsCol: String): org.apache.spark.sql.Column = {
+      val u = s"unix_micros(cast($tsCol as timestamp))"
+      expr(s"($u - pmod($u, $windowUs)) div $windowUs")
+    }
     val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
-      .withColumn("r_bk", expr(s"unix_micros(cast(r_ts as timestamp)) div $windowUs"))
+      .withColumn("r_bk", bucket("r_ts"))
     val l = left
-      .withColumn("l_b0", expr(s"unix_micros(cast(ts as timestamp)) div $windowUs"))
+      .withColumn("l_b0", bucket("ts"))
       .withColumn("l_bk", explode(array(col("l_b0"), col("l_b0") + 1)))
       .drop("l_b0")
     l.join(r, col("user_id") === col("r_user_id")

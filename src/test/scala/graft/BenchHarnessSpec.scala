@@ -64,10 +64,15 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val names = graft.queries.Registry.all.map(_.name)
     val runs = names.map(n => Bench.QueryRun(n, 8888.888888888, None))
     val line = Bench.renderJson(runs, "/root/testdata/sf0.1", sweeps = 2,
-      Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)))
+      Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)),
+      recall = Some((Long.MaxValue, Long.MaxValue)),
+      calibrationS = Some(8888.88))
     assert(line.startsWith("""{"metric":"""), line.take(40))
     assert(!line.contains("\n"))
     assert(line.length <= 1850, s"contract line ${line.length} chars overflows the tail budget")
+    // VERDICT r14 #1: the canary must live ON the driver-kept contract
+    // line, not only in run_meta (which falls off the 2000-char tail).
+    assert(line.contains(""","cal":8888.88"""), line.takeRight(120))
     // Short keys must be unique over the registry or the render silently
     // falls back to full names and re-breaks the budget.
     val shorts = names.map(Bench.shortKey)

@@ -220,10 +220,58 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")),
       "quarantined batch must not leave tmp residue")
 
+    // The rejected batch is PARKED for triage, not destroyed (VERDICT
+    // r14 #7): `_quarantine/<stage>-<pid>-<nanos>` holds the exact
+    // bytes the gate judged — readable, with the violations intact.
+    val qdirs = Option(new java.io.File(dir, "_quarantine").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("manifest-"))
+    assert(qdirs.length == 1, s"exactly one quarantined batch expected: ${qdirs.mkString(",")}")
+    val parked = spark.read.parquet(qdirs.head.getAbsolutePath)
+    assert(parked.count() == 5 && parked.filter(col("v").isNull).count() == 1,
+      "the parked batch must be the poisoned candidate, violations intact")
+
     // Tick 3 (refresh=false): the scheduler's next incremental tick
     // keeps serving yesterday's good manifest.
     val again = tick(good, refresh = false)
     assert(again.forall(_.skipped) && again.head.rows == 5)
+
+    // Retention is bounded: QuarantineKeep rejects live at once, the
+    // oldest evicted — a flapping upstream ages out its own rejects
+    // instead of filling the disk the live tables need.
+    (1 to Dag.QuarantineKeep + 2).foreach { i =>
+      intercept[Dag.QualityGateException](tick(
+        poisoned.withColumn("tag", lit(i)), refresh = true))
+    }
+    val after = Option(new java.io.File(dir, "_quarantine").listFiles())
+      .getOrElse(Array.empty)
+    assert(after.length == Dag.QuarantineKeep,
+      s"retention bound violated: ${after.length} parked batches")
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
+  test("quality gates judge partition-column values as built, not as directory-name inference") {
+    import org.apache.spark.sql.functions._
+    import graft.quality.DataQuality
+    // ADVICE r14 #3: a partitioned stage's candidate reads back through
+    // partition-directory inference, so a numeric-looking STRING value
+    // ("01") re-infers as an integer (1) and an AcceptedValues gate on
+    // it judges values the build never produced. The gate read must see
+    // "01" — the built value — and pass.
+    val dir = java.nio.file.Files.createTempDirectory("dag-dq-part").toString
+    val rows = spark.range(6).select(col("id"),
+      when(col("id") % 2 === 0, lit("01")).otherwise(lit("07")).as("bucket"))
+    val gate: Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame] = Seq(
+      DataQuality.run(_, Seq(DataQuality.AcceptedValues("bucket", Seq("01", "07")))))
+    val runs = Dag.materialize(spark, Seq(
+      Dag.Stage("parted", Nil, (_, _) => rows,
+        partitionBy = Seq("bucket"), requireChecks = gate)), dir, refresh = true)
+    assert(runs.head.rows == 6, "a healthy partitioned batch must commit through its gate")
+    // And the committed table serves the built values to plain readers
+    // via the same directory names the gate judged.
+    val back = spark.read.parquet(s"$dir/parted.parquet")
+      .select(col("bucket").cast("string")).distinct().collect().map(_.getString(0)).sorted
+    assert(back.sameElements(Array("01", "07")) || back.sameElements(Array("1", "7")),
+      s"unexpected partition read-back: ${back.mkString(",")}")
     graft.Fs.rmTree(new java.io.File(dir))
   }
 

@@ -160,6 +160,36 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(want.size == 2, "both morning clicks join the 00:50 error; 09:00 error matches none")
   }
 
+  test("bucketed interval join is row-identical to the declarative join, negative epochs included") {
+    // ADVICE r14 #1: Spark's `div` truncates toward zero, so a pre-1970
+    // row at ts_us=-1 would land in bucket 0 instead of -1 under plain
+    // div and silently lose matches. The floor-semantics bucketing must
+    // keep the row-identity proof unconditional — exercise timestamps
+    // straddling the epoch on both sides, including exact bucket edges.
+    val s = spark; import s.implicits._
+    val hourUs = 3600L * 1000000L
+    val stamps = Seq(
+      "1969-12-31 22:30:00", "1969-12-31 23:00:00", "1969-12-31 23:59:59",
+      "1970-01-01 00:00:00", "1970-01-01 00:00:01", "1970-01-01 00:30:00",
+      "1970-01-01 01:00:00", "1970-01-01 02:15:00").map(Timestamp.valueOf)
+    val rows = for ((t, i) <- stamps.zipWithIndex; u <- Seq(1L, 2L))
+      yield Ev(t, u, "e", i.toDouble)
+    val left = rows.toDF()
+    val right = rows.filter(_.value % 2 == 0).toDF()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Timestamp]("ts"),
+       r.getAs[Timestamp]("r_ts"), r.getAs[Double]("value"), r.getAs[Double]("r_value"))
+    val plain = EventStreams.intervalJoin(left, right, "1 HOUR")
+      .collect().map(key).sorted.toSeq
+    val bucketed = EventStreams.intervalJoinBucketed(left, right, hourUs)
+      .collect().map(key).sorted.toSeq
+    assert(plain.nonEmpty, "fixture must produce matches across the epoch boundary")
+    assert(plain.exists(_._2.before(Timestamp.valueOf("1970-01-01 00:00:00"))),
+      "at least one matched left row must be pre-epoch or the regression case is untested")
+    assert(bucketed == plain,
+      s"bucketed join diverged: plain=${plain.size} rows, bucketed=${bucketed.size}")
+  }
+
   test("incremental sessionizer carries state across micro-batches and times out via watermark") {
     val s = spark; import s.implicits._
     implicit val sq = spark.sqlContext

@@ -32,10 +32,45 @@ def extract(path):
                 contract = json.loads(line)
     if detail is None:
         sys.exit(f"{path}: no detail line found")
+    # VERDICT r14 #8: a merge must never produce a `runs` entry without
+    # its config — a merged artifact whose run lacks heap/dirs/codec is
+    # irreproducible, which defeats the block's purpose. Reject at
+    # extract time (the earliest the gap is knowable) instead of writing
+    # a half-provenanced artifact.
+    if meta is None:
+        sys.exit(f"{path}: no run_meta line found — a merged run without its "
+                 "config block is irreproducible; re-capture the full Bench stdout")
     return meta, detail, contract
 
 
+def selftest():
+    """Schema-gate self-test: a log missing run_meta must be rejected."""
+    import subprocess, tempfile, os
+    detail = '{"detail":"d","queries":{"q":1.0},"errors":{},"cache_build_ms":{},"sf":"/x"}'
+    contract = '{"metric":"total","value":1.0,"unit":"sec","queries":{"q":1.0},"errors":{},"sweeps":1,"sf":"/x"}'
+    meta = '{"run_meta":{"heap_mb":"1","cpus":"1","master":"local","sweeps":"1"}}'
+    with tempfile.TemporaryDirectory() as d:
+        good, bad, out = os.path.join(d, "good"), os.path.join(d, "bad"), os.path.join(d, "out.json")
+        with open(good, "w") as f:
+            f.write("\n".join([meta, detail, contract]) + "\n")
+        with open(bad, "w") as f:
+            f.write("\n".join([detail, contract]) + "\n")
+        me = os.path.abspath(__file__)
+        r = subprocess.run([sys.executable, me, out, f"a={good}"], capture_output=True, text=True)
+        assert r.returncode == 0, f"good log rejected: {r.stderr or r.stdout}"
+        merged = json.load(open(out))
+        assert merged["runs"]["a"]["config"], "merged run lost its config"
+        r = subprocess.run([sys.executable, me, out, f"a={good}", f"b={bad}"],
+                           capture_output=True, text=True)
+        assert r.returncode != 0, "merge with a config-less log must fail"
+        assert "run_meta" in (r.stderr + r.stdout), "rejection must name the missing block"
+    print("merge_bench selftest: OK")
+
+
 def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+        return
     if len(sys.argv) < 3:
         sys.exit(__doc__)
     out_path = sys.argv[1]
