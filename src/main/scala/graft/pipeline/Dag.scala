@@ -42,13 +42,44 @@ object Dag {
     *   stays live (a daily tick keeps serving yesterday's good data),
     *   and dependents never start. A real scheduled pipeline quarantines
     *   a failing batch; metrics nobody consumes gate nothing.
+    * @param incrementalOn partition-level incremental refresh (VERDICT
+    *   r14 #1 — Dagster's partitioned assets, the machinery the
+    *   reference's README names): the named column must LEAD
+    *   `partitionBy`, and the stage promises its build is
+    *   PARTITION-WISE — output partition `v` is a function of the
+    *   inputs' partition-`v` data alone (map/filter/per-key-within-
+    *   partition aggregation). In exchange, a tick fingerprints each
+    *   input partition directory (names, lengths, mtimes — pure file
+    *   stats, NO Spark job), rebuilds only values whose fingerprint is
+    *   new or changed, feeds the build inputs FILTERED to those values
+    *   (partition pruning makes the scan a delta scan), applies the
+    *   quality gates to the delta candidate, and swaps just those
+    *   partition directories into the committed table. A day-2 tick
+    *   over an append-only corpus runs zero jobs over day-1 partitions;
+    *   at 100 TB that is the difference between a daily tick and a
+    *   daily full recompute. Inputs NOT partitioned by the column (a
+    *   dims table) join the stamp chain whole: any change rebuilds all
+    *   partitions. Crash-consistency: each partition swap is an atomic
+    *   rename and the stamp rewrites only after all swaps — a crash
+    *   mid-tick re-detects the unrecorded values as stale and rebuilds
+    *   just them. Single-scheduler contract: concurrent ticks over one
+    *   workDir from DIFFERENT processes are out of contract here (the
+    *   whole-table path keeps its cross-process race protocol).
+    * @param externalInputs name → partitioned-parquet path of inputs
+    *   that are NOT stages of this DAG (the raw corpus a root ingests).
+    *   They arrive in the build's map like upstream stages, and their
+    *   file fingerprints join the stamp chain — so an appended corpus
+    *   partition wakes exactly the incremental stages that read it, and
+    *   a mutated corpus can never be served through a stale stage.
     */
   final case class Stage(
       name: String,
       deps: Seq[String],
       build: (SparkSession, Map[String, DataFrame]) => DataFrame,
       partitionBy: Seq[String] = Nil,
-      requireChecks: Seq[DataFrame => DataFrame] = Nil)
+      requireChecks: Seq[DataFrame => DataFrame] = Nil,
+      incrementalOn: Option[String] = None,
+      externalInputs: Map[String, String] = Map.empty)
 
   /** A stage's candidate output failed its declared quality gate. The
     * failing check rows ride along for the scheduler's alert; the
@@ -71,6 +102,14 @@ object Dag {
       s"stage name ${s.name} may not start with '_' (reserved stamp keys)"))
     stages.foreach(s => s.deps.foreach(d =>
       require(byName.contains(d), s"stage ${s.name}: unknown dependency $d")))
+    stages.foreach { s =>
+      require(s.externalInputs.keySet.intersect(s.deps.toSet).isEmpty,
+        s"stage ${s.name}: external input names shadow dependencies: " +
+          s.externalInputs.keySet.intersect(s.deps.toSet).mkString(","))
+      s.incrementalOn.foreach(c => require(s.partitionBy.headOption.contains(c),
+        s"stage ${s.name}: incrementalOn column $c must lead partitionBy " +
+          s"(got ${s.partitionBy.mkString(",")})"))
+    }
     val done = scala.collection.mutable.LinkedHashSet.empty[String]
     val inFlight = scala.collection.mutable.Set.empty[String]
     def visit(s: Stage): Unit = {
@@ -292,6 +331,265 @@ object Dag {
     }
   }
 
+  /** Reserved stamp-chain key recording the incremental column: toggling
+    * a stage between whole-table and incremental mode (either direction)
+    * must fail the chain equality once and rebuild into the new regime.
+    */
+  private val IncKey = "_incrementalOn"
+
+  /** Sweep stale tmp dirs of one stage (crashed ticks) — see the
+    * commentary at the call sites: only OUR OWN non-in-flight tmps and
+    * tmps whose owning process is dead are swept; a live sibling
+    * process may be mid-write into its tmp right now.
+    */
+  private def sweepStaleTmps(fs: java.io.File, stageName: String): Unit = {
+    val TmpOwner = (java.util.regex.Pattern.quote(s"$stageName.parquet.tmp-") +
+      "(\\d{1,18})-\\d+").r
+    val selfPid = ProcessHandle.current.pid
+    Option(fs.listFiles()).getOrElse(Array.empty)
+      .filter(f => !liveTmps.contains(f.getAbsolutePath) && (f.getName match {
+        case TmpOwner(pid) =>
+          pid.toLong == selfPid || ProcessHandle.of(pid.toLong).isEmpty
+        case _ => false
+      }))
+      .foreach(graft.Fs.rmTree)
+  }
+
+  /** Quality gate over a written-but-uncommitted candidate dir, BEFORE
+    * any stamp or commit marker exists: a failing candidate is parked in
+    * `_quarantine/` and the stage throws — the target keeps its
+    * previously committed table. The candidate reads back from parquet
+    * (not the live plan) so the gate judges the exact bytes that would
+    * commit, and with the BUILT schema supplied (ADVICE r14 #3):
+    * partition values parse from the directory strings straight into the
+    * built types — a numeric-looking string partition value ("01") is
+    * judged as "01", never as directory-name inference's integer 1.
+    * Per-read schema, so thread-safe under the concurrent stage pool —
+    * unlike flipping spark.sql.sources.partitionColumnTypeInference on
+    * the shared session. collect() is driver-tiny: one report row per
+    * declared check.
+    */
+  private def applyGates(spark: SparkSession, s: Stage, workDir: String,
+      tmp: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (s.requireChecks.isEmpty) return
+    val candidate = spark.read.schema(schema).parquet(tmp)
+    val failed = s.requireChecks.flatMap { gate =>
+      gate(candidate)
+        .filter(!org.apache.spark.sql.functions.col("pass"))
+        .collect()
+        .map(r => s"${r.getAs[String]("check")}" +
+          s" violations=${r.getAs[Long]("violations")}/${r.getAs[Long]("total")}" +
+          s" metric=${r.getAs[Double]("metric")}")
+    }
+    if (failed.nonEmpty) {
+      quarantine(workDir, s.name, tmp)
+      throw new QualityGateException(s.name, failed)
+    }
+  }
+
+  /** `value-token → directory` for one input's hive-style partition dirs
+    * of `col`. Tokens are the ESCAPED directory form (Spark's partition
+    * path escaping) — used verbatim as stamp keys and path segments, and
+    * unescaped only at the one place a Spark filter needs the real value.
+    */
+  private def partValues(dir: java.io.File, col: String): Map[String, java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(col + "="))
+      .map(f => f.getName.substring(col.length + 1) -> f).toMap
+
+  /** Stable fingerprint of labeled directory trees: (label, relative
+    * path, length, mtime) of every file, order-independent by
+    * construction (children sorted). Pure file stats — NO Spark job, no
+    * reads: at 100 TB a daily tick must detect "nothing new" from
+    * metadata alone. The label keeps two inputs' identical trees
+    * distinct, and an input gaining/losing its subtree changes the
+    * fingerprint even when the remaining bytes match.
+    */
+  private def dirFp(roots: Seq[(String, java.io.File)]): String = {
+    def walk(label: String, f: java.io.File, rel: String, acc: Long): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+          .foldLeft(acc)((a, c) => walk(label, c, s"$rel/${c.getName}", a))
+      else s"$label:$rel:${f.length}:${f.lastModified}"
+        .foldLeft(acc)((a, ch) => a * 31 + ch)
+    val h = roots.sortBy(_._1).foldLeft(1125899906842597L) {
+      case (acc, (label, root)) =>
+        if (root.exists()) walk(label, root, "", acc * 31 + 7) else acc * 31 + 13
+    }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** The partition-level incremental tick (VERDICT r14 #1). Contract and
+    * crash story in [[Stage.incrementalOn]]'s doc; mechanics:
+    *
+    *  1. Inputs partitioned by the column (those exposing `col=value`
+    *     dirs) contribute a PER-VALUE fingerprint; all other inputs
+    *     (whole dep stamps, unpartitioned externals) join the static
+    *     chain — any change there rebuilds everything.
+    *  2. `stale` = values whose fingerprint is new or changed;
+    *     `removed` = recorded values no longer present in any input.
+    *     Both empty (and static chain fresh) → skip: the tick ran ZERO
+    *     Spark jobs (fingerprints are file stats, row counts come from
+    *     parquet footers).
+    *  3. A full (re)build — uncommitted target, `refresh`, static-chain
+    *     change, mode toggle — takes the whole-table path: full inputs,
+    *     tmp write, gate, atomic whole-dir swap.
+    *  4. A delta tick feeds the build inputs FILTERED to the stale
+    *     values (`col IN (...)` over partitioned inputs — partition
+    *     pruning scans only the delta), gates the delta candidate, and
+    *     atomically renames each built `col=value` dir over the target's
+    *     — the commit marker never drops, so readers keep being served
+    *     throughout (per-partition flips are individually atomic; the
+    *     cross-partition window is the standard dynamic-partition-
+    *     overwrite exposure). The stamp rewrites LAST (tmp + atomic
+    *     rename): a crash mid-tick leaves unrecorded values stale and
+    *     the next tick rebuilds exactly them.
+    */
+  private def runIncremental(
+      spark: SparkSession,
+      s: Stage,
+      workDir: String,
+      refresh: Boolean,
+      upstreamNow: Map[String, String]): (StageRun, String) = {
+    import org.apache.spark.sql.functions.{col => sqlCol}
+    val c = s.incrementalOn.get
+    val fs = new java.io.File(workDir)
+    val path = s"$workDir/${s.name}.parquet"
+    val target = new java.io.File(path)
+    val t0 = System.nanoTime()
+    sweepStaleTmps(fs, s.name)
+
+    val inputDirs: Seq[(String, java.io.File)] =
+      s.deps.map(d => d -> new java.io.File(s"$workDir/$d.parquet")) ++
+        s.externalInputs.toSeq.sortBy(_._1).map { case (n, p) => n -> new java.io.File(p) }
+    // Partitioned-by-the-column inputs contribute per-value fingerprints;
+    // the rest join the static chain whole. An input that is DECLARED
+    // partitioned but currently empty classifies as unpartitioned — the
+    // chain's key set then differs from the recorded one and the tick
+    // degrades to a full rebuild: never wrong, at worst unlazy.
+    val perPart = inputDirs.filter { case (_, f) => partValues(f, c).nonEmpty }
+    val perPartNames = perPart.map(_._1).toSet
+    val staticChain: Map[String, String] =
+      Map(LayoutKey -> s.partitionBy.mkString(","), IncKey -> c) ++
+        s.deps.filterNot(perPartNames).map(d => d -> upstreamNow(d)) ++
+        s.externalInputs.toSeq.filterNot(e => perPartNames(e._1))
+          .map { case (n, p) => s"_ext:$n" -> dirFp(Seq((n, new java.io.File(p)))) }
+
+    val currentVals: Map[String, String] = perPart
+      .flatMap { case (n, f) => partValues(f, c).keys.map(v => (v, n, f)) }
+      .groupBy(_._1)
+      .map { case (v, owners) =>
+        v -> dirFp(owners.map { case (_, n, f) => n -> new java.io.File(f, s"$c=$v") })
+      }
+    val recorded = readStamp(target)
+    val recFp: Map[String, String] = recorded.map(_._2.collect {
+      case (k, fp) if k.startsWith("_p:") => k.stripPrefix("_p:") -> fp
+    }.toMap).getOrElse(Map.empty)
+    val staticFresh = recorded.exists(_._2.filterNot(_._1.startsWith("_p:")) == staticChain)
+    val fullBuild = !isCommitted(target) || refresh || !staticFresh
+    val stale: Set[String] =
+      if (fullBuild) currentVals.keySet
+      else currentVals.collect { case (v, fp) if !recFp.get(v).contains(fp) => v }.toSet
+    val removed: Set[String] = recFp.keySet -- currentVals.keySet
+    val skipped = !fullBuild && stale.isEmpty && removed.isEmpty
+
+    def stampLines(own: String, pMap: Map[String, String]): String =
+      (own +: (staticChain ++ pMap.map { case (v, fp) => s"_p:$v" -> fp })
+        .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\n")
+
+    if (!skipped) {
+      val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
+      val tmpAbs = new java.io.File(tmp).getAbsolutePath
+      liveTmps.add(tmpAbs)
+      try {
+        val unescape =
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName _
+        val staleSeq = stale.toSeq.sorted
+        val upstream = inputDirs.map { case (n, f) =>
+          val df = spark.read.parquet(f.getAbsolutePath)
+          n -> (if (!fullBuild && perPartNames(n))
+            df.filter(sqlCol(c).isin(staleSeq.map(unescape): _*))
+          else df)
+        }.toMap
+        val built = s.build(spark, upstream)
+        built.write.mode("overwrite").partitionBy(s.partitionBy: _*).parquet(tmp)
+        applyGates(spark, s, workDir, tmp, built.schema)
+        val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
+        if (fullBuild) {
+          // Whole-table path: same commit discipline as non-incremental
+          // stages (backfill an empty result's schema, stamp + marker
+          // into the tmp, atomic whole-dir swap).
+          val hasPart = {
+            val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            try stream.anyMatch(p => p.getFileName.toString.startsWith("part-"))
+            finally stream.close()
+          }
+          if (!hasPart)
+            spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], built.schema)
+              .repartition(1).write.mode("append").parquet(tmp)
+          java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
+            stampLines(own, currentVals).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(tmp, CommitMarker))
+          pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
+            graft.Fs.uncommitThenDelete(target, Seq(CommitMarker, "_SUCCESS"))
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        } else pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
+          // Delta commit: swap only the stale values' partition dirs.
+          // A root-level schema-backfill part file from an earlier
+          // EMPTY full build must not coexist with partition dirs (a
+          // mixed layout fails Spark's partition discovery) — drop it
+          // the moment real partitions arrive.
+          val tmpF = new java.io.File(tmp)
+          val tmpHasDirs = Option(tmpF.listFiles()).getOrElse(Array.empty)
+            .exists(f => f.isDirectory && f.getName.startsWith(c + "="))
+          if (tmpHasDirs)
+            Option(target.listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.startsWith("part-"))
+              .foreach(f => f.delete())
+          staleSeq.foreach { v =>
+            val dst = new java.io.File(target, s"$c=$v")
+            val src = new java.io.File(tmpF, s"$c=$v")
+            if (dst.exists()) graft.Fs.rmTree(dst)
+            if (src.exists())
+              java.nio.file.Files.move(src.toPath, dst.toPath,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          removed.foreach(v => graft.Fs.rmTree(new java.io.File(target, s"$c=$v")))
+          // All partitions gone (every value removed/empty): backfill
+          // the schema so dependents' reads keep planning.
+          val anyPart = {
+            val stream = java.nio.file.Files.walk(target.toPath)
+            try stream.anyMatch(p => p.getFileName.toString.startsWith("part-"))
+            finally stream.close()
+          }
+          if (!anyPart)
+            spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], built.schema)
+              .repartition(1).write.mode("append").parquet(path)
+          // Stamp LAST, atomically: crash before this line re-detects
+          // the just-built values as stale next tick (unrecorded), and
+          // rebuilds only them.
+          val st = java.nio.file.Paths.get(path, StampFile + s".tmp-$own")
+          java.nio.file.Files.write(st,
+            stampLines(own, recFp -- removed -- stale ++ stale.map(v => v -> currentVals(v)))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(st, java.nio.file.Paths.get(path, StampFile),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          graft.Fs.rmTree(tmpF)
+        }
+      } finally liveTmps.remove(tmpAbs)
+    }
+    pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val ownStamp = readStamp(target).map(_._1).getOrElse("legacy")
+      val rows = footerRowCount(target)
+      (StageRun(s.name, rows, (System.nanoTime() - t0) / 1000000, skipped), ownStamp)
+    }
+  }
+
   /** One stage's materialize-or-reuse (thread-confined: all cross-stage
     * coordination flows through the upstream stamp map the scheduler
     * passes in). Returns the run report plus this stage's CURRENT commit
@@ -303,15 +601,19 @@ object Dag {
       workDir: String,
       refresh: Boolean,
       upstreamNow: Map[String, String]): (StageRun, String) = {
+    if (s.incrementalOn.isDefined)
+      return runIncremental(spark, s, workDir, refresh, upstreamNow)
     val fs = new java.io.File(workDir)
     val path = s"$workDir/${s.name}.parquet"
     val t0 = System.nanoTime()
     val recorded = readStamp(new java.io.File(path))
-    // The full reuse contract: upstream stamps AND the declared
-    // partition layout (a layout edit must rebuild the table into the
-    // new shape — a pre-edit stamp records no/another layout and
-    // fails this equality once).
+    // The full reuse contract: upstream stamps, external-input file
+    // fingerprints, AND the declared partition layout (a layout edit
+    // must rebuild the table into the new shape — a pre-edit stamp
+    // records no/another layout and fails this equality once).
     val expectedChain = upstreamNow ++
+      s.externalInputs.map { case (n, p) =>
+        s"_ext:$n" -> dirFp(Seq((n, new java.io.File(p)))) } ++
       (if (s.partitionBy.nonEmpty) Map(LayoutKey -> s.partitionBy.mkString(","))
        else Map.empty[String, String])
     // Legacy dirs (committed before stamps existed) have no stamp
@@ -335,25 +637,15 @@ object Dag {
     // racedWinner path below exists precisely to let both finish.
     // Bounded pid digits: an unparseable name is left alone rather
     // than crashing the tick on Long overflow.
-    locally {
-      val TmpOwner = (java.util.regex.Pattern.quote(s"${s.name}.parquet.tmp-") +
-        "(\\d{1,18})-\\d+").r
-      val selfPid = ProcessHandle.current.pid
-      Option(fs.listFiles()).getOrElse(Array.empty)
-        .filter(f => !liveTmps.contains(f.getAbsolutePath) && (f.getName match {
-          case TmpOwner(pid) =>
-            pid.toLong == selfPid || ProcessHandle.of(pid.toLong).isEmpty
-          case _ => false
-        }))
-        .foreach(graft.Fs.rmTree)
-    }
+    sweepStaleTmps(fs, s.name)
     if (!skipped) {
       val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
       val tmpAbs = new java.io.File(tmp).getAbsolutePath
       liveTmps.add(tmpAbs)
       try {
       val upstream = s.deps.map(d =>
-        d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap
+        d -> spark.read.parquet(s"$workDir/$d.parquet")).toMap ++
+        s.externalInputs.map { case (n, p) => n -> spark.read.parquet(p) }
       val built = s.build(spark, upstream)
       built.write.mode("overwrite")
         .partitionBy(s.partitionBy: _*).parquet(tmp)
@@ -381,33 +673,7 @@ object Dag {
       // reads the tmp parquet back (not the live plan) so it judges
       // the exact bytes that would commit. collect() is driver-tiny:
       // one report row per declared check.
-      if (s.requireChecks.nonEmpty) {
-        // Partition columns read back through DIRECTORY-NAME inference,
-        // not the written footers (ADVICE r14 #3): a numeric-looking
-        // string partition value (`bucket=01`) re-infers as an integer
-        // (1), so a gate on that column would judge values the build
-        // never produced — and a post-hoc cast cannot undo it ("01" is
-        // already 1). Supplying the BUILT schema to the read disables
-        // inference entirely: partition values parse from the directory
-        // strings straight into the built types (a string column keeps
-        // "01" verbatim), and the schema/column order is the built one.
-        // Per-read, so thread-safe under the concurrent stage pool —
-        // unlike flipping spark.sql.sources.partitionColumnTypeInference
-        // on the shared session.
-        val candidate = spark.read.schema(built.schema).parquet(tmp)
-        val failed = s.requireChecks.flatMap { gate =>
-          gate(candidate)
-            .filter(!org.apache.spark.sql.functions.col("pass"))
-            .collect()
-            .map(r => s"${r.getAs[String]("check")}" +
-              s" violations=${r.getAs[Long]("violations")}/${r.getAs[Long]("total")}" +
-              s" metric=${r.getAs[Double]("metric")}")
-        }
-        if (failed.nonEmpty) {
-          quarantine(workDir, s.name, tmp)
-          throw new QualityGateException(s.name, failed)
-        }
-      }
+      applyGates(spark, s, workDir, tmp, built.schema)
       val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
       java.nio.file.Files.write(java.nio.file.Paths.get(tmp, StampFile),
         (own +: expectedChain.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" })
