@@ -349,4 +349,53 @@ class PlanQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
     val leaves = df.queryExecution.executedPlan.collectLeaves()
     assert(leaves.forall(!_.schema.fieldNames.contains("content")))
   }
+
+  test("committed plan-shape artifact matches freshly computed shapes (no silent drift)") {
+    // VERDICT r14 #6: PLANS_r{N}.json commits every query's physical
+    // shape (exchanges, broadcasts, codegen spans, sorts, join kinds) as
+    // a diffable artifact. This case recomputes the shapes of the
+    // scale-guarded queries and fails when the committed artifact
+    // drifted from the code — either direction: a plan regression the
+    // artifact hides, or a stale artifact describing plans that no
+    // longer exist. The full-registry sweep lives in `runMain
+    // graft.PlanAudit <out.json>`; regenerate the artifact when a plan
+    // change is INTENTIONAL.
+    val repoRoot = new java.io.File("/root/repo")
+    val artifacts = Option(repoRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("PLANS_r\\d+\\.json")).sortBy(_.getName)
+    assert(artifacts.nonEmpty, "no committed PLANS_r*.json artifact found")
+    val json = new String(java.nio.file.Files.readAllBytes(artifacts.last.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // Tiny flat-JSON pull: "name":{...} objects under "plans".
+    def shapeIn(name: String): Map[String, Int] = {
+      val m = ("\"" + java.util.regex.Pattern.quote(name) + "\":\\{([^}]*)\\}").r
+        .findFirstMatchIn(json)
+        .getOrElse(fail(s"${artifacts.last.getName} lacks $name"))
+      "\"(\\w+)\":(\\d+)".r.findAllMatchIn(m.group(1))
+        .map(g => g.group(1) -> g.group(2).toInt).toMap
+    }
+    // The queries whose plan shape IS their scale contract (each has a
+    // structural guard above; this pins the committed numbers too).
+    val guarded = Seq("q64_interval_join", "q81_iou_pairs", "q01_pricing_summary",
+      "q05_broadcast_join", "q41_ngram_jaccard", "q78_mix_sample",
+      "q100_budget_select", "q108_late_watermark")
+    val drift = guarded.flatMap { q =>
+      val fresh = graft.PlanAudit.shapeOf(spark, q, dir)
+      val committed = shapeIn(q)
+      if (fresh == committed) None else Some(s"$q: committed=$committed fresh=$fresh")
+    }
+    assert(drift.isEmpty,
+      s"plan shapes drifted from ${artifacts.last.getName} — regenerate via " +
+        s"`runMain graft.PlanAudit` if intentional:\n${drift.mkString("\n")}")
+    // Structural invariants over the WHOLE committed artifact: the only
+    // nested-loop/cartesian plans are the known bounded-small-side
+    // designs (one-row stats crossJoins, bounded eval/query sets).
+    val boundedByDesign = Set("q101_semantic_decon", "q24_scalar_subquery",
+      "q35_tfidf_top", "q49_ann_recall", "q50_knn_brute", "q93_wall_plane_features",
+      "q93_wall_prologue")
+    val offenders = "\"(q\\w+)\":\\{[^}]*\"(?:nested_loop|cartesian)\":[1-9][^}]*\\}".r
+      .findAllMatchIn(json).map(_.group(1)).toSet -- boundedByDesign
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian plans in the committed artifact: $offenders")
+  }
 }
