@@ -242,17 +242,21 @@ object Bench {
     * row-count ratio. -1 ratio = the exact baseline found nothing
     * (undefined, never observed on real corpora).
     */
-  private def recallField(recall: Option[(Long, Long)]): String =
-    recall.map { case (lsh, exact) =>
+  private def recallField(recall: Option[(Long, Long, Int)]): String =
+    recall.map { case (lsh, exact, rung) =>
       val ratio = if (exact == 0) -1.0 else lsh.toDouble / exact
-      s""","recall":{"q53_pairs":$lsh,"q44_pairs":$exact,"ratio":${fmt(ratio, 6)}}"""
+      // The ladder rung the measurement ran on (VERDICT r14 #4: recall
+      // is a property of an OPERATING POINT, so the artifact names it;
+      // 1-8 = narrow "≥k of 8", 11-13 = wide "≥k of 16", -1 = unknown).
+      val r = if (rung >= 0) s""","rung":$rung""" else ""
+      s""","recall":{"q53_pairs":$lsh,"q44_pairs":$exact,"ratio":${fmt(ratio, 6)}$r}"""
     }.getOrElse("")
 
   private[graft] def renderJson(
       results: Seq[QueryRun], sfDir: String, sweeps: Int,
       sweepStats: Option[(Long, Long, Long)] = None,
       skipped: Set[String] = Set.empty,
-      recall: Option[(Long, Long)] = None,
+      recall: Option[(Long, Long, Int)] = None,
       calibrationS: Option[Double] = None): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
@@ -280,7 +284,7 @@ object Bench {
     // Degraded recall (pathological-width lines only): the ratio is the
     // number the artifact trail tracks; the pair counts live on the
     // detail line's queries regardless.
-    val rcCompact = recall.map { case (lsh, exact) =>
+    val rcCompact = recall.map { case (lsh, exact, _) =>
       s""","recall_ratio":${fmt(if (exact == 0) -1.0 else lsh.toDouble / exact, 4)}"""
     }.getOrElse("")
     // Machine-noise canary ON the contract line (VERDICT r14 #1): the
@@ -549,9 +553,15 @@ object Bench {
       if (recallQs.forall(q => results.exists(r => r.name == q && r.error.isEmpty)))
         try {
           val counts = recallQs.map(q => SparkEntry.queries(q)(spark, sfDir).count())
+          // The operating point the measurement ran on: q53 just cached
+          // its rung decision, so this is a cache read — the -1 default
+          // only lands if the entry vanished (and is dropped with the
+          // releases below either way).
+          val rung = graft.pipeline.SessionCache.getOrBuildValue(
+            spark, s"srpArm:$sfDir")(Integer.valueOf(-1)).intValue()
           recallQs.foreach(q => graft.queries.Registry.byName(q).releases
             .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir")))
-          Some((counts(0), counts(1)))
+          Some((counts(0), counts(1), rung))
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] recall measurement failed: $e"); None
         }

@@ -72,6 +72,31 @@ object VectorFunctions {
     org.apache.spark.sql.graft.SrpSignature.column(
       v, (0 until numPlanes).map(p => srpPlane(p, dim)))
 
+  /** Hi-word hyperplanes of the 128-bit wide family. The lo closed form
+    * has PERIOD 127 (a_p, b_p are p·const mod 127), so only 127 distinct
+    * planes exist in that family — a 128-bit signature cannot reuse it
+    * without repeating plane 0 as plane 127 (a correlated bit). The hi
+    * family therefore runs the same construction over the NEXT prime
+    * modulus, 131: plane'(q, d) = ((a'_q + d·19349663 + (d² mod 131)·b'_q)
+    * mod 131 − 65) / 64 with a'_q = (q·92821) mod 131 and
+    * b'_q = (q·28411) mod 131 — still exact dyadic rationals
+    * (denominator 64), bitwise-mirrorable in DuckDB, pairwise-distinct
+    * for q < 131, and decorrelated from the lo planes by the modulus.
+    */
+  def srpPlaneHi(q: Int, dim: Int): Seq[Double] = {
+    val aq = (q.toLong * 92821L) % 131L
+    val bq = (q.toLong * 28411L) % 131L
+    (0 until dim).map(d =>
+      ((aq + d.toLong * 19349663L + (d.toLong * d % 131L) * bq) % 131L - 65L) / 64.0)
+  }
+
+  /** Second signature word of the 128-bit wide family: bit i =
+    * sign(v · planeHi_i), packed little-endian.
+    */
+  def srpSignatureHi(v: Column, numPlanes: Int, dim: Int): Column =
+    org.apache.spark.sql.graft.SrpSignature.column(
+      v, (0 until numPlanes).map(q => srpPlaneHi(q, dim)))
+
   /** LSH band keys over the packed signature: `bands` chunks of
     * `bitsPerBand` bits, emitted as (band, key) structs — equal key in
     * the same band ⇒ candidate pair (the q42 MinHash layout on vectors).
@@ -110,6 +135,21 @@ object VectorSql {
       s"(CASE WHEN ${srpDotExpr(v, p)} >= 0.0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")::BIGINT")
 
+  /** v · planeHi_q — the 131-modulus hi family of
+    * [[VectorFunctions.srpPlaneHi]], same exact-dyadic discipline.
+    */
+  def srpDotHiExpr(v: String, q: Int): String = {
+    val aq = (q.toLong * 92821L) % 131L
+    val bq = (q.toLong * 28411L) % 131L
+    s"""list_reduce(list_transform(generate_series(1, len($v)),
+        i -> $v[i]::DOUBLE * ((($aq + (i-1)*19349663 + ((i-1)*(i-1) % 131) * $bq) % 131 - 65) / 64.0)), (x,y) -> x+y)"""
+  }
+
+  def srpSignatureHiExpr(v: String, numPlanes: Int): String =
+    (0 until numPlanes).map { q =>
+      s"(CASE WHEN ${srpDotHiExpr(v, q)} >= 0.0 THEN ${1L << q} ELSE 0 END)"
+    }.mkString("(", " + ", ")::BIGINT")
+
   def srpBandKeysExpr(sig: String, bands: Int, bitsPerBand: Int): String =
     (0 until bands).map { b =>
       val mask = ((1L << bitsPerBand) - 1) << (b * bitsPerBand)
@@ -129,4 +169,32 @@ object VectorSql {
       s"{bp: $p, key: ($sig & ${bs.map(mask).reduce(_ | _)})}"
     }.mkString("[", ", ", "]")
   }
+
+  /** WIDE-family rung-k combo keys over the 128-bit signature (lo + hi
+    * words, 16 8-bit bands): the C(16,k) size-k band subsets as
+    * (bp, k0, k1) structs — bands 0-7 mask the lo word, 8-15 the hi
+    * word, the pair of masked words IS the combined key (no hashing, no
+    * collision question). SQL spelling of
+    * [[graft.queries.Similarity.srpComboKeysWide]].
+    */
+  def srpComboKeysWideExpr(sigLo: String, sigHi: String, k: Int): String = {
+    def mask(b: Int): Long = 255L << ((b % 8) * 8)
+    (0 until 16).combinations(k).toSeq.zipWithIndex.map { case (bs, p) =>
+      val lo = bs.filter(_ < 8).map(mask).foldLeft(0L)(_ | _)
+      val hi = bs.filter(_ >= 8).map(mask).foldLeft(0L)(_ | _)
+      s"{bp: $p, k0: ($sigLo & $lo), k1: ($sigHi & $hi)}"
+    }.mkString("[", ", ", "]")
+  }
+
+  /** The 16 wide band keys (rung W1's relation and the oracle's
+    * candidate-join relation): band b < 8 keys the lo word, b ≥ 8 the
+    * hi word; the unused word is zero so (band, k0, k1) equality is
+    * exactly per-band key equality.
+    */
+  def srpWideBandKeysExpr(sigLo: String, sigHi: String): String =
+    (0 until 16).map { b =>
+      val m = 255L << ((b % 8) * 8)
+      if (b < 8) s"{band: $b, k0: ($sigLo & $m), k1: 0::BIGINT}"
+      else s"{band: $b, k0: 0::BIGINT, k1: ($sigHi & $m)}"
+    }.mkString("[", ", ", "]")
 }

@@ -65,7 +65,12 @@ object Similarity {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
       val dim = e.select(size(col("embedding"))).head().getInt(0)
+      // Both words of the 128-bit wide family ride the one cached
+      // relation: the hi word costs one more native-kernel projection
+      // per row at index-build time and unlocks the 16-band recall
+      // rungs (see [[srpSelectArm]]).
       e.withColumn("sig", VF.srpSignature(col("embedding"), 64, dim))
+        .withColumn("sig2", VF.srpSignatureHi(col("embedding"), 64, dim))
     }
 
   /** q53's per-rung enumeration budget (mirrored verbatim in the
@@ -77,21 +82,46 @@ object Similarity {
     * (VERDICT r11 #5): a clustered corpus that concentrates buckets
     * escalates at the size where ITS enumeration actually blows up.
     *
-    * Why the budget is per-vector VERIFY cost, not just join safety
-    * (the sf100 rehearsal lesson, r12): every admitted candidate pair
-    * pays an exact-cosine verify that moves TWO full embedding vectors
-    * through a join — at 2M vectors the ≥2-of-8 pair-key rung
-    * enumerated 425 pairs/vector (8.5×10⁸ pairs, well under the old
-    * 2048 budget and perfectly join-safe) and the verify stage sorted
-    * ~450 GB of vector-carrying rows: ENOSPC. 64/vector caps the
-    * verify stage at ~64× the corpus's own vector bytes — scan-class
-    * work at any SF. Measured any-band occupancy on this corpus family:
-    * 9.0/vector at sf0.01, 36.4 at sf0.1 (gates stay on the recall-
-    * first rung), 367 at sf1, ~3.7e3 at sf10, ~3.7e4 at sf100 — and
-    * pair-key occupancy 3/vector at sf10 (stays, matching the r11
-    * rehearsal) vs 425/vector at sf100 (escalates to triples).
+    * THE ACCOUNTING, r15 (hamming pre-verify): historically this was
+    * 64/vector, because every enumerated candidate paid an exact-cosine
+    * verify that moved TWO full embedding vectors through a join — at
+    * 2M vectors a 425-pairs/vector rung sorted ~450 GB of
+    * vector-carrying rows (the r12 ENOSPC), so 64/vector capped the
+    * verify stage at ~64× the corpus's own vector bytes. The hamming
+    * pre-verify ([[srpHammingMax]]) moves that wall: enumerated rows
+    * now carry only (vec_id, sig, sig2) — 24 bytes — and STREAM through
+    * a two-popcount filter inside the candidate join, so an enumerated
+    * row costs CPU-nanoseconds, not vector-bytes, and only the ~2% of
+    * random pairs that pass hamming reach the distinct + exact-cosine
+    * stage. 1024/vector therefore bounds: the streamed popcount work
+    * (linear in n, trivial constant), the key-relation sort (≤ C·24 B
+    * per vector), AND — via the measured ≈2% random-pass rate — the
+    * exact-verify stage at ~20 vector-carrying rows/vector, UNDER the
+    * old 64× discipline. The 16× enumeration headroom is spent on
+    * recall: the ladder lands on wider rungs at every SF (skew-sf1
+    * measured: rung W1 instead of N2 — recall 0.54 vs r14's 0.168;
+    * see BENCH artifacts' recall.rung).
+    *
+    * Measured any-band occupancy on this corpus family: 9.0/vector at
+    * sf0.01, 36.4 at sf0.1, 367 at sf1 (wide-any 728 at skew sf1 —
+    * fits), ~3.7e3 at sf10, ~3.7e4 at sf100 — and pair-key occupancy
+    * 3/vector at sf10 vs 425/vector at sf100.
     */
-  private[queries] val srpEnumBudget = 64L
+  private[queries] val srpEnumBudget = 1024L
+
+  /** Hamming pre-verify ceiling over the 128-bit signature (mirrored
+    * verbatim in the oracle): a candidate pair proceeds to the exact-
+    * cosine verify only if its two signature words disagree in ≤ this
+    * many bits. Derivation: at the q53 threshold cos ≥ 0.45,
+    * E[h] = 128·acos(0.45)/π ≈ 45.0 with σ = √(128·p(1−p)) ≈ 5.4, so
+    * 55 = E[h] + 1.84σ keeps ≈ 97% of pairs AT the threshold boundary
+    * (and virtually all better ones — a cos 0.95 near-dup sits at
+    * E[h] ≈ 13); a RANDOM pair (h ~ Bin(128, ½), mean 64, σ 4.4)
+    * passes with P ≈ 2%. The filter is the load-bearing half of the
+    * r15 budget story above: it is what makes enumerated rows cheap
+    * enough that the ladder can afford recall-first rungs.
+    */
+  private[queries] val srpHammingMax = 55
 
   /** Band-combination keys for ladder rung k: the C(8,k) size-k band
     * subsets, each as a combined-mask key — a combo key matches ⇔ all
@@ -103,12 +133,17 @@ object Similarity {
   private[queries] def srpComboKeys(sigs: DataFrame, k: Int): DataFrame = {
     def mask(b: Int): Long = ((1L << 8) - 1) << (b * 8)
     val combos = (0 until 8).combinations(k).toSeq
+    // sig/sig2 ride along (24 B/row): the hamming pre-verify reads them
+    // INSIDE the candidate join, so enumerated pairs never pay a second
+    // join to fetch signatures.
     sigs
-      .select(col("vec_id"), explode(array(combos.zipWithIndex.map { case (bs, p) =>
-        struct(lit(p).as("bp"),
-          col("sig").bitwiseAND(lit(bs.map(mask).reduce(_ | _))).as("key"))
-      }: _*)).as("pk"))
-      .select(col("vec_id"), col("pk.bp").as("bp"), col("pk.key").as("key"))
+      .select(col("vec_id"), col("sig"), col("sig2"),
+        explode(array(combos.zipWithIndex.map { case (bs, p) =>
+          struct(lit(p).as("bp"),
+            col("sig").bitwiseAND(lit(bs.map(mask).reduce(_ | _))).as("key"))
+        }: _*)).as("pk"))
+      .select(col("vec_id"), col("sig"), col("sig2"),
+        col("pk.bp").as("bp"), col("pk.key").as("key"))
   }
 
   /** Measured rung occupancy: (enumerated candidate rows, vectors).
@@ -127,6 +162,54 @@ object Similarity {
   /** Any-band occupancy (rung 1) — retained call shape for the specs. */
   private[queries] def srpEnumStats(sigs: DataFrame): (Long, Long) =
     srpKeyEnumStats(srpComboKeys(sigs, 1), 8)
+
+  /** WIDE-family rung-k combo keys over the 128-bit signature: the
+    * C(16,k) size-k subsets of the 16 8-bit bands (bands 0-7 = lo word,
+    * 8-15 = hi word), each as a (bp, k0, k1) masked-words key — the two
+    * masked longs ARE the combined key, so equality is exactly "all k
+    * bands match" with no hashing and no collision question. Rung W1
+    * (k = 1) is the any-of-16-bands relation.
+    */
+  private[queries] def srpComboKeysWide(sigs: DataFrame, k: Int): DataFrame = {
+    def mask(b: Int): Long = 255L << ((b % 8) * 8)
+    val combos = (0 until 16).combinations(k).toSeq
+    sigs
+      .select(col("vec_id"), col("sig"), col("sig2"),
+        explode(array(combos.zipWithIndex.map { case (bs, p) =>
+          val lo = bs.filter(_ < 8).map(mask).foldLeft(0L)(_ | _)
+          val hi = bs.filter(_ >= 8).map(mask).foldLeft(0L)(_ | _)
+          struct(lit(p).as("bp"),
+            col("sig").bitwiseAND(lit(lo)).as("k0"),
+            col("sig2").bitwiseAND(lit(hi)).as("k1"))
+        }: _*)).as("pk"))
+      .select(col("vec_id"), col("sig"), col("sig2"), col("pk.bp").as("bp"),
+        col("pk.k0").as("k0"), col("pk.k1").as("k1"))
+  }
+
+  /** Measured wide-rung occupancy — the (bp, k0, k1) spelling of
+    * [[srpKeyEnumStats]].
+    */
+  private[queries] def srpKeyEnumStatsWide(keys: DataFrame, keysPerVec: Int): (Long, Long) = {
+    val r = keys
+      .groupBy(col("bp"), col("k0"), col("k1")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1)), lit(0L)).as("enum2"),
+        coalesce(sum(col("d")), lit(0L)).as("rowsK"))
+      .head()
+    (r.getLong(0) / 2, r.getLong(1) / keysPerVec)
+  }
+
+  /** The wide-rung candidate join — (bp, k0, k1) keys, same merge-hint
+    * discipline as [[srpCandidatesKeyed]] (Generate under-estimate).
+    */
+  private[queries] def srpCandidatesKeyedWide(keys: DataFrame): DataFrame =
+    keys.as("a").hint("merge")
+      .join(keys.as("b").hint("merge"),
+        col("a.bp") === col("b.bp") && col("a.k0") === col("b.k0")
+          && col("a.k1") === col("b.k1") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+
+  private[queries] def combosOf16(k: Int): Int = (0 until 16).combinations(k).size
 
   /** The selected ladder rung: the smallest k ∈ {1, …, 7} whose
     * measured enumeration fits [[srpEnumBudget]]·n; rung 8 (the full
@@ -153,15 +236,37 @@ object Similarity {
     * the knob is signature WIDTH (128-bit sigs, 16-bit bands), not
     * composition — out of scope for the declared 64-bit family.
     */
-  private[queries] def srpSelectArm(sigs: DataFrame): Int =
-    (1 to 7).find { k =>
+  /** Rung encoding: 1-8 = the narrow 64-bit family ("≥ k of 8 bands";
+    * 8 = full-signature terminal); 11-13 = the WIDE 128-bit family
+    * ("≥ k of 16 bands", k = rung − 10). The ladder walks rungs in
+    * DECREASING recall order — W1, N1, W2, N2, W3, N3, N4…N7 — and
+    * selects the FIRST whose measured enumeration fits the budget, so
+    * the budget headroom is spent on recall instead of left on the
+    * table (VERDICT r14 #4: the narrow ladder's first-fit landed on
+    * rungs far UNDER budget — sf1 chose N2 at single-digit pairs/vector
+    * while W2, at ~4× the enumeration and ~4× the recall, also fit).
+    * The orderings hold by construction: W_k ⊇ N_k in candidates (the
+    * narrow bands are wide bands 0-7) and the random-collision mass
+    * ratios W1:N1:W2:N2:W3:N3 ≈ 2 : 1 : 1/17 : 1/73 : 1/950 : 1/9500
+    * decrease along the walk, so first-fit is recall-max. Wide rungs
+    * stop at k = 3: C(16,4) = 1820 keys/vector makes the PROBE itself
+    * decade-scale work, and past N3 the corpus is in the regime where
+    * recall is band-agreement-limited anyway (the measured saturation
+    * note below). The terminal stays the narrow full-signature bucket
+    * key — minimal cost, and at that scale the wide family's extra
+    * tables buy enumeration, not discrimination.
+    */
+  private[queries] def srpSelectArm(sigs: DataFrame): Int = {
+    val ladder = Seq(11, 1, 12, 2, 13, 3, 4, 5, 6, 7)
+    ladder.find { r =>
       val (enumRows, n) =
-        srpKeyEnumStats(srpComboKeys(sigs, k), combosOf8(k))
+        if (r >= 10) srpKeyEnumStatsWide(srpComboKeysWide(sigs, r - 10), combosOf16(r - 10))
+        else srpKeyEnumStats(srpComboKeys(sigs, r), combosOf8(r))
       val fits = enumRows <= srpEnumBudget * n
-      // A rejected probe's shuffle files (n·C(8,k) key rows) are dead
-      // the moment its aggregate returns, but Spark only deletes them
-      // when the driver GC collects the shuffle references — and a deep
-      // ladder walk at decade-4 scale stacks seven probes' files
+      // A rejected probe's shuffle files (n·C keys rows) are dead the
+      // moment its aggregate returns, but Spark only deletes them when
+      // the driver GC collects the shuffle references — and a deep
+      // ladder walk at decade-4 scale stacks the probes' files
       // (~25-30 GB at 20M vectors) under ONE query, ENOSPC'ing scratch
       // the verify join then needs. This is corpus-metadata setup, run
       // once per corpus version (the arm caches as a SessionCache value
@@ -170,6 +275,44 @@ object Similarity {
       if (!fits) System.gc()
       fits
     }.getOrElse(8)
+  }
+
+  /** The 128-bit signature hamming distance of a candidate pair — two
+    * codegen'd popcounts, evaluated on the STREAMED join output before
+    * anything is materialized.
+    */
+  private def hamming128(a: String, b: String) =
+    expr(s"bit_count($a.sig ^ $b.sig) + bit_count($a.sig2 ^ $b.sig2)")
+
+  /** Hamming-gated candidates: the keyed self-join with the
+    * [[srpHammingMax]] pre-verify INSIDE the join, then distinct. Order
+    * matters at scale: the filter runs on streamed join output
+    * (24-byte rows, two popcounts), so the wide rungs' enumerated mass
+    * never reaches the distinct shuffle, and the exact-cosine verify
+    * downstream moves vectors only for the ~2% of random pairs that
+    * survive. [[srpCandidatesKeyed]]/[[srpCandidatesKeyedWide]] stay
+    * the PURE enumeration relations — the spec surface for the
+    * combo-key ≡ HAVING-count equivalences.
+    */
+  private[queries] def srpCandidatesHamming(keys: DataFrame, wide: Boolean): DataFrame = {
+    val keyEq =
+      if (wide) col("a.bp") === col("b.bp") && col("a.k0") === col("b.k0") &&
+        col("a.k1") === col("b.k1")
+      else col("a.bp") === col("b.bp") && col("a.key") === col("b.key")
+    keys.as("a").hint("merge")
+      .join(keys.as("b").hint("merge"),
+        keyEq && col("a.vec_id") < col("b.vec_id")
+          && hamming128("a", "b") <= lit(srpHammingMax))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+  }
+
+  /** The rung-r candidate relation (r in [[srpSelectArm]]'s encoding),
+    * hamming-gated — what q53 verifies exactly.
+    */
+  private[queries] def srpCandidatesForRung(sigs: DataFrame, rung: Int): DataFrame =
+    if (rung >= 10) srpCandidatesHamming(srpComboKeysWide(sigs, rung - 10), wide = true)
+    else srpCandidatesHamming(srpComboKeys(sigs, rung), wide = false)
 
   private def combosOf8(k: Int): Int = (0 until 8).combinations(k).size
 
@@ -200,7 +343,7 @@ object Similarity {
     // lazily-escalating probe SrpLshSpec pins.
     val arm = graft.pipeline.SessionCache.getOrBuildValue(
       spark, s"srpArm:$dir")(Integer.valueOf(srpSelectArm(sigs)))
-    srpCandidatesKeyed(srpComboKeys(sigs, arm.intValue()))
+    srpCandidatesForRung(sigs, arm.intValue())
   }
 
   /** The rung-k candidate join: pairs sharing any combo key, deduped.
@@ -558,37 +701,59 @@ object Similarity {
     // verified.
     QueryDef(
       "q53_srp_lsh",
-      Some(s"""
+      Some({
+        val budget = s"$srpEnumBudget * (SELECT count(*) FROM n)"
+        def wideEnum(k: Int) =
+          if (k == 1) s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM wbands GROUP BY band, k0, k1))"""
+          else s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM wcombo$k GROUP BY bp, k0, k1))"""
+        def narrowEnum(k: Int) =
+          if (k == 1) s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM wbands WHERE band < 8 GROUP BY band, k0))"""
+          else s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM combo$k GROUP BY bp, key))"""
+        // The ladder CASE mirrors srpSelectArm's walk ONE-FOR-ONE:
+        // W1, N1, W2, N2, W3, N3, N4..N7, else the narrow terminal.
+        val ladderCase = (Seq(
+          wideEnum(1) -> 11, narrowEnum(1) -> 1,
+          wideEnum(2) -> 12, narrowEnum(2) -> 2,
+          wideEnum(3) -> 13, narrowEnum(3) -> 3) ++
+          (4 to 7).map(k => narrowEnum(k) -> k))
+          .map { case (e, r) => s"WHEN $e <= $budget THEN $r" }
+          .mkString("(CASE\n              ", "\n              ", "\n              ELSE 8 END)")
+        s"""
         $corpusCte,
-        sig AS (SELECT vec_id, v, nrm, ${VS.srpSignatureExpr("v", 64)} AS sig FROM n),
-        bands AS (
-          SELECT vec_id, u.bk.band AS band, u.bk.key AS key
-          FROM sig, (SELECT unnest(${VS.srpBandKeysExpr("sig", 8, 8)}) AS bk) u),
+        sig AS (SELECT vec_id, v, nrm, ${VS.srpSignatureExpr("v", 64)} AS sig,
+                       ${VS.srpSignatureHiExpr("v", 64)} AS sig2 FROM n),
+        wbands AS (
+          SELECT vec_id, sig, sig2, u.bk.band AS band, u.bk.k0 AS k0, u.bk.k1 AS k1
+          FROM sig, (SELECT unnest(${VS.srpWideBandKeysExpr("sig", "sig2")}) AS bk) u),
+        ${(2 to 3).map(k => s"""wcombo$k AS (
+          SELECT vec_id, u.ck.bp AS bp, u.ck.k0 AS k0, u.ck.k1 AS k1
+          FROM sig, (SELECT unnest(${VS.srpComboKeysWideExpr("sig", "sig2", k)}) AS ck) u)""")
+          .mkString(",\n        ")},
         ${(2 to 7).map(k => s"""combo$k AS (
           SELECT vec_id, u.ck.bp AS bp, u.ck.key AS key
           FROM sig, (SELECT unnest(${VS.srpComboKeysExpr("sig", 8, 8, k)}) AS ck) u)""")
           .mkString(",\n        ")},
+        rung AS (SELECT $ladderCase AS r),
         cand AS (
           SELECT a.vec_id AS a_id, b.vec_id AS b_id
-          FROM bands a JOIN bands b
-            ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+          FROM wbands a JOIN wbands b
+            ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.vec_id < b.vec_id
+          WHERE bit_count(xor(a.sig, b.sig)) + bit_count(xor(a.sig2, b.sig2)) <= $srpHammingMax
           GROUP BY 1, 2
-          HAVING count(*) >= (CASE
-              WHEN (SELECT coalesce(sum(d*(d-1)//2), 0)
-                    FROM (SELECT count(*) AS d FROM bands GROUP BY band, key))
-                   <= $srpEnumBudget * (SELECT count(*) FROM n)
-              THEN 1
-              ${(2 to 7).map(k => s"""WHEN (SELECT coalesce(sum(d*(d-1)//2), 0)
-                    FROM (SELECT count(*) AS d FROM combo$k GROUP BY bp, key))
-                   <= $srpEnumBudget * (SELECT count(*) FROM n)
-              THEN $k""").mkString("\n              ")}
-              ELSE 8 END))
+          HAVING (CASE WHEN (SELECT r FROM rung) >= 10
+                  THEN count(*) >= (SELECT r FROM rung) - 10
+                  ELSE count(*) FILTER (WHERE a.band < 8) >= (SELECT r FROM rung) END))
         SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
         FROM cand c
         JOIN sig sa ON sa.vec_id = c.a_id
         JOIN sig sb ON sb.vec_id = c.b_id
         WHERE ${cosNN("sa", "sb")} >= 0.45
-        ORDER BY a_id, b_id"""),
+        ORDER BY a_id, b_id"""
+      }),
       releases = Seq("srpsig", "srpArm"))( (spark, dir) =>
       srpCandidates(spark, dir)
         .join(srpSignatures(spark, dir)

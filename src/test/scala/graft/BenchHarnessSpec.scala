@@ -65,7 +65,7 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val runs = names.map(n => Bench.QueryRun(n, 8888.888888888, None))
     val line = Bench.renderJson(runs, "/root/testdata/sf0.1", sweeps = 2,
       Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)),
-      recall = Some((Long.MaxValue, Long.MaxValue)),
+      recall = Some((Long.MaxValue, Long.MaxValue, 13)),
       calibrationS = Some(8888.88))
     assert(line.startsWith("""{"metric":"""), line.take(40))
     assert(!line.contains("\n"))

@@ -24,9 +24,16 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  test("all 64 SRP planes are distinct (no periodic repeats)") {
-    val planes = (0 until 64).map(p => VectorFunctions.srpPlane(p, 64))
-    assert(planes.distinct.length == 64)
+  test("all 128 SRP planes are distinct (no periodic repeats, lo/hi families disjoint)") {
+    val lo = (0 until 64).map(p => VectorFunctions.srpPlane(p, 64))
+    val hi = (0 until 64).map(q => VectorFunctions.srpPlaneHi(q, 64))
+    assert(lo.distinct.length == 64)
+    assert(hi.distinct.length == 64)
+    // The lo closed form has period 127 — the hi family MUST come from
+    // a different modulus or plane 127 ≡ plane 0 repeats as a
+    // correlated bit. Different value grids (÷127 vs ÷131 residues over
+    // the same /64 denominator) keep the families disjoint.
+    assert((lo ++ hi).distinct.length == 128, "a hi plane duplicates a lo plane")
   }
 
   test("candidate ratio is a small fraction of the O(n²) pair space") {
@@ -107,14 +114,90 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** Declarative "≥ k of 16 bands" over the 128-bit wide signature —
+    * the spec the wide combo-key rungs must equal by set.
+    */
+  private def declarativeAtLeastKWide(sigs: org.apache.spark.sql.DataFrame,
+      k: Int): Set[(Long, Long)] = {
+    val lo = sigs
+      .select(col("vec_id"), explode(VectorFunctions.srpBandKeys(col("sig"), 8, 8)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.key").as("k0"), lit(0L).as("k1"))
+    val hi = sigs
+      .select(col("vec_id"), explode(VectorFunctions.srpBandKeys(col("sig2"), 8, 8)).as("bk"))
+      .select(col("vec_id"), (col("bk.band") + 8).as("band"), lit(0L).as("k0"), col("bk.key").as("k1"))
+    val bands = lo.unionAll(hi)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.k0") === col("b.k0")
+          && col("a.k1") === col("b.k1") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("wide rungs ≡ declarative '≥k of 16 bands'; narrow rungs nest inside wide") {
+    val sigs = Similarity.srpSignatures(spark, dir)
+    Seq(1, 2, 3).foreach { k =>
+      val viaKeys = Similarity.srpCandidatesKeyedWide(Similarity.srpComboKeysWide(sigs, k))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val declarative = declarativeAtLeastKWide(sigs, k)
+      assert(viaKeys == declarative,
+        s"wide rung $k diverged: only-keyed=${viaKeys -- declarative} " +
+          s"only-declarative=${declarative -- viaKeys}")
+      // W_k ⊇ N_k: the narrow bands are wide bands 0-7, so any pair
+      // matching ≥k of 8 matches ≥k of 16 — the ladder's recall
+      // ordering between same-k families rests on exactly this.
+      val narrow = declarativeAtLeastKBands(sigs, k)
+      assert(narrow.subsetOf(viaKeys), s"N$k must nest inside W$k")
+    }
+    // W1 must be a strict recall improvement over N1 on the gate corpus
+    // — otherwise the wide family's extra signature word buys nothing
+    // and the rung is dead weight.
+    assert(declarativeAtLeastKBands(sigs, 1).size <
+      declarativeAtLeastKWide(sigs, 1).size,
+      "any-of-16 must admit strictly more candidates than any-of-8 here")
+  }
+
+  test("hamming pre-verify ≡ pure candidates filtered by declarative signature hamming") {
+    // The r15 budget story's load-bearing half: the candidate join's
+    // streamed popcount gate must admit EXACTLY the pairs whose 128-bit
+    // signatures disagree in ≤ srpHammingMax bits — no more (a leak
+    // would re-grow the exact-verify stage the filter exists to bound),
+    // no fewer (a over-tight gate silently zeroes recall).
+    val sigs = Similarity.srpSignatures(spark, dir)
+    val sigByIdRows = sigs.select(col("vec_id"), col("sig"), col("sig2")).collect()
+    val sigById = sigByIdRows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def hamming(a: Long, b: Long): Int = {
+      val (a1, a2) = sigById(a); val (b1, b2) = sigById(b)
+      java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+    }
+    Seq((1, true), (2, true), (1, false), (2, false)).foreach { case (k, wide) =>
+      val keys = if (wide) Similarity.srpComboKeysWide(sigs, k)
+        else Similarity.srpComboKeys(sigs, k)
+      val gated = Similarity.srpCandidatesHamming(keys, wide)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pure = (if (wide) Similarity.srpCandidatesKeyedWide(keys)
+        else Similarity.srpCandidatesKeyed(keys))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = pure.filter { case (a, b) => hamming(a, b) <= Similarity.srpHammingMax }
+      assert(gated == expected,
+        s"${if (wide) "wide" else "narrow"} rung $k hamming gate diverged: " +
+          s"leaked=${gated -- expected} overdropped=${expected -- gated}")
+      assert(expected.size < pure.size || pure.isEmpty,
+        s"fixture too similar: the hamming gate filtered nothing at rung $k (pure=${pure.size})")
+    }
+  }
+
   test("rung selection derives from measured bucket occupancy, not row count") {
-    // Gate corpus: low occupancy ⇒ the recall-first any-band rung.
+    // Gate corpus: low occupancy ⇒ the recall-first WIDE any-band rung
+    // (rung 11 in the encoding) — the budget headroom buys recall.
     val sigs = Similarity.srpSignatures(spark, dir)
     val (enumRows, n) = Similarity.srpEnumStats(sigs)
     info(s"sf0.01: enumRows=$enumRows n=$n perVector=${enumRows.toDouble / n}")
     assert(n > 0 && enumRows <= Similarity.srpEnumBudget * n,
       "gate corpus must stay on the any-band rung")
-    assert(Similarity.srpSelectArm(sigs) == 1)
+    assert(Similarity.srpSelectArm(sigs) == 11)
     // A bucket-CONCENTRATED corpus of the same modest row count must
     // escalate: 600 identical signatures put all 8 bands in one bucket
     // each ⇒ 8·600·599/2 ≈ 2.9e3 enumerations/vector on rung 1 AND
@@ -126,17 +209,20 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     // terminal went quadratic at the 6M-vector decade-3.5 rehearsal).
     val s = spark; import s.implicits._
     val dense = (0L until 600L).map(i => (i, Seq.fill(64)(1.0f))).toDF("vec_id", "embedding")
-      .select(col("vec_id"), graft.functions.VectorFunctions
-        .srpSignature(col("embedding"), 64, 64).as("sig"))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.srpSignature(col("embedding"), 64, 64).as("sig"),
+        graft.functions.VectorFunctions.srpSignatureHi(col("embedding"), 64, 64).as("sig2"))
     val (denseEnum, denseN) = Similarity.srpEnumStats(dense)
     assert(denseN == 600 && denseEnum > Similarity.srpEnumBudget * denseN,
       s"concentrated corpus must leave rung 1: $denseEnum vs ${Similarity.srpEnumBudget * denseN}")
     assert(Similarity.srpSelectArm(dense) == 8,
-      "fully-concentrated buckets blow every probed rung's budget — terminal rung")
-    // Empty relation: defined decision (rung 1), no div-by-zero.
+      "fully-concentrated buckets (identical on BOTH signature words) blow every probed " +
+        "rung's budget, wide included — terminal rung")
+    // Empty relation: defined decision (the recall-max wide rung fits
+    // trivially), no div-by-zero.
     val (e0, n0) = Similarity.srpEnumStats(dense.limit(0))
     assert(e0 == 0 && n0 == 0)
-    assert(Similarity.srpSelectArm(dense.limit(0)) == 1)
+    assert(Similarity.srpSelectArm(dense.limit(0)) == 11)
   }
 
   test("q53 output is a subset of brute-force q44 at the same threshold") {
@@ -202,9 +288,11 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(brute.size >= 45, s"planting failed: only ${brute.size} true pairs")
     val sigs = all.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
       .toDF("vec_id", "embedding")
-      .select(col("vec_id"), VectorFunctions.srpSignature(col("embedding"), 64, 64).as("sig"))
+      .select(col("vec_id"),
+        VectorFunctions.srpSignature(col("embedding"), 64, 64).as("sig"),
+        VectorFunctions.srpSignatureHi(col("embedding"), 64, 64).as("sig2"))
     val arm = Similarity.srpSelectArm(sigs)
-    val cands = Similarity.srpCandidatesKeyed(Similarity.srpComboKeys(sigs, arm))
+    val cands = Similarity.srpCandidatesForRung(sigs, arm)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val caught = brute.count(cands)
     val recall = caught.toDouble / brute.size
