@@ -98,6 +98,45 @@ object Domain {
     * no replication at all — and the per-task cost is bounded by the
     * per-panorama box count exactly like q80's kernel.
     */
+  /** One outer-row step of the pair sweep: scan forward from i while y
+    * overlaps, kernel + emit. A SEPARATE small method on purpose, not
+    * loop-fusion pedantry (r15 multi-JVM skew incident, measured): with
+    * the whole n² sweep inside ONE method activation, the hot
+    * panorama's 57M-iteration loop runs start-to-finish on whatever
+    * code the JIT had AT ENTRY — on fresh executors that was
+    * interpreter/OSR-pessimized code for the entire activation, and the
+    * SAME task measured bimodally 3.5 s or ~58 s (16×) across runs,
+    * turning q81 into 18 s single-JVM vs 191 s cross-process for
+    * identical work (993,870,086 enumerated pairs both ways; JFR +
+    * -XX:+PrintCompilation adjudicated). Called once per outer row, the
+    * worst single activation is one row's ≤n-iteration scan, tier-up
+    * amortizes over thousands of invocations, and the method is small
+    * enough for deterministic standard (non-OSR) tier-4 compilation.
+    */
+  private def sweepRowPairs(i: Int, p: PanoArrays, fn: String,
+      w: Double, h: Double, threshold: Double,
+      out: scala.collection.mutable.ArrayBuffer[(String, Long, Long, Double)]): Long = {
+    import p._
+    val ay2 = y2(i)
+    var pairs = 0L
+    var j = i + 1
+    // Sorted by y1 ⇒ y1(j) ≥ y1(i), so y1(j) < y2(i) is the full
+    // strict y-overlap test (heights are positive).
+    while (j < n && y1(j) < ay2) {
+      pairs += 1
+      if (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i))) {
+        val iou = org.apache.spark.sql.graft.IouKernel.compute(
+          x1(i), y1(i), x2(i), y2(i), x1(j), y1(j), x2(j), y2(j), w, h)
+        if (iou >= threshold) {
+          if (idx(i) < idx(j)) out += ((fn, idx(i), idx(j), iou))
+          else out += ((fn, idx(j), idx(i), iou))
+        }
+      }
+      j += 1
+    }
+    pairs
+  }
+
   private[graft] def sweepIouPairs(
       det: org.apache.spark.sql.DataFrame, w: Double, h: Double,
       threshold: Double): org.apache.spark.sql.DataFrame = {
@@ -109,30 +148,14 @@ object Domain {
     panoGroups(det)
       .flatMapGroups { (fn, it) =>
         val p = new PanoArrays(it.toArray, seamSpan)
-        import p._
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double)]
         var pairs = 0L
         var i = 0
-        while (i < n) {
-          val ay2 = y2(i)
-          var j = i + 1
-          // Sorted by y1 ⇒ y1(j) ≥ y1(i), so y1(j) < y2(i) is the full
-          // strict y-overlap test (heights are positive).
-          while (j < n && y1(j) < ay2) {
-            pairs += 1
-            if (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i))) {
-              val iou = org.apache.spark.sql.graft.IouKernel.compute(
-                x1(i), y1(i), x2(i), y2(i), x1(j), y1(j), x2(j), y2(j), w, h)
-              if (iou >= threshold) {
-                if (idx(i) < idx(j)) out += ((fn, idx(i), idx(j), iou))
-                else out += ((fn, idx(j), idx(i), iou))
-              }
-            }
-            j += 1
-          }
+        while (i < p.n) {
+          pairs += sweepRowPairs(i, p, fn, w, h, threshold, out)
           i += 1
         }
-        stats.record(fn, n, pairs, denseCutoff)
+        stats.record(fn, p.n, pairs, denseCutoff)
         out.iterator
       }
       .toDF("file_name", "a_idx", "b_idx", "iou_raw")
@@ -163,32 +186,42 @@ object Domain {
     panoGroups(det)
       .flatMapGroups { (fn, it) =>
         val p = new PanoArrays(it.toArray, seamSpan)
-        import p._
-        val marked = new Array[Boolean](n)
+        val marked = new Array[Boolean](p.n)
         var pairs = 0L
         var i = 0
-        while (i < n) {
-          val ay2 = y2(i)
-          var j = i + 1
-          while (j < n && y1(j) < ay2) {
-            pairs += 1
-            if (!(marked(i) && marked(j)) &&
-                (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i)))) {
-              val iou = org.apache.spark.sql.graft.IouKernel.compute(
-                x1(i), y1(i), x2(i), y2(i), x1(j), y1(j), x2(j), y2(j), w, h)
-              if (iou > 0) { marked(i) = true; marked(j) = true }
-            }
-            j += 1
-          }
+        while (i < p.n) {
+          pairs += sweepRowPartnered(i, p, marked, w, h)
           i += 1
         }
-        stats.record(fn, n, pairs, denseCutoff)
+        stats.record(fn, p.n, pairs, denseCutoff)
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
         i = 0
-        while (i < n) { if (marked(i)) out += ((fn, idx(i))); i += 1 }
+        while (i < p.n) { if (marked(i)) out += ((fn, p.idx(i))); i += 1 }
         out.iterator
       }
       .toDF("file_name", "det_idx")
+  }
+
+  /** Per-outer-row step of the partnered sweep — same JIT-shape
+    * rationale as [[sweepRowPairs]].
+    */
+  private def sweepRowPartnered(i: Int, p: PanoArrays,
+      marked: Array[Boolean], w: Double, h: Double): Long = {
+    import p._
+    val ay2 = y2(i)
+    var pairs = 0L
+    var j = i + 1
+    while (j < n && y1(j) < ay2) {
+      pairs += 1
+      if (!(marked(i) && marked(j)) &&
+          (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i)))) {
+        val iou = org.apache.spark.sql.graft.IouKernel.compute(
+          x1(i), y1(i), x2(i), y2(i), x1(j), y1(j), x2(j), y2(j), w, h)
+        if (iou > 0) { marked(i) = true; marked(j) = true }
+      }
+      j += 1
+    }
+    pairs
   }
 
   val all: Seq[QueryDef] = Seq(
@@ -210,7 +243,8 @@ object Domain {
     // never crosses panoramas.
     QueryDef(
       "q81_iou_pairs",
-      Some(s"""
+      releases = Seq("iouPairs"),
+      oracle = Some(s"""
         WITH det AS (${Synthetic.detectionsSql}),
         inv AS (
           SELECT file_name, det_idx, y1, y2, ${GeoSql.boxInvariantsSelect(8000.0)}
@@ -240,10 +274,26 @@ object Domain {
       // Scale shape: ONE un-replicated shuffle on file_name; per-task
       // work bounded by the per-panorama box count (the same contract as
       // the q80 grouping kernel, which already rides groupByKey).
-      sweepIouPairs(Synthetic.detectionsCached(spark, dir), 8000.0, 4000.0, 0.02)
-        .select(col("file_name"), col("a_idx"), col("b_idx"),
-          round(col("iou_raw"), 9).as("iou"))
-        .orderBy(col("file_name"), col("a_idx"), col("b_idx"))
+      //
+      // The pairs relation PERSISTS before the global sort (r15
+      // multi-JVM skew incident): orderBy plans a range-partitioning
+      // SAMPLE pass plus the sort pass, so the un-cached sweep executed
+      // three times per query — and on fresh executors a hot panorama's
+      // pass runs on whatever code the JIT had at activation entry,
+      // measured bimodally 3.5 s or ~58 s for IDENTICAL work (18 s
+      // single-JVM vs 191 s cross-process at the skewed sf1 corpus,
+      // three cold activations back-to-back). Caching makes the kernel
+      // execute exactly once per corpus — the sort phases read the
+      // persisted pairs — which is also simply the right plan: never
+      // recompute a quadratic kernel to satisfy a sampler. Accounting
+      // note for cross-round readers: sweep_stats.pairs_enumerated drops
+      // 3× at every SF for this reason (one kernel execution where there
+      // were three), and q81's one-time build lands in cache_build_ms.
+      graft.pipeline.SessionCache.getOrPersist(spark, s"iouPairs:$dir") {
+        sweepIouPairs(Synthetic.detectionsCached(spark, dir), 8000.0, 4000.0, 0.02)
+          .select(col("file_name"), col("a_idx"), col("b_idx"),
+            round(col("iou_raw"), 9).as("iou"))
+      }.orderBy(col("file_name"), col("a_idx"), col("b_idx"))
     }),
 
     // ── A5/U6: the order-dependent greedy grouping inside flatMapGroups.
