@@ -392,6 +392,48 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(evDir, dir, scratch, scratch2).foreach(d => graft.Fs.rmTree(new java.io.File(d)))
   }
 
+  test("incremental stages: a crash between partition swap and stamp rewrite self-heals") {
+    import org.apache.spark.sql.functions._
+    // The delta commit's crash story (Stage.incrementalOn doc): the
+    // partition dirs rename first, the stamp rewrites LAST — so a crash
+    // in between leaves the new partition live but unrecorded, and the
+    // next tick must re-detect exactly that value as stale, rebuild
+    // only it, and converge to the from-scratch answer. Simulated by
+    // restoring the pre-tick stamp file after a successful day-2 tick.
+    val evDir = java.nio.file.Files.createTempDirectory("dag-crash-ev").toString
+    val dir = java.nio.file.Files.createTempDirectory("dag-crash").toString
+    def day(ds: String, base: Int) = spark.range(8).select(
+      (col("id") + base).as("id"), lit(ds).as("ds"), (col("id") * 2.0).as("v"))
+    day("2024-01-01", 0).write.mode("append").partitionBy("ds").parquet(evDir)
+    val stages = Seq(Dag.Stage("ingest", Nil, (_, up) => up("events"),
+      partitionBy = Seq("ds"), incrementalOn = Some("ds"),
+      externalInputs = Map("events" -> evDir)))
+    def tick() = Dag.materialize(spark, stages, dir, refresh = false)
+    assert(tick().head.rows == 8)
+    val stamp = java.nio.file.Paths.get(s"$dir/ingest.parquet/_graft_stamp")
+    val preTick = java.nio.file.Files.readAllBytes(stamp)
+
+    day("2024-01-02", 100).write.mode("append").partitionBy("ds").parquet(evDir)
+    assert(tick().head.rows == 16)
+    // "Crash" before the stamp landed: the day-2 dir exists, the stamp
+    // still records day 1 only.
+    java.nio.file.Files.write(stamp, preTick)
+    val day1Files = Option(new java.io.File(s"$dir/ingest.parquet/ds=2024-01-01")
+      .listFiles()).getOrElse(Array.empty).map(f => (f.getName, f.lastModified)).toSet
+    val healed = tick()
+    assert(!healed.head.skipped && healed.head.rows == 16,
+      "the unrecorded partition must re-detect as stale and rebuild")
+    val day1After = Option(new java.io.File(s"$dir/ingest.parquet/ds=2024-01-01")
+      .listFiles()).getOrElse(Array.empty).map(f => (f.getName, f.lastModified)).toSet
+    assert(day1After == day1Files, "healing day 2 must not touch day 1")
+    // Converged: a further tick is a pure skip and the table equals the
+    // corpus.
+    val again = tick()
+    assert(again.head.skipped && again.head.rows == 16)
+    assert(spark.read.parquet(s"$dir/ingest.parquet").count() == 16)
+    Seq(evDir, dir).foreach(d => graft.Fs.rmTree(new java.io.File(d)))
+  }
+
   test("incremental stages: a poisoned delta is quarantined; committed days keep serving") {
     import org.apache.spark.sql.functions._
     val evDir = java.nio.file.Files.createTempDirectory("dag-incq-ev").toString
