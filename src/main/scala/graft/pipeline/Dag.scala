@@ -404,13 +404,30 @@ object Dag {
     * metadata alone. The label keeps two inputs' identical trees
     * distinct, and an input gaining/losing its subtree changes the
     * fingerprint even when the remaining bytes match.
+    *
+    * Each file's entry string ends with a NUL terminator before folding
+    * into the rolling hash — without it, adjacent entries concatenate
+    * ambiguously ("a"+"bc" hashes like "ab"+"c"; ADVICE r15 #4). The
+    * mtime is read at nanosecond precision where the filesystem provides
+    * it (ext4/xfs/apfs do), so a same-length rewrite within one
+    * lastModified millisecond still changes the fingerprint. CAVEAT
+    * (documented on [[Stage.incrementalOn]]): on filesystems with
+    * coarse mtime granularity, a same-length rewrite inside one
+    * granularity unit remains invisible to a stats-only fingerprint —
+    * the price of a zero-read tick. Writers that rewrite in place
+    * (rather than Spark's fresh-part-file pattern, which always changes
+    * names) should touch the directory or use unique file names.
     */
   private def dirFp(roots: Seq[(String, java.io.File)]): String = {
+    def mtimeNanos(f: java.io.File): Long =
+      try java.nio.file.Files.getLastModifiedTime(f.toPath)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch { case _: java.io.IOException => f.lastModified * 1000000L }
     def walk(label: String, f: java.io.File, rel: String, acc: Long): Long =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
           .foldLeft(acc)((a, c) => walk(label, c, s"$rel/${c.getName}", a))
-      else s"$label:$rel:${f.length}:${f.lastModified}"
+      else (s"$label:$rel:${f.length}:${mtimeNanos(f)}" + '\u0000')
         .foldLeft(acc)((a, ch) => a * 31 + ch)
     val h = roots.sortBy(_._1).foldLeft(1125899906842597L) {
       case (acc, (label, root)) =>
@@ -497,7 +514,19 @@ object Dag {
       (own +: (staticChain ++ pMap.map { case (v, fp) => s"_p:$v" -> fp })
         .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }).mkString("\n")
 
-    if (!skipped) {
+    // Build + commit for one tick. `full` is a parameter (not just the
+    // outer `fullBuild` val) because a delta attempt can DEGRADE to a
+    // full rebuild mid-tick: if the build's output partition tokens
+    // drift from the stale input tokens (partition-dir type inference
+    // re-typing an external dir's `ds=01` to `ds=1`, or a build that
+    // rewrites the column), a token-keyed delta swap would move nothing,
+    // delete the target's stale dirs, and stamp the values fresh —
+    // silently serving a lost delta forever (ADVICE r15 #1). Drift is
+    // detected against the tmp's ACTUAL `c=*` dirs BEFORE anything
+    // touches the target or the stamp, and the tick re-runs whole-table:
+    // never wrong, at worst unlazy (a drifting stage pays full rebuilds
+    // every changed tick until its tokens round-trip).
+    def buildAndCommit(full: Boolean): Unit = {
       val tmp = s"$workDir/${s.name}.parquet.tmp-${ProcessHandle.current.pid}-${System.nanoTime()}"
       val tmpAbs = new java.io.File(tmp).getAbsolutePath
       liveTmps.add(tmpAbs)
@@ -507,7 +536,7 @@ object Dag {
         val staleSeq = stale.toSeq.sorted
         val upstream = inputDirs.map { case (n, f) =>
           val df = spark.read.parquet(f.getAbsolutePath)
-          n -> (if (!fullBuild && perPartNames(n))
+          n -> (if (!full && perPartNames(n))
             df.filter(sqlCol(c).isin(staleSeq.map(unescape): _*))
           else df)
         }.toMap
@@ -515,7 +544,7 @@ object Dag {
         built.write.mode("overwrite").partitionBy(s.partitionBy: _*).parquet(tmp)
         applyGates(spark, s, workDir, tmp, built.schema)
         val own = s"${ProcessHandle.current.pid}-${System.nanoTime()}"
-        if (fullBuild) {
+        if (full) {
           // Whole-table path: same commit discipline as non-incremental
           // stages (backfill an empty result's schema, stamp + marker
           // into the tmp, atomic whole-dir swap).
@@ -537,15 +566,35 @@ object Dag {
               java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(path),
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           }
-        } else pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
+        } else {
+          val tmpF = new java.io.File(tmp)
+          val tmpTokens = Option(tmpF.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.getName.startsWith(c + "="))
+            .map(_.getName.substring(c.length + 1)).toSet
+          // Token round-trip invariant: a partition-wise build fed only
+          // the stale values can only emit those values, so every tmp
+          // token must BE a stale token. A violation means the keyed
+          // swap below would mis-address the target — degrade to the
+          // whole-table path before touching anything. (A stale token
+          // MISSING from tmp is legitimate: that value's new content is
+          // zero rows, and the swap deletes its target dir.)
+          val drift = tmpTokens -- stale
+          if (drift.nonEmpty) {
+            System.err.println(s"[graft.Dag] stage ${s.name}: delta build emitted " +
+              s"partition token(s) ${drift.toSeq.sorted.mkString(", ")} matching no stale " +
+              s"input token of $c — tokens do not round-trip (type inference or a column-" +
+              "rewriting build); degrading this tick to a full rebuild")
+            graft.Fs.rmTree(tmpF)
+            buildAndCommit(full = true)
+            return
+          }
+          pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
           // Delta commit: swap only the stale values' partition dirs.
           // A root-level schema-backfill part file from an earlier
           // EMPTY full build must not coexist with partition dirs (a
           // mixed layout fails Spark's partition discovery) — drop it
           // the moment real partitions arrive.
-          val tmpF = new java.io.File(tmp)
-          val tmpHasDirs = Option(tmpF.listFiles()).getOrElse(Array.empty)
-            .exists(f => f.isDirectory && f.getName.startsWith(c + "="))
+          val tmpHasDirs = tmpTokens.nonEmpty
           if (tmpHasDirs)
             Option(target.listFiles()).getOrElse(Array.empty)
               .filter(f => f.isFile && f.getName.startsWith("part-"))
@@ -580,9 +629,11 @@ object Dag {
           java.nio.file.Files.move(st, java.nio.file.Paths.get(path, StampFile),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           graft.Fs.rmTree(tmpF)
+          }
         }
       } finally liveTmps.remove(tmpAbs)
     }
+    if (!skipped) buildAndCommit(fullBuild)
     pathLocks.computeIfAbsent(path, _ => new Object).synchronized {
       val ownStamp = readStamp(target).map(_._1).getOrElse("legacy")
       val rows = footerRowCount(target)

@@ -472,6 +472,85 @@ class DagSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq(evDir, dir).foreach(d => graft.Fs.rmTree(new java.io.File(d)))
   }
 
+  test("incremental delta whose tokens do not round-trip degrades to a full rebuild, never loses the delta") {
+    import org.apache.spark.sql.functions._
+    // ADVICE r15 #1: an external input written with ds=01 (string token)
+    // is re-typed by partition-dir inference on read (Spark 4 probes:
+    // '01' → int 1), so the delta build writes ds=1 while the stale
+    // stamp key is 01 — a token-keyed swap would move nothing, delete
+    // nothing it should, and stamp the value fresh: the delta silently
+    // lost, stale data served forever. The fix detects tmp tokens
+    // outside the stale set BEFORE touching the target and degrades the
+    // tick to a whole-table rebuild.
+    val evDir = java.nio.file.Files.createTempDirectory("dag-drift-ev").toString
+    val dir = java.nio.file.Files.createTempDirectory("dag-drift").toString
+    def rows(ds: String, n: Int, base: Int) =
+      spark.range(n).select((col("id") + base).as("id"), lit(ds).as("ds"))
+    rows("01", 4, 0).write.mode("append").partitionBy("ds").parquet(evDir)
+    val stages = Seq(Dag.Stage("ing", Nil,
+      (_, up) => up("events").withColumn("v", col("id") * 2),
+      partitionBy = Seq("ds"), incrementalOn = Some("ds"),
+      externalInputs = Map("events" -> evDir)))
+    def tick() = Dag.materialize(spark, stages, dir, refresh = false)
+    tick()
+    // Precondition of the hazard: inference re-typed the token.
+    assert(new java.io.File(s"$dir/ing.parquet/ds=1").exists(),
+      "precondition: partition inference re-types 01 -> 1")
+
+    // Day-1 backfill: the ds=01 partition gains rows; only it is stale.
+    rows("01", 3, 100).write.mode("append").partitionBy("ds").parquet(evDir)
+    val second = tick()
+    assert(second.forall(!_.skipped))
+    val got = spark.read.parquet(s"$dir/ing.parquet")
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ((0L until 4L) ++ (100L until 103L)).map(i => (i, i * 2)).toSet
+    assert(got == want, "the backfilled delta must never be silently lost")
+    // No orphaned tmp survives the degraded tick; the tick stays
+    // idempotent afterwards (the degraded full build stamped the
+    // INPUT-token fingerprints, so an unchanged corpus skips).
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.contains(".tmp-")))
+    val third = tick()
+    assert(third.forall(_.skipped), "post-degradation tick over unchanged corpus must skip")
+    Seq(evDir, dir).foreach(d => graft.Fs.rmTree(new java.io.File(d)))
+  }
+
+  test("quarantine retention: a sixth rejection evicts exactly the oldest entry") {
+    import org.apache.spark.sql.functions._
+    // VERDICT r15 #7: _quarantine/ keeps QuarantineKeep (5) most recent
+    // rejected batches; nothing pinned the eviction until now.
+    val dir = java.nio.file.Files.createTempDirectory("dag-quar").toString
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val poisoned = Seq(Dag.Stage("bad", Nil,
+      (sp, _) => sp.range(3).select(col("id"), lit(null: String).as("must")),
+      requireChecks = Seq(graft.quality.DataQuality.run(_,
+        Seq(graft.quality.DataQuality.NotNull("must"))))))
+    def reject(): Unit = {
+      counter.incrementAndGet()
+      intercept[Dag.QualityGateException] {
+        Dag.materialize(spark, poisoned, dir, refresh = true)
+      }
+      // mtime-ordered eviction needs distinct mtimes on coarse clocks.
+      Thread.sleep(15)
+    }
+    val qroot = new java.io.File(dir, "_quarantine")
+    def names = Option(qroot.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+    reject()
+    val first = names
+    assert(first.size == 1, "first rejection parks one batch")
+    (2 to 6).foreach(_ => reject())
+    val entries = names
+    assert(entries.size == Dag.QuarantineKeep,
+      s"6 rejections must leave exactly ${Dag.QuarantineKeep} quarantined batches, " +
+        s"got ${entries.size}")
+    assert(!entries.contains(first.head),
+      "the evicted batch must be the OLDEST (the first rejection)")
+    // A seventh rejection still leaves 5 (steady state, bounded disk).
+    reject()
+    assert(Option(qroot.listFiles()).getOrElse(Array.empty).length == Dag.QuarantineKeep)
+    graft.Fs.rmTree(new java.io.File(dir))
+  }
+
   test("a partition-layout change rebuilds a committed stage once under refresh=false") {
     val dir = java.nio.file.Files.createTempDirectory("dag-layout").toString
     def stages(pb: Seq[String]) = Seq(Dag.Stage("m", Nil, (sp, _) =>
