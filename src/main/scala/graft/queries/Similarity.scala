@@ -116,10 +116,24 @@ object Similarity {
     * E[h] = 128·acos(0.45)/π ≈ 45.0 with σ = √(128·p(1−p)) ≈ 5.4, so
     * 55 = E[h] + 1.84σ keeps ≈ 97% of pairs AT the threshold boundary
     * (and virtually all better ones — a cos 0.95 near-dup sits at
-    * E[h] ≈ 13); a RANDOM pair (h ~ Bin(128, ½), mean 64, σ 4.4)
-    * passes with P ≈ 2%. The filter is the load-bearing half of the
-    * r15 budget story above: it is what makes enumerated rows cheap
-    * enough that the ladder can afford recall-first rungs.
+    * E[h] ≈ 13). For a RANDOM pair, h ~ Bin(128, ½): mean 64,
+    * σ = √(128·¼) = √32 ≈ 5.66, so the ANALYTIC pass rate is
+    * P(h ≤ 55) ≈ Φ((55.5−64)/5.66) ≈ 7% — ~72 of 1024 enumerated
+    * candidates/vector would carry their vectors to the exact-cosine
+    * verify in the worst case, above the old 64×-discipline figure.
+    * The MEASURED pass rate on this corpus family is ≈ 2% (~20
+    * rows/vector): enumerated candidates are band-collision survivors,
+    * not independent uniform pairs, and their signature bits are
+    * correlated through the shared band words. The byte bound the
+    * budget story relies on is therefore EMPIRICAL (pinned by
+    * SrpLshSpec's occupancy floor and the sf100 operating point in
+    * BASELINE.md), with the analytic ~7% as the never-exceeded worst
+    * case — at 1024 cands/vector and 768-float vectors that ceiling is
+    * ~220 KB/vector of verify traffic, still bounded scratch. The
+    * filter is the load-bearing half of the r15 budget story above: it
+    * is what makes enumerated rows cheap enough that the ladder can
+    * afford recall-first rungs. (ADVICE r15 #3: the original comment
+    * misstated σ as 4.4 and the analytic rate as 2%.)
     */
   private[queries] val srpHammingMax = 55
 
