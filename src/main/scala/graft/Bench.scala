@@ -252,12 +252,30 @@ object Bench {
       s""","recall":{"q53_pairs":$lsh,"q44_pairs":$exact,"ratio":${fmt(ratio, 6)}$r}"""
     }.getOrElse("")
 
+  /** MinHash/SimHash family recall (VERDICT r15 #3): each entry is
+    * (pairs the family's verified output shares with the exact q41
+    * ground truth, exact pairs). q42's output is a SUBSET of q41's by
+    * construction (banded candidates, same exact-Jaccard verify), so
+    * its ratio is candidate-generation recall; q43 is measured against
+    * the SEMANTIC truth (its hamming ≤ 6 predicate is complete by
+    * pigeonhole — the oracle proves that — so the interesting number is
+    * how much of the Jaccard ≥ 0.5 truth the 48-bit signature family
+    * captures at that operating point). -1 ratio = empty ground truth.
+    */
+  private def familyRecallField(fam: Map[String, (Long, Long)]): String =
+    if (fam.isEmpty) "" else
+      fam.toSeq.sortBy(_._1).map { case (name, (got, exact)) =>
+        val ratio = if (exact == 0) -1.0 else got.toDouble / exact
+        s"""${Jsons.quote(name)}:{"pairs":$got,"exact_pairs":$exact,"ratio":${fmt(ratio, 6)}}"""
+      }.mkString(""","family_recall":{""", ",", "}")
+
   private[graft] def renderJson(
       results: Seq[QueryRun], sfDir: String, sweeps: Int,
       sweepStats: Option[(Long, Long, Long)] = None,
       skipped: Set[String] = Set.empty,
       recall: Option[(Long, Long, Int)] = None,
-      calibrationS: Option[Double] = None): String = {
+      calibrationS: Option[Double] = None,
+      familyRecall: Map[String, (Long, Long)] = Map.empty): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
     // Per-query cache-construction ms (VERDICT r11 #7), keyed like the
@@ -280,7 +298,7 @@ object Bench {
     // (the driver's case) the line is byte-identical to before.
     val sk = if (skipped.isEmpty) ""
       else s""","skipped":[${skipped.toSeq.sorted.map(Jsons.quote).mkString(",")}]"""
-    val rcFull = recallField(recall)
+    val rcFull = recallField(recall) + familyRecallField(familyRecall)
     // Degraded recall (pathological-width lines only): the ratio is the
     // number the artifact trail tracks; the pair counts live on the
     // detail line's queries regardless.
@@ -352,7 +370,25 @@ object Bench {
       calibrationS: Option[Double] = None): String = {
     val c = spark.sparkContext.getConf
     val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    // Host context at sweep start (VERDICT r15 #8): the r15 drift
+    // adjudication (driver 67 s vs builder 80–101 s on identical code)
+    // took a paragraph of prose because the artifact couldn't say "the
+    // box was busy" — one-minute loadavg + MemAvailable make it
+    // self-adjudicating. -1 where the platform can't answer.
+    val loadavg1m =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val memAvailableMb: Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines()
+          .collectFirst { case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong / 1024 }
+          .getOrElse(-1L)
+        finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
     val fields = calibrationS.map(s => "calibration_s" -> fmt(s, 3)).toSeq ++ Seq(
+      "loadavg_1m" -> fmt(loadavg1m, 2),
+      "mem_available_mb" -> memAvailableMb.toString,
       "heap_mb" -> heapMb.toString,
       "cpus" -> Runtime.getRuntime.availableProcessors().toString,
       "master" -> Jsons.quote(c.get("spark.master", "?")),
@@ -566,11 +602,40 @@ object Bench {
           System.err.println(s"[bench] recall measurement failed: $e"); None
         }
       else None
+    // MinHash/SimHash family recall (VERDICT r15 #3), untimed like the
+    // q53 block above: q42's verified pairs are a subset of q41's exact
+    // answer (ratio = candidate recall); q43's hamming ≤ 6 pairs are
+    // intersected with the exact Jaccard ≥ 0.5 truth (semantic recall of
+    // the 48-bit signature family at its operating point). Runs only
+    // when all three queries swept clean — a rehearsal that skipped the
+    // exact baseline gets no entry, and `skipped` records why.
+    val familyRecall: Map[String, (Long, Long)] = {
+      def ranClean(q: String) = results.exists(r => r.name == q && r.error.isEmpty)
+      import org.apache.spark.sql.functions.col
+      if (Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash").forall(ranClean))
+        try {
+          val exactDf = SparkEntry.queries("q41_ngram_jaccard")(spark, sfDir)
+            .select(col("a_id"), col("b_id")).persist()
+          val exact = exactDf.count()
+          val mh = SparkEntry.queries("q42_minhash_lsh")(spark, sfDir).count()
+          val sh = SparkEntry.queries("q43_simhash")(spark, sfDir)
+            .select(col("a_id"), col("b_id"))
+            .join(exactDf, Seq("a_id", "b_id")).count()
+          exactDf.unpersist()
+          Seq("q41_ngram_jaccard", "q42_minhash_lsh", "q43_simhash")
+            .foreach(q => graft.queries.Registry.byName(q).releases
+              .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir")))
+          Map("q42_minhash" -> (mh, exact), "q43_simhash_vs_jaccard" -> (sh, exact))
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] family recall measurement failed: $e"); Map.empty
+        }
+      else Map.empty
+    }
     println(renderRunMetaJson(spark, sweeps, calibrationS))
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
       Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)),
-      excluded, recall, calibrationS))
+      excluded, recall, calibrationS, familyRecall))
     spark.stop()
   }
 }

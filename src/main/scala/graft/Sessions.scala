@@ -57,9 +57,17 @@ object Sessions {
       // start.
       val workerMb = "local-cluster\\[\\s*\\d+\\s*,\\s*\\d+\\s*,\\s*(\\d+)"
         .r.findFirstMatchIn(master).map(_.group(1)).getOrElse("4096")
-      b.config("spark.executor.extraClassPath", classes)
+      val b2 = b.config("spark.executor.extraClassPath", classes)
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", s"${workerMb}m"))
+      // Executor-JVM flag pass-through (r16 JIT slow-mode A/B,
+      // VERDICT r15 #1): the worker-forked executor JVMs are where the
+      // bimodal kernel mode lives, so the rehearsal arms need to vary
+      // THEIR flags (code-cache, tiered-compilation, JFR), not the
+      // driver's. Unset = byte-identical config to before.
+      sys.env.get("SPARK_GRAFT_EXECUTOR_OPTS")
+        .map(opts => b2.config("spark.executor.extraJavaOptions", opts))
+        .getOrElse(b2)
     } else b
   }
 }

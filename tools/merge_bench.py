@@ -48,7 +48,8 @@ def selftest():
     import subprocess, tempfile, os
     detail = '{"detail":"d","queries":{"q":1.0},"errors":{},"cache_build_ms":{},"sf":"/x"}'
     contract = '{"metric":"total","value":1.0,"unit":"sec","queries":{"q":1.0},"errors":{},"sweeps":1,"sf":"/x"}'
-    meta = '{"run_meta":{"heap_mb":"1","cpus":"1","master":"local","sweeps":"1"}}'
+    meta = ('{"run_meta":{"loadavg_1m":2.41,"mem_available_mb":"98304",'
+            '"heap_mb":"1","cpus":"1","master":"local","sweeps":"1"}}')
     with tempfile.TemporaryDirectory() as d:
         good, bad, out = os.path.join(d, "good"), os.path.join(d, "bad"), os.path.join(d, "out.json")
         with open(good, "w") as f:
@@ -60,6 +61,13 @@ def selftest():
         assert r.returncode == 0, f"good log rejected: {r.stderr or r.stdout}"
         merged = json.load(open(out))
         assert merged["runs"]["a"]["config"], "merged run lost its config"
+        # VERDICT r15 #8: the host-context fields (loadavg at sweep
+        # start, MemAvailable) must survive into the merged config so
+        # a drift adjudication is a field read, not prose.
+        assert merged["runs"]["a"]["config"]["loadavg_1m"] == 2.41, \
+            "merged run lost loadavg_1m"
+        assert merged["runs"]["a"]["config"]["mem_available_mb"] == "98304", \
+            "merged run lost mem_available_mb"
         r = subprocess.run([sys.executable, me, out, f"a={good}", f"b={bad}"],
                            capture_output=True, text=True)
         assert r.returncode != 0, "merge with a config-less log must fail"
