@@ -172,22 +172,41 @@ object BBoxGrouping {
     var pairs = 0L
     var a = 0
     while (a < n) {
-      val i = ord(a)
-      val bi = bboxes(i)
-      var b = a + 1
-      while (b < n && (keepZeros || bboxes(ord(b)).yMin < bi.yMax)) {
-        pairs += 1
-        val j = ord(b)
-        val v = bi.iou(bboxes(j))
-        if (v > 0 || keepZeros) {
-          adj(i)(j.toLong) = v
-          adj(j)(i.toLong) = v
-        }
-        b += 1
-      }
+      pairs += adjacencyRow(a, bboxes, ord, adj, keepZeros)
       a += 1
     }
     (adj, pairs)
+  }
+
+  /** One outer-row step of the adjacency sweep — a SEPARATE small method
+    * for the same JIT-shape reason as Domain.sweepRowPairs (r15 multi-JVM
+    * skew incident): with the whole n² sweep inside one activation, a hot
+    * panorama's task runs start-to-finish on whatever code the JIT had at
+    * loop entry (on fresh executors, a tier-3 OSR compilation that
+    * inlines the kernel WITH profiling counters). Called once per outer
+    * row, the method tiers up over thousands of standard invocations and
+    * every call runs the best available compilation.
+    */
+  private def adjacencyRow(
+      a: Int, bboxes: IndexedSeq[BBox], ord: Array[Int],
+      adj: Array[scala.collection.mutable.LongMap[Double]],
+      keepZeros: Boolean): Long = {
+    val n = bboxes.length
+    val i = ord(a)
+    val bi = bboxes(i)
+    var pairs = 0L
+    var b = a + 1
+    while (b < n && (keepZeros || bboxes(ord(b)).yMin < bi.yMax)) {
+      pairs += 1
+      val j = ord(b)
+      val v = bi.iou(bboxes(j))
+      if (v > 0 || keepZeros) {
+        adj(i)(j.toLong) = v
+        adj(j)(i.toLong) = v
+      }
+      b += 1
+    }
+    pairs
   }
 
   /** @return groups as lists of input indices, in reference emit order.

@@ -32,6 +32,21 @@ opts_for() {
     warmup)    echo "-Dgraft.kernelWarmup=1" ;;
     codecache) echo "-XX:-UseCodeCacheFlushing -XX:ReservedCodeCacheSize=512m" ;;
     c2only)    echo "-XX:-TieredCompilation" ;;
+    # Hypothesis arm: the hot group loop is ONE activation, so it only
+    # ever runs as a tier-3 OSR compilation when C2's queue is flooded
+    # on a fresh executor — and tier-3 INLINES the small kernel methods
+    # WITH profiling counters, so the standalone tier-4 copies sit
+    # unused. dontinline forces every call site through the standalone
+    # methods (which tier up in milliseconds), trading ~ns of call
+    # overhead for immunity to the caller's compilation level.
+    dontinline) echo "-XX:CompileCommand=quiet -XX:CompileCommand=dontinline,org.apache.spark.sql.graft.IouKernel$::compute -XX:CompileCommand=dontinline,graft.queries.Domain$::sweepRowPairs -XX:CompileCommand=dontinline,graft.queries.Domain$::sweepRowPartnered" ;;
+    # Hypothesis arm: fresh executor JVMs flood the C2 queue with Spark
+    # startup + codegen classes; a hot loop that OSR-compiled at tier 3
+    # stays there until C2 drains to its request. More compiler threads
+    # shrink the window. (The base-arm canary read 5.3 s vs 19.4 s for
+    # the identical warmed workload — the mode is executor-JVM-wide,
+    # not kernel-specific.)
+    cicount)   echo "-XX:CICompilerCount=6" ;;
     *)         echo "unknown arm $1" >&2; exit 2 ;;
   esac
 }
@@ -43,7 +58,7 @@ for ARM in "${ARMS[@]}"; do
     echo "== arm=$ARM run=$i =="
     SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
     SPARK_GRAFT_MASTER='local-cluster[4,8,8192]' SPARK_GRAFT_CPUS=32 \
-    SPARK_GRAFT_BENCH_ONLY=q80_iou_groups,q81_iou_pairs \
+    SPARK_GRAFT_BENCH_ONLY=q80_grouped_detections,q81_iou_pairs \
     SPARK_GRAFT_BENCH_SWEEPS=1 SPARK_GRAFT_SF_DIR="$SF" \
     SPARK_GRAFT_EXECUTOR_OPTS="$OPTS" \
       sbt -batch "runMain graft.Bench" > "$LOG" 2>&1
