@@ -71,7 +71,7 @@ object Similarity {
               4 * CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))) AS k FROM n),
         pq AS (SELECT CAST(ceil(k / 64.0) AS BIGINT) AS p FROM kq),
         anchors AS (
-          SELECT a_id, av, anrm FROM (
+          SELECT a_id, av, anrm, hrnk FROM (
             SELECT vec_id AS a_id, v AS av, nrm AS anrm,
                    row_number() OVER (ORDER BY
                      ((vec_id % 1000003) * 2654435761) % 1000000007, vec_id) AS hrnk
@@ -550,6 +550,82 @@ object Similarity {
           explode(NearestCells.column(col("embedding"), col("nrm"), anchors,
             nprobeFor(anchors.size))).as("qcell"))
       val scored = cells.join(broadcast(probes),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"),
+          round(col("c"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ── TWO-LEVEL IVF: the beyond-the-cap scale path anchorKFor's cap
+    // points at. Level 1 routes each vector to its nearest of Kc =
+    // ⌈√K⌉ coarse anchors (the first Kc fine anchors by hash rank — a
+    // nested subset, no second anchor family); level 2 to its nearest
+    // fine anchor among that coarse cell's fine anchors (fine→coarse
+    // routing computed once on the driver with the same scoring fold).
+    // Assignment cost per row is O((Kc + K/Kc)·dim) ≈ O(2√K·dim) — at
+    // the 65536 cap, 512 anchor dots instead of 65536, which is what
+    // lets K keep growing past a flat scan's budget. Routing is
+    // hierarchical, not flat-best (a vector's overall-nearest fine
+    // anchor may live under another coarse cell) — the classical
+    // two-level recall trade; queries scan their own two-level cell
+    // (nprobe=1 at both levels, the max-pruning demo). The oracle
+    // mirrors BOTH ranking levels as windows, so the routing tree
+    // itself is verified, and the one native kernel keeps embeddings
+    // out of every exchange exactly like flat NearestCells.
+    QueryDef(
+      "q109_ivf_twolevel",
+      Some(s"""
+        $corpusCte,
+        $anchorsCte,
+        kcq AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM kq),
+        coarse AS (SELECT a_id AS c_id, av AS cv, anrm AS cnrm
+                   FROM anchors, kcq WHERE hrnk <= kc),
+        froute AS (
+          SELECT a_id, av, anrm, c_id FROM (
+            SELECT f.a_id, f.av, f.anrm, c.c_id,
+                   row_number() OVER (PARTITION BY f.a_id
+                     ORDER BY (${VS.dotExpr("f.av", "c.cv")} / (f.anrm * c.cnrm)) DESC, c.c_id) AS crnk
+            FROM anchors f, coarse c)
+          WHERE crnk = 1),
+        lvl1 AS (
+          SELECT vec_id, v, nrm, c_id FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY (${VS.dotExpr("n.v", "c.cv")} / (n.nrm * c.cnrm)) DESC, c.c_id) AS crnk
+            FROM n, (SELECT DISTINCT fr.c_id, c.cv, c.cnrm
+                     FROM froute fr JOIN coarse c ON c.c_id = fr.c_id) c)
+          WHERE crnk = 1),
+        cells AS (
+          SELECT vec_id, v, nrm, cell FROM (
+            SELECT l.vec_id, l.v, l.nrm, f.a_id AS cell,
+                   row_number() OVER (PARTITION BY l.vec_id
+                     ORDER BY (${VS.dotExpr("l.v", "f.av")} / (l.nrm * f.anrm)) DESC, f.a_id) AS frnk
+            FROM lvl1 l JOIN froute f ON f.c_id = l.c_id)
+          WHERE frnk = 1)
+        SELECT q_id, neighbor_id, rnk, cos FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY ${cosNN("q", "c")} DESC, c.vec_id) AS rnk,
+                 round(${cosNN("q", "c")}, 6) AS cos
+          FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
+          WHERE q.vec_id < 5)
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val anchors = collectAnchors(e) // hash-rank order (the oracle's hrnk)
+      val kc = math.ceil(math.sqrt(anchors.size.toDouble)).toInt
+      val cells = e.withColumn("cell",
+        org.apache.spark.sql.graft.NearestCellsTwoLevel.column(
+          col("embedding"), col("nrm"), anchors, kc))
+      val q = cells.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          col("nrm").as("qn"), col("cell").as("qcell"))
+      val scored = cells.join(broadcast(q),
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.NearestCellsTwoLevel
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two-level IVF routing kernel (q109) must reproduce the
+  * declarative two-window formulation it replaces — fine→coarse routing
+  * and both per-row ranking levels, including row_number tie-breaks —
+  * on the REAL sf0.01 corpus with the real anchor derivation.
+  */
+class NearestCellsTwoLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.01"
+
+  override def beforeAll(): Unit = {
+    spark = graft.Sessions.builder("4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("two-level cell assignment equals the declarative two-window ranking on sf0.01") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    // Same derivation as q109: anchors by min-hash rank, Kc = ceil(sqrt(K)).
+    val hash = (col("vec_id") % 1000003L) * 2654435761L % 1000000007L
+    val n = e.count()
+    val k = math.max(64L, math.min(65536L,
+      4L * math.floor(math.sqrt(n.toDouble)).toLong)).toInt
+    val anchors = e.orderBy(hash, col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSeq
+    val kc = math.ceil(math.sqrt(anchors.size.toDouble)).toInt
+
+    val kernel = e.select(col("vec_id"),
+        NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, kc).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // Declarative arm: coarse = first kc anchors by rank; route fine
+    // anchors by windowed rank; route corpus rows coarse-then-fine.
+    val s2 = spark; import s2.implicits._
+    val aDf = anchors.zipWithIndex
+      .map { case ((id, v, nr), i) => (id, v, nr, i + 1) }
+      .toDF("a_id", "av", "anrm", "hrnk")
+    val coarse = aDf.filter(col("hrnk") <= kc)
+      .select(col("a_id").as("c_id"), col("av").as("cv"), col("anrm").as("cnrm"))
+    def cos(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+        av: org.apache.spark.sql.Column, anrm: org.apache.spark.sql.Column) =
+      VectorFunctions.dot(v, av) / (nrm * anrm)
+    val wf = Window.partitionBy(col("a_id"))
+      .orderBy(cos(col("av"), col("anrm"), col("cv"), col("cnrm")).desc, col("c_id"))
+    val froute = aDf.crossJoin(coarse)
+      .withColumn("crnk", row_number().over(wf)).filter(col("crnk") === 1)
+      .select(col("a_id"), col("av"), col("anrm"), col("c_id"))
+    val presentCoarse = froute.select(col("c_id")).distinct()
+      .join(coarse, "c_id")
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(cos(col("embedding"), col("nrm"), col("cv"), col("cnrm")).desc, col("c_id"))
+    val lvl1 = e.crossJoin(presentCoarse)
+      .withColumn("crnk", row_number().over(w1)).filter(col("crnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(cos(col("embedding"), col("nrm"), col("av"), col("anrm")).desc, col("a_id"))
+    val declarative = lvl1.join(froute.withColumnRenamed("c_id", "fc"),
+        col("fc") === col("c_id"))
+      .withColumn("frnk", row_number().over(w2)).filter(col("frnk") === 1)
+      .select(col("vec_id"), col("a_id").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(kernel.size == n && declarative.size == n)
+    val diff = kernel.collect { case (id, c) if declarative(id) != c =>
+      (id, c, declarative(id)) }
+    assert(diff.isEmpty, s"two-level kernel diverges from the declarative " +
+      s"ranking on ${diff.size} rows, e.g. ${diff.take(3)}")
+  }
+
+  test("kernel assignment is identical on the interpreted (NO_CODEGEN) path") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    val hash = (col("vec_id") % 1000003L) * 2654435761L % 1000000007L
+    val anchors = e.orderBy(hash, col("vec_id")).limit(88).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSeq
+    def run(): Map[Long, Long] =
+      e.select(col("vec_id"),
+          NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, 10).as("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gen = run()
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen, "interpreted path diverges from codegen")
+    finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+}
