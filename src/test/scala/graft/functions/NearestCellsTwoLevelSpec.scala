@@ -79,6 +79,32 @@ class NearestCellsTwoLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ranking on ${diff.size} rows, e.g. ${diff.take(3)}")
   }
 
+  test("identical-vector twin anchors: empty coarse cells drop from level-1 routing (degenerate branch)") {
+    val s2 = spark; import s2.implicits._
+    // Anchors 10 and 20 are IDENTICAL vectors: both route (ties to the
+    // lower coarse id) under coarse anchor 10, so coarse cell 20 owns
+    // no fine anchors and must vanish from level-1 routing — without the
+    // constructor's drop, a vector nearest to 20 would route into an
+    // empty cell. Anchor 30 is far away on another axis.
+    val anchors: Seq[(Long, Seq[Float], Double)] = Seq(
+      (10L, Seq(1f, 0f, 0f), 1.0),
+      (20L, Seq(1f, 0f, 0f), 1.0),
+      (30L, Seq(0f, 0f, 1f), 1.0))
+    val df = Seq(
+      (1L, Seq(0.9f, 0.1f, 0.0f)), // nearest 10/20 family
+      (2L, Seq(0.0f, 0.1f, 0.9f))  // nearest 30
+    ).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+    // kc = 3: every anchor is coarse; cell 20 routes to 10 and empties.
+    val got = df.select(col("vec_id"),
+        NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, 3).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // Row 1: level-1 over {10, 30} (20 dropped) → 10; level-2 within
+    // cell 10 = {10, 20} → tie on identical vectors → lower id 10.
+    // Row 2: → coarse 30 → fine 30.
+    assert(got == Map(1L -> 10L, 2L -> 30L), s"got $got")
+  }
+
   test("kernel assignment is identical on the interpreted (NO_CODEGEN) path") {
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
