@@ -78,9 +78,26 @@ object Similarity {
             FROM n), kq
           WHERE hrnk <= k)"""
 
-  private def collectAnchors(e: DataFrame): Seq[(Long, Seq[Float], Double)] =
+  /** Corpus row count, cached per (session, corpus) as a SessionCache
+    * value entry (ADVICE r16 #2: collectAnchors used to run its own
+    * full count() action on every invocation, so each IVF query paid
+    * two corpus actions for anchor selection). Declared in each IVF
+    * query's `releases`, so the harness loop retires it like any cache.
+    */
+  private[queries] def corpusCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long =
+    graft.pipeline.SessionCache.getOrBuildValue(spark, s"embN:$dir")(
+      java.lang.Long.valueOf(embeddings(spark, dir).count())).longValue()
+
+  /** The top-k anchor collect. `k` is ALWAYS the anchorKFor-clamped K
+    * (ADVICE r16 #1: deriving kc/nprobe from anchors.size = min(K, n)
+    * while the oracle derives them from K alone would diverge on
+    * corpora smaller than K) — callers derive every downstream dial
+    * (nprobe, kc, wc) from the same clamped K the oracle uses.
+    */
+  private def collectAnchors(e: DataFrame, k: Int): Seq[(Long, Seq[Float], Double)] =
     e.orderBy(anchorHash, col("vec_id"))
-      .limit(anchorKFor(e.count()))
+      .limit(k)
       .collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
 
@@ -302,13 +319,14 @@ object Similarity {
     * key — minimal cost, and at that scale the wide family's extra
     * tables buy enumeration, not discrimination.
     */
-  private[queries] def srpSelectArm(sigs: DataFrame): Int = {
+  private[queries] def srpSelectArm(sigs: DataFrame,
+      budget: Long = srpEnumBudget): Int = {
     val ladder = Seq(11, 1, 12, 2, 13, 3, 4, 5, 6, 7)
     ladder.find { r =>
       val (enumRows, n) =
         if (r >= 10) srpKeyEnumStatsWide(srpComboKeysWide(sigs, r - 10), combosOf16(r - 10))
         else srpKeyEnumStats(srpComboKeys(sigs, r), combosOf8(r))
-      val fits = enumRows <= srpEnumBudget * n
+      val fits = enumRows <= budget * n
       // A rejected probe's shuffle files (n·C keys rows) are dead the
       // moment its aggregate returns, but Spark only deletes them when
       // the driver GC collects the shuffle references — and a deep
@@ -340,7 +358,8 @@ object Similarity {
     * the PURE enumeration relations — the spec surface for the
     * combo-key ≡ HAVING-count equivalences.
     */
-  private[queries] def srpCandidatesHamming(keys: DataFrame, wide: Boolean): DataFrame = {
+  private[queries] def srpCandidatesHamming(keys: DataFrame, wide: Boolean,
+      hmax: Int = srpHammingMax): DataFrame = {
     val keyEq =
       if (wide) col("a.bp") === col("b.bp") && col("a.k0") === col("b.k0") &&
         col("a.k1") === col("b.k1")
@@ -348,17 +367,19 @@ object Similarity {
     keys.as("a").hint("merge")
       .join(keys.as("b").hint("merge"),
         keyEq && col("a.vec_id") < col("b.vec_id")
-          && hamming128("a", "b") <= lit(srpHammingMax))
+          && hamming128("a", "b") <= lit(hmax))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
   }
 
   /** The rung-r candidate relation (r in [[srpSelectArm]]'s encoding),
-    * hamming-gated — what q53 verifies exactly.
+    * hamming-gated — what q53 (and q110, at its own ceiling) verifies
+    * exactly.
     */
-  private[queries] def srpCandidatesForRung(sigs: DataFrame, rung: Int): DataFrame =
-    if (rung >= 10) srpCandidatesHamming(srpComboKeysWide(sigs, rung - 10), wide = true)
-    else srpCandidatesHamming(srpComboKeys(sigs, rung), wide = false)
+  private[queries] def srpCandidatesForRung(sigs: DataFrame, rung: Int,
+      hmax: Int = srpHammingMax): DataFrame =
+    if (rung >= 10) srpCandidatesHamming(srpComboKeysWide(sigs, rung - 10), wide = true, hmax)
+    else srpCandidatesHamming(srpComboKeys(sigs, rung), wide = false, hmax)
 
   private def combosOf8(k: Int): Int = (0 until 8).combinations(k).size
 
@@ -390,6 +411,92 @@ object Similarity {
     val arm = graft.pipeline.SessionCache.getOrBuildValue(
       spark, s"srpArm:$dir")(Integer.valueOf(srpSelectArm(sigs)))
     srpCandidatesForRung(sigs, arm.intValue())
+  }
+
+  /** The HIGH-COSINE deployment operating point (VERDICT r16 #1 — the
+    * regime SRP-LSH is actually deployed for, previously unmeasured and
+    * un-verified above cos ≈ 0.51). Deployment threshold τ = 0.8:
+    *
+    * - Hamming ceiling 35 = E[h] + 1.84σ AT τ: E[h] = 128·acos(0.8)/π
+    *   ≈ 26.2, σ = √(128·p(1−p)) ≈ 4.56 at p = 0.2048 — the same
+    *   keep-≈97%-at-the-boundary derivation as [[srpHammingMax]]'s 55,
+    *   retargeted from cos 0.45 to cos 0.8.
+    * - Budget 65536 enumerated rows/vector, 64× q53's, because the
+    *   budget is SIMILARITY-TARGETED, not occupancy-only: what the old
+    *   1024 actually bounded was the vector-carrying verify stage via
+    *   the ~2–7% random hamming-55 pass rate (~20–72 rows/vector).
+    *   At ceiling 35 a random pair passes with P(Bin(128,½) ≤ 35) ≈
+    *   2.4e-7 — the verify term 65536·2.4e-7 ≈ 0.016 rows/vector is
+    *   negligible, so the binding constraint is the STREAMED popcount
+    *   volume alone (24-byte rows through the join filter), safely
+    *   64k/vector. Net effect: the ladder holds its recall-max W1 rung
+    *   two decades longer — W1 at cos ≥ 0.8 catches ≥1-of-16 bands
+    *   with p ≈ 1−(1−0.16)^16 ≈ 0.94, vs the deep rungs' ≈0.10 that
+    *   the r16 sf10 probe measured at the OLD budget.
+    *
+    * q110 verifies this point against the same declarative oracle
+    * family as q53 (hash-green at the gate SFs); the synth planted
+    * probe (tools/srp_planted_recall.py synth) measures its per-band
+    * recall at sf10, and SrpLshSpec pins the cos ≥ 0.8 floor.
+    */
+  private[queries] val srpTightThreshold = 0.8
+  private[queries] val srpTightHammingMax = 35
+  private[queries] val srpTightEnumBudget = 65536L
+
+  /** q110's corpus: embeddings plus DETERMINISTIC high-cosine replicas
+    * — the gate corpora top out at cos ≈ 0.51, so without planting the
+    * high-cosine oracle would be vacuously green on 0 rows. Replicas of
+    * the first 32 vectors zero their leading z dims (z = 13 → cos =
+    * √(1−s) ≈ 0.89 at mean mass share s ≈ 13/64; z = 26 → ≈ 0.77,
+    * straddling the τ = 0.8 verify line so the threshold filter is
+    * exercised in both directions). Zeroing is EXACT in float32, and
+    * dot/norm folds skip the zeros identically in both engines, so the
+    * oracle mirror stays bit-exact — no trig, no rounding.
+    */
+  private[queries] def tightAugmented(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val raw = embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def masked(shift: Long, z: Int) = raw.filter(col("vec_id") < 32)
+      .select((col("vec_id") + shift).as("vec_id"),
+        expr(s"transform(embedding, (x, i) -> IF(i < $z, CAST(0.0 AS FLOAT), x))")
+          .as("embedding"))
+    raw.unionByName(masked(10000000L, 13)).unionByName(masked(20000000L, 26))
+  }
+
+  private val tightCorpusCte = s"""
+    WITH aug AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000000 AS vec_id,
+             list_concat(list_transform(generate_series(1, 13), zx -> CAST(0.0 AS FLOAT)),
+                         embedding[14:]) AS embedding
+      FROM embeddings WHERE vec_id < 32
+      UNION ALL
+      SELECT vec_id + 20000000 AS vec_id,
+             list_concat(list_transform(generate_series(1, 26), zx -> CAST(0.0 AS FLOAT)),
+                         embedding[27:]) AS embedding
+      FROM embeddings WHERE vec_id < 32),
+    n AS (SELECT vec_id, embedding AS v, ${VS.normExpr("embedding")} AS nrm FROM aug)"""
+
+  /** The 128-bit signature relation over [[tightAugmented]], cached per
+    * (session, corpus) like [[srpSignatures]].
+    */
+  private[queries] def srpSignaturesTight(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"srpsigTight:$dir") {
+      val e = tightAugmented(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      e.withColumn("sig", VF.srpSignature(col("embedding"), 64, dim))
+        .withColumn("sig2", VF.srpSignatureHi(col("embedding"), 64, dim))
+    }
+
+  private[queries] def srpCandidatesTight(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val sigs = srpSignaturesTight(spark, dir)
+    val arm = graft.pipeline.SessionCache.getOrBuildValue(
+      spark, s"srpTightArm:$dir")(Integer.valueOf(srpSelectArm(sigs, srpTightEnumBudget)))
+    srpCandidatesForRung(sigs, arm.intValue(), srpTightHammingMax)
   }
 
   /** The rung-k candidate join: pairs sharing any combo key, deduped.
@@ -424,6 +531,66 @@ object Similarity {
     */
   private[queries] def srpCandidatesQuadKey(sigs: DataFrame): DataFrame =
     srpCandidatesKeyed(srpComboKeys(sigs, 4))
+
+  /** The SRP-LSH oracle, parameterized over the operating point
+    * (exact-cosine threshold, hamming ceiling, per-vector enumeration
+    * budget): q53 instantiates (0.45, 55, 1024), q110 the
+    * similarity-targeted (0.8, 35, 65536). The ladder CASE mirrors
+    * srpSelectArm's walk ONE-FOR-ONE: W1, N1, W2, N2, W3, N3, N4..N7,
+    * else the narrow terminal.
+    */
+  private def srpOracleSql(thresh: Double, hmax: Int, budgetPerVec: Long,
+      corpus: String = corpusCte): String = {
+    val budget = s"$budgetPerVec * (SELECT count(*) FROM n)"
+    def wideEnum(k: Int) =
+      if (k == 1) s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM wbands GROUP BY band, k0, k1))"""
+      else s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM wcombo$k GROUP BY bp, k0, k1))"""
+    def narrowEnum(k: Int) =
+      if (k == 1) s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM wbands WHERE band < 8 GROUP BY band, k0))"""
+      else s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
+                    FROM (SELECT count(*) AS d FROM combo$k GROUP BY bp, key))"""
+    val ladderCase = (Seq(
+      wideEnum(1) -> 11, narrowEnum(1) -> 1,
+      wideEnum(2) -> 12, narrowEnum(2) -> 2,
+      wideEnum(3) -> 13, narrowEnum(3) -> 3) ++
+      (4 to 7).map(k => narrowEnum(k) -> k))
+      .map { case (e, r) => s"WHEN $e <= $budget THEN $r" }
+      .mkString("(CASE\n              ", "\n              ", "\n              ELSE 8 END)")
+    s"""
+        $corpus,
+        sig AS (SELECT vec_id, v, nrm, ${VS.srpSignatureExpr("v", 64)} AS sig,
+                       ${VS.srpSignatureHiExpr("v", 64)} AS sig2 FROM n),
+        wbands AS (
+          SELECT vec_id, sig, sig2, u.bk.band AS band, u.bk.k0 AS k0, u.bk.k1 AS k1
+          FROM sig, (SELECT unnest(${VS.srpWideBandKeysExpr("sig", "sig2")}) AS bk) u),
+        ${(2 to 3).map(k => s"""wcombo$k AS (
+          SELECT vec_id, u.ck.bp AS bp, u.ck.k0 AS k0, u.ck.k1 AS k1
+          FROM sig, (SELECT unnest(${VS.srpComboKeysWideExpr("sig", "sig2", k)}) AS ck) u)""")
+          .mkString(",\n        ")},
+        ${(2 to 7).map(k => s"""combo$k AS (
+          SELECT vec_id, u.ck.bp AS bp, u.ck.key AS key
+          FROM sig, (SELECT unnest(${VS.srpComboKeysExpr("sig", 8, 8, k)}) AS ck) u)""")
+          .mkString(",\n        ")},
+        rung AS (SELECT $ladderCase AS r),
+        cand AS (
+          SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          FROM wbands a JOIN wbands b
+            ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.vec_id < b.vec_id
+          WHERE bit_count(xor(a.sig, b.sig)) + bit_count(xor(a.sig2, b.sig2)) <= $hmax
+          GROUP BY 1, 2
+          HAVING (CASE WHEN (SELECT r FROM rung) >= 10
+                  THEN count(*) >= (SELECT r FROM rung) - 10
+                  ELSE count(*) FILTER (WHERE a.band < 8) >= (SELECT r FROM rung) END))
+        SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
+        FROM cand c
+        JOIN sig sa ON sa.vec_id = c.a_id
+        JOIN sig sb ON sb.vec_id = c.b_id
+        WHERE ${cosNN("sa", "sb")} >= $thresh
+        ORDER BY a_id, b_id"""
+  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -490,10 +657,11 @@ object Similarity {
                  round(${cosNN("q", "c")}, 6) AS cos
           FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
           WHERE q.vec_id < 5)
-        WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      releases = Seq("embN"))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val anchors = collectAnchors(e)
+      val anchors = collectAnchors(e, anchorKFor(corpusCount(spark, dir)))
       val cells = e.withColumn("cell",
         element_at(NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
       val q = cells.filter(col("vec_id") < 5)
@@ -539,16 +707,18 @@ object Similarity {
                                     ORDER BY (${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm)) DESC, c.vec_id) AS rnk,
                  round(${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm), 6) AS cos
           FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id)
-        WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      releases = Seq("embN"))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val anchors = collectAnchors(e)
+      val kk = anchorKFor(corpusCount(spark, dir))
+      val anchors = collectAnchors(e, kk)
       val cells = e.withColumn("cell",
         element_at(NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
           explode(NearestCells.column(col("embedding"), col("nrm"), anchors,
-            nprobeFor(anchors.size))).as("qcell"))
+            nprobeFor(kk))).as("qcell"))
       val scored = cells.join(broadcast(probes),
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -572,17 +742,29 @@ object Similarity {
     // lets K keep growing past a flat scan's budget. Routing is
     // hierarchical, not flat-best (a vector's overall-nearest fine
     // anchor may live under another coarse cell) — the classical
-    // two-level recall trade; queries scan their own two-level cell
-    // (nprobe=1 at both levels, the max-pruning demo). The oracle
-    // mirrors BOTH ranking levels as windows, so the routing tree
-    // itself is verified, and the one native kernel keeps embeddings
-    // out of every exchange exactly like flat NearestCells.
+    // two-level recall trade, bought back by coarse MULTI-PROBE on
+    // BOTH sides (VERDICT r16 #2): corpus rows assign through their
+    // ac = 6 nearest coarse cells (the sf10 grid showed hierarchical
+    // MISASSIGNMENT, not probe selection, dominated the loss), and
+    // each query probes its wc = ⌈2kc/5⌉ nearest coarse cells keeping
+    // the p best fine cells within them (p = nprobeFor(K), the scaled
+    // flat path's probe count) — scan budget ~p·n/K corpus rows,
+    // EQUAL to q54's flat scaled point, while assignment stays
+    // O((Kc + ac·K/Kc)·dim).
+    // The oracle mirrors all four ranking levels as windows (fine→
+    // coarse routing, corpus lvl1/lvl2, query crnk ≤ wc, frnk ≤ p),
+    // so the routing tree AND the probe set are verified, and the two
+    // native kernels keep embeddings out of every exchange exactly
+    // like flat NearestCells. Recall at equal scan budget vs the flat
+    // scaled path is measured at sf1/sf10 by tools/ivf_scale_probe.py
+    // two_level (IVF_TWOLEVEL_r17.json).
     QueryDef(
       "q109_ivf_twolevel",
       Some(s"""
         $corpusCte,
         $anchorsCte,
-        kcq AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM kq),
+        kcq AS (SELECT 2 * CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM kq),
+        wcq AS (SELECT (2 * kc + 4) // 5 AS wc FROM kcq),
         coarse AS (SELECT a_id AS c_id, av AS cv, anrm AS cnrm
                    FROM anchors, kcq WHERE hrnk <= kc),
         froute AS (
@@ -592,40 +774,72 @@ object Similarity {
                      ORDER BY (${VS.dotExpr("f.av", "c.cv")} / (f.anrm * c.cnrm)) DESC, c.c_id) AS crnk
             FROM anchors f, coarse c)
           WHERE crnk = 1),
+        kcoarse AS (SELECT DISTINCT fr.c_id, c.cv, c.cnrm
+                    FROM froute fr JOIN coarse c ON c.c_id = fr.c_id),
         lvl1 AS (
           SELECT vec_id, v, nrm, c_id FROM (
             SELECT n.vec_id, n.v, n.nrm, c.c_id,
                    row_number() OVER (PARTITION BY n.vec_id
                      ORDER BY (${VS.dotExpr("n.v", "c.cv")} / (n.nrm * c.cnrm)) DESC, c.c_id) AS crnk
-            FROM n, (SELECT DISTINCT fr.c_id, c.cv, c.cnrm
-                     FROM froute fr JOIN coarse c ON c.c_id = fr.c_id) c)
-          WHERE crnk = 1),
+            FROM n, kcoarse c)
+          WHERE crnk <= 6),
         cells AS (
           SELECT vec_id, v, nrm, cell FROM (
             SELECT l.vec_id, l.v, l.nrm, f.a_id AS cell,
                    row_number() OVER (PARTITION BY l.vec_id
                      ORDER BY (${VS.dotExpr("l.v", "f.av")} / (l.nrm * f.anrm)) DESC, f.a_id) AS frnk
             FROM lvl1 l JOIN froute f ON f.c_id = l.c_id)
-          WHERE frnk = 1)
+          WHERE frnk = 1),
+        qprobe AS (
+          SELECT q_id, qv, qn, c_id FROM (
+            SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, c.c_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY (${VS.dotExpr("q.v", "c.cv")} / (q.nrm * c.cnrm)) DESC, c.c_id) AS crnk
+            FROM n q, kcoarse c WHERE q.vec_id < 5), wcq
+          WHERE crnk <= wc),
+        fprobe AS (
+          SELECT q_id, qv, qn, cell FROM (
+            SELECT qp.q_id, qp.qv, qp.qn, f.a_id AS cell,
+                   row_number() OVER (PARTITION BY qp.q_id
+                     ORDER BY (${VS.dotExpr("qp.qv", "f.av")} / (qp.qn * f.anrm)) DESC, f.a_id) AS frnk
+            FROM qprobe qp JOIN froute f ON f.c_id = qp.c_id), pq
+          WHERE frnk <= p)
         SELECT q_id, neighbor_id, rnk, cos FROM (
-          SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
-                 row_number() OVER (PARTITION BY q.vec_id
-                                    ORDER BY ${cosNN("q", "c")} DESC, c.vec_id) AS rnk,
-                 round(${cosNN("q", "c")}, 6) AS cos
-          FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
-          WHERE q.vec_id < 5)
-        WHERE rnk <= 5 ORDER BY q_id, rnk"""))( (spark, dir) => {
+          SELECT fp.q_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY fp.q_id
+                                    ORDER BY (${VS.dotExpr("fp.qv", "c.v")} / (fp.qn * c.nrm)) DESC, c.vec_id) AS rnk,
+                 round(${VS.dotExpr("fp.qv", "c.v")} / (fp.qn * c.nrm), 6) AS cos
+          FROM fprobe fp JOIN cells c ON c.cell = fp.cell AND c.vec_id != fp.q_id)
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      releases = Seq("embN"))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val anchors = collectAnchors(e) // hash-rank order (the oracle's hrnk)
-      val kc = math.ceil(math.sqrt(anchors.size.toDouble)).toInt
+      val kk = anchorKFor(corpusCount(spark, dir))
+      val anchors = collectAnchors(e, kk) // hash-rank order (the oracle's hrnk)
+      // The measured operating point (200-query numpy grid at sf10, r17;
+      // full grid in IVF_TWOLEVEL_r17.json): kc = 2⌈√K⌉ (finer coarse
+      // level than the textbook ⌈√K⌉ — halves per-cell fine count, the
+      // dominant misassignment term on this concentration-of-measure
+      // corpus), ac = 6 assignment probes, wc = ⌈2kc/5⌉ query coarse
+      // probes (integer-exact in both engines), p fine cells = the flat
+      // scaled path's nprobe. Recall ratio vs flat at ~equal scan:
+      // 1.02 at sf1, 0.945 at sf10 (flat 0.345 → two-level 0.326 at
+      // 1.05× scanned rows). Every dial derives from the clamped K, so
+      // engine and oracle agree on corpora of any size (ADVICE r16 #1);
+      // the min() clamps only bind below K, where the oracle's
+      // hrnk <= kc filter takes all n anchors anyway.
+      val kcRaw = 2L * math.ceil(math.sqrt(kk.toDouble)).toLong
+      val kc = math.min(kcRaw, anchors.size.toLong).toInt
+      val p = nprobeFor(kk)
+      val wc = ((2L * kcRaw + 4L) / 5L).toInt
       val cells = e.withColumn("cell",
         org.apache.spark.sql.graft.NearestCellsTwoLevel.column(
-          col("embedding"), col("nrm"), anchors, kc))
-      val q = cells.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-          col("nrm").as("qn"), col("cell").as("qcell"))
-      val scored = cells.join(broadcast(q),
+          col("embedding"), col("nrm"), anchors, kc, ac = 6))
+      val qc = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+          explode(org.apache.spark.sql.graft.NearestCellsTwoLevel.probeColumn(
+            col("embedding"), col("nrm"), anchors, kc, wc, p)).as("qcell"))
+      val scored = cells.join(broadcast(qc),
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
           (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))
@@ -681,10 +895,12 @@ object Similarity {
                round(count(a.neighbor_id) / 5.0, 6) AS recall
         FROM truth t
         LEFT JOIN approx a ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
-        GROUP BY t.q_id ORDER BY t.q_id"""))( (spark, dir) => {
+        GROUP BY t.q_id ORDER BY t.q_id"""),
+      releases = Seq("embN"))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val anchors = collectAnchors(e)
+      val kk = anchorKFor(corpusCount(spark, dir))
+      val anchors = collectAnchors(e, kk)
       val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))
       def top5(scored: DataFrame): DataFrame = scored
         .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
@@ -699,7 +915,7 @@ object Similarity {
       val qc = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
           explode(NearestCells.column(col("embedding"), col("nrm"), anchors,
-            nprobeFor(anchors.size))).as("qcell"))
+            nprobeFor(kk))).as("qcell"))
       val approx = top5(cells.join(broadcast(qc),
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -832,59 +1048,7 @@ object Similarity {
     // verified.
     QueryDef(
       "q53_srp_lsh",
-      Some({
-        val budget = s"$srpEnumBudget * (SELECT count(*) FROM n)"
-        def wideEnum(k: Int) =
-          if (k == 1) s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
-                    FROM (SELECT count(*) AS d FROM wbands GROUP BY band, k0, k1))"""
-          else s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
-                    FROM (SELECT count(*) AS d FROM wcombo$k GROUP BY bp, k0, k1))"""
-        def narrowEnum(k: Int) =
-          if (k == 1) s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
-                    FROM (SELECT count(*) AS d FROM wbands WHERE band < 8 GROUP BY band, k0))"""
-          else s"""(SELECT coalesce(sum(d*(d-1)//2), 0)
-                    FROM (SELECT count(*) AS d FROM combo$k GROUP BY bp, key))"""
-        // The ladder CASE mirrors srpSelectArm's walk ONE-FOR-ONE:
-        // W1, N1, W2, N2, W3, N3, N4..N7, else the narrow terminal.
-        val ladderCase = (Seq(
-          wideEnum(1) -> 11, narrowEnum(1) -> 1,
-          wideEnum(2) -> 12, narrowEnum(2) -> 2,
-          wideEnum(3) -> 13, narrowEnum(3) -> 3) ++
-          (4 to 7).map(k => narrowEnum(k) -> k))
-          .map { case (e, r) => s"WHEN $e <= $budget THEN $r" }
-          .mkString("(CASE\n              ", "\n              ", "\n              ELSE 8 END)")
-        s"""
-        $corpusCte,
-        sig AS (SELECT vec_id, v, nrm, ${VS.srpSignatureExpr("v", 64)} AS sig,
-                       ${VS.srpSignatureHiExpr("v", 64)} AS sig2 FROM n),
-        wbands AS (
-          SELECT vec_id, sig, sig2, u.bk.band AS band, u.bk.k0 AS k0, u.bk.k1 AS k1
-          FROM sig, (SELECT unnest(${VS.srpWideBandKeysExpr("sig", "sig2")}) AS bk) u),
-        ${(2 to 3).map(k => s"""wcombo$k AS (
-          SELECT vec_id, u.ck.bp AS bp, u.ck.k0 AS k0, u.ck.k1 AS k1
-          FROM sig, (SELECT unnest(${VS.srpComboKeysWideExpr("sig", "sig2", k)}) AS ck) u)""")
-          .mkString(",\n        ")},
-        ${(2 to 7).map(k => s"""combo$k AS (
-          SELECT vec_id, u.ck.bp AS bp, u.ck.key AS key
-          FROM sig, (SELECT unnest(${VS.srpComboKeysExpr("sig", 8, 8, k)}) AS ck) u)""")
-          .mkString(",\n        ")},
-        rung AS (SELECT $ladderCase AS r),
-        cand AS (
-          SELECT a.vec_id AS a_id, b.vec_id AS b_id
-          FROM wbands a JOIN wbands b
-            ON a.band = b.band AND a.k0 = b.k0 AND a.k1 = b.k1 AND a.vec_id < b.vec_id
-          WHERE bit_count(xor(a.sig, b.sig)) + bit_count(xor(a.sig2, b.sig2)) <= $srpHammingMax
-          GROUP BY 1, 2
-          HAVING (CASE WHEN (SELECT r FROM rung) >= 10
-                  THEN count(*) >= (SELECT r FROM rung) - 10
-                  ELSE count(*) FILTER (WHERE a.band < 8) >= (SELECT r FROM rung) END))
-        SELECT c.a_id, c.b_id, round(${cosNN("sa", "sb")}, 6) AS cos
-        FROM cand c
-        JOIN sig sa ON sa.vec_id = c.a_id
-        JOIN sig sb ON sb.vec_id = c.b_id
-        WHERE ${cosNN("sa", "sb")} >= 0.45
-        ORDER BY a_id, b_id"""
-      }),
+      Some(srpOracleSql(0.45, srpHammingMax, srpEnumBudget)),
       releases = Seq("srpsig", "srpArm"))( (spark, dir) =>
       srpCandidates(spark, dir)
         .join(srpSignatures(spark, dir)
@@ -895,6 +1059,30 @@ object Similarity {
         .filter(col("c") >= 0.45)
         .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos"))
         .orderBy(col("a_id"), col("b_id"))),
+
+    // ── SRP-LSH at the HIGH-COSINE deployment point (τ = 0.8): same
+    // machinery as q53 — 128-bit signatures, the recall-ordered rung
+    // ladder, hamming-gated candidates, exact-cosine verify — at the
+    // similarity-targeted (hamming 35, budget 65536) operating point
+    // derived in [[srpTightThreshold]]'s scaladoc. The oracle mirrors
+    // the whole pipeline including the retargeted ladder CASE, so the
+    // operating point itself is verified; per-band recall at sf10 is
+    // measured on synthesized planted pairs (SRP_SYNTH_r17 artifact).
+    QueryDef(
+      "q110_srp_highcos",
+      Some(srpOracleSql(srpTightThreshold, srpTightHammingMax, srpTightEnumBudget,
+        tightCorpusCte)),
+      releases = Seq("srpsigTight", "srpTightArm"))( (spark, dir) =>
+      srpCandidatesTight(spark, dir)
+        .join(srpSignaturesTight(spark, dir)
+          .select(col("vec_id").as("a_id"), col("embedding").as("av"), col("nrm").as("an")), "a_id")
+        .join(srpSignaturesTight(spark, dir)
+          .select(col("vec_id").as("b_id"), col("embedding").as("bv"), col("nrm").as("bn")), "b_id")
+        .withColumn("c", VF.dot(col("av"), col("bv")) / (col("an") * col("bn")))
+        .filter(col("c") >= srpTightThreshold)
+        .select(col("a_id"), col("b_id"), round(col("c"), 6).as("cos"))
+        .orderBy(col("a_id"), col("b_id"))),
+
 
     // ── Per-label centroid + intra-cluster cohesion: element-wise mean
     // vector per label via the native VectorAvg aggregate (one map-side-

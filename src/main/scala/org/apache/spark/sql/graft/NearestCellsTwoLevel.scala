@@ -44,12 +44,14 @@ case class NearestCellsTwoLevel(
     coarseNrms: IndexedSeq[Double],
     fineIdsByCoarse: IndexedSeq[IndexedSeq[Long]],
     fineVecsByCoarse: IndexedSeq[IndexedSeq[IndexedSeq[Float]]],
-    fineNrmsByCoarse: IndexedSeq[IndexedSeq[Double]])
+    fineNrmsByCoarse: IndexedSeq[IndexedSeq[Double]],
+    ac: Int = 1)
     extends BinaryExpression with ExpectsInputTypes {
 
   require(coarseIds.nonEmpty, "NearestCellsTwoLevel: empty coarse set")
   require(coarseIds.length == coarseVecs.length && coarseIds.length == coarseNrms.length)
   require(fineIdsByCoarse.length == coarseIds.length)
+  require(ac >= 1, s"assignment coarse width ac=$ac must be >= 1")
   require(fineIdsByCoarse.forall(_.nonEmpty),
     "level-1 routing must only see coarse cells owning >=1 fine anchor " +
       "(the column() constructor drops empty cells)")
@@ -86,28 +88,51 @@ case class NearestCellsTwoLevel(
     acc
   }
 
-  /** Public so generated code can call it through the reference object. */
+  /** Public so generated code can call it through the reference object.
+    *
+    * ac = 1 is the r16 deepest-routing form (nearest coarse, then
+    * nearest fine within it). ac > 1 widens LEVEL-1 ASSIGNMENT to the
+    * top-ac coarse cells and picks the best fine anchor in their union
+    * — the measured fix for the hierarchical misassignment that
+    * dominated the two-level recall loss (sf10 grid in q109's
+    * scaladoc): per-row cost grows from (Kc + K/Kc) to
+    * (Kc + ac·K/Kc) dots, still ~50× under flat at the 65536 cap.
+    */
   def kernel(v: ArrayData, vNrm: Double): Long = {
     val fl = elemIsFloat
-    // Level 1: nearest coarse anchor (score DESC, id ASC — arrays are
-    // id-sorted, strict > keeps the earlier id on ties).
-    var bestC = 0
-    var bestScore = Double.NegativeInfinity
+    val nC = cIds.length
+    // Level 1: top-ac coarse anchors (score DESC, id ASC — arrays are
+    // id-sorted, strict > keeps the earlier id on ties) via repeated
+    // strict-max passes (ac is small).
+    val acEff = math.min(ac, nC)
+    val cScores = new Array[Double](nC)
     var a = 0
-    while (a < cIds.length) {
-      val s = dot(v, fl, cMats(a)) / (vNrm * cNrms(a))
-      if (s > bestScore) { bestScore = s; bestC = a }
-      a += 1
-    }
-    // Level 2: nearest fine anchor within the routed coarse cell.
-    val ids = fIds(bestC); val mats = fMats(bestC); val nrms = fNrms(bestC)
+    while (a < nC) { cScores(a) = dot(v, fl, cMats(a)) / (vNrm * cNrms(a)); a += 1 }
+    val used = new Array[Boolean](nC)
     var bestF = 0L
-    bestScore = Double.NegativeInfinity
-    var f = 0
-    while (f < ids.length) {
-      val s = dot(v, fl, mats(f)) / (vNrm * nrms(f))
-      if (s > bestScore) { bestScore = s; bestF = ids(f) }
-      f += 1
+    var bestScore = Double.NegativeInfinity
+    var r = 0
+    while (r < acEff) {
+      var bestC = -1
+      var bestCs = Double.NegativeInfinity
+      var i = 0
+      while (i < nC) {
+        if (!used(i) && cScores(i) > bestCs) { bestCs = cScores(i); bestC = i }
+        i += 1
+      }
+      used(bestC) = true
+      // Level 2: best fine anchor across the union of the picked cells
+      // — union ids are not globally sorted, so ties compare ids.
+      val ids = fIds(bestC); val mats = fMats(bestC); val nrms = fNrms(bestC)
+      var f = 0
+      while (f < ids.length) {
+        val s = dot(v, fl, mats(f)) / (vNrm * nrms(f))
+        if (s > bestScore || (s == bestScore && ids(f) < bestF)) {
+          bestScore = s; bestF = ids(f)
+        }
+        f += 1
+      }
+      r += 1
     }
     bestF
   }
@@ -132,6 +157,153 @@ case class NearestCellsTwoLevel(
       s"fine=${fineIdsByCoarse.map(_.length).sum})"
 }
 
+/** QUERY-side coarse multi-probe for the two-level quantizer (VERDICT
+  * r16 #2 — the dial that takes q109 from its deepest-pruning point to a
+  * deployable one): probe the `wc` nearest coarse cells, then rank the
+  * UNION of their fine anchors and keep the best `pf` fine cells —
+  * (score DESC, id ASC) at both levels, exactly the corpus-routing tie
+  * rule, so the declarative two-window oracle (crnk ≤ wc, frnk ≤ pf)
+  * computes bit-identical probe sets. Scan budget: pf fine cells ≈
+  * pf·n/K corpus rows — the SAME budget as the scaled flat path's
+  * nprobe = pf (q54), spent through the O((Kc + wc·K/Kc)·dim) two-level
+  * assignment instead of a flat O(K·dim) scan. Shares the routing
+  * arrays with [[NearestCellsTwoLevel]]; returns the probed fine cell
+  * ids in rank order (shorter when fewer candidates exist).
+  */
+case class NearestCellsTwoLevelProbe(
+    vec: Expression,
+    nrm: Expression,
+    coarseIds: IndexedSeq[Long],
+    coarseVecs: IndexedSeq[IndexedSeq[Float]],
+    coarseNrms: IndexedSeq[Double],
+    fineIdsByCoarse: IndexedSeq[IndexedSeq[Long]],
+    fineVecsByCoarse: IndexedSeq[IndexedSeq[IndexedSeq[Float]]],
+    fineNrmsByCoarse: IndexedSeq[IndexedSeq[Double]],
+    wc: Int,
+    pf: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(coarseIds.nonEmpty, "NearestCellsTwoLevelProbe: empty coarse set")
+  require(wc >= 1 && pf >= 1, s"wc=$wc pf=$pf must be >= 1")
+
+  override def left: Expression = vec
+  override def right: Expression = nrm
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)), DoubleType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val cIds: Array[Long] = coarseIds.toArray
+  @transient private lazy val cMats: Array[Array[Float]] = coarseVecs.map(_.toArray).toArray
+  @transient private lazy val cNrms: Array[Double] = coarseNrms.toArray
+  @transient private lazy val fIds: Array[Array[Long]] = fineIdsByCoarse.map(_.toArray).toArray
+  @transient private lazy val fMats: Array[Array[Array[Float]]] =
+    fineVecsByCoarse.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val fNrms: Array[Array[Double]] =
+    fineNrmsByCoarse.map(_.toArray).toArray
+
+  private def dot(v: ArrayData, fl: Boolean, av: Array[Float]): Double = {
+    val n = math.min(v.numElements(), av.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (fl) v.getFloat(i).toDouble else v.getDouble(i)
+      acc += xi * av(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Public so generated code can call it through the reference object. */
+  def kernel(v: ArrayData, vNrm: Double): ArrayData = {
+    val fl = elemIsFloat
+    // Level 1: top-wc coarse cells by (score DESC, id ASC). Coarse
+    // arrays are id-sorted, so repeated strict-max passes keep the
+    // earlier id on ties — wc·Kc comparisons, wc is small (⌈√p⌉).
+    val nC = cIds.length
+    val cScores = new Array[Double](nC)
+    var a = 0
+    while (a < nC) { cScores(a) = dot(v, fl, cMats(a)) / (vNrm * cNrms(a)); a += 1 }
+    val wcEff = math.min(wc, nC)
+    val pickedC = new Array[Int](wcEff)
+    val usedC = new Array[Boolean](nC)
+    var r = 0
+    while (r < wcEff) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < nC) {
+        if (!usedC(i) && cScores(i) > bestS) { bestS = cScores(i); best = i }
+        i += 1
+      }
+      usedC(best) = true; pickedC(r) = best; r += 1
+    }
+    // Level 2: rank the union of the probed cells' fine anchors by
+    // (score DESC, id ASC) — the union is NOT id-sorted across cells,
+    // so ties compare ids explicitly.
+    var nCand = 0
+    r = 0
+    while (r < wcEff) { nCand += fIds(pickedC(r)).length; r += 1 }
+    val candIds = new Array[Long](nCand)
+    val candScores = new Array[Double](nCand)
+    var o = 0
+    r = 0
+    while (r < wcEff) {
+      val c = pickedC(r)
+      val ids = fIds(c); val mats = fMats(c); val nrms = fNrms(c)
+      var f = 0
+      while (f < ids.length) {
+        candIds(o) = ids(f)
+        candScores(o) = dot(v, fl, mats(f)) / (vNrm * nrms(f))
+        o += 1; f += 1
+      }
+      r += 1
+    }
+    val pfEff = math.min(pf, nCand)
+    val out = new Array[Long](pfEff)
+    val usedF = new Array[Boolean](nCand)
+    r = 0
+    while (r < pfEff) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < nCand) {
+        if (!usedF(i) && (candScores(i) > bestS ||
+            (candScores(i) == bestS && candIds(i) < bestId))) {
+          bestS = candScores(i); bestId = candIds(i); best = i
+        }
+        i += 1
+      }
+      usedF(best) = true; out(r) = candIds(best); r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("twoLevelProbe", this, classOf[NearestCellsTwoLevelProbe].getName)
+    nullSafeCodeGen(ctx, ev, (v, n) =>
+      s"${ev.value} = $ref.kernel($v, $n);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCellsTwoLevelProbe =
+    copy(vec = newLeft, nrm = newRight)
+
+  override def prettyName: String = "nearestcells_twolevel_probe"
+
+  override def toString: String =
+    s"nearestcells_twolevel_probe($vec, $nrm, coarse=${coarseIds.length}, " +
+      s"fine=${fineIdsByCoarse.map(_.length).sum}, wc=$wc, pf=$pf)"
+}
+
 object NearestCellsTwoLevel {
 
   /** Driver-side routing-table construction from the flat anchor list
@@ -141,9 +313,12 @@ object NearestCellsTwoLevel {
     * kernel and the SQL oracle use. Each coarse anchor routes to itself
     * (score 1 is its own maximum), so no cell is empty.
     */
-  def column(
-      vec: Column, nrm: Column,
-      anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int): Column = {
+  /** (kept coarse anchors, fine anchors grouped by kept coarse cell) —
+    * shared by the corpus-assignment and query-probe constructors so
+    * both sides of q109 route through one table.
+    */
+  private def routingTable(anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int)
+      : (Seq[(Long, Seq[Float], Double)], Seq[Seq[(Long, Seq[Float], Double)]]) = {
     require(kc >= 1 && kc <= anchorsByRank.length)
     val coarse = anchorsByRank.take(kc).sortBy(_._1)
     def score(v: Seq[Float], vn: Double, c: (Long, Seq[Float], Double)): Double = {
@@ -171,7 +346,14 @@ object NearestCellsTwoLevel {
     // The oracle mirrors this by ranking corpus rows over exactly the
     // coarse ids present in the fine routing relation.
     val kept = coarse.filter(c => routed.contains(c._1))
-    val byCoarse = kept.map(c => routed(c._1).sortBy(_._1))
+    (kept, kept.map(c => routed(c._1).sortBy(_._1)))
+  }
+
+  def column(
+      vec: Column, nrm: Column,
+      anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int,
+      ac: Int = 1): Column = {
+    val (kept, byCoarse) = routingTable(anchorsByRank, kc)
     ExpressionUtils.column(NearestCellsTwoLevel(
       ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm),
       kept.map(_._1).toIndexedSeq,
@@ -179,6 +361,26 @@ object NearestCellsTwoLevel {
       kept.map(_._3).toIndexedSeq,
       byCoarse.map(_.map(_._1).toIndexedSeq).toIndexedSeq,
       byCoarse.map(_.map(_._2.toIndexedSeq).toIndexedSeq).toIndexedSeq,
-      byCoarse.map(_.map(_._3).toIndexedSeq).toIndexedSeq))
+      byCoarse.map(_.map(_._3).toIndexedSeq).toIndexedSeq,
+      ac))
+  }
+
+  /** The query-side multi-probe column: the `pf` best fine cells within
+    * the `wc` nearest coarse cells — same routing table as [[column]].
+    */
+  def probeColumn(
+      vec: Column, nrm: Column,
+      anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int,
+      wc: Int, pf: Int): Column = {
+    val (kept, byCoarse) = routingTable(anchorsByRank, kc)
+    ExpressionUtils.column(NearestCellsTwoLevelProbe(
+      ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm),
+      kept.map(_._1).toIndexedSeq,
+      kept.map(_._2.toIndexedSeq).toIndexedSeq,
+      kept.map(_._3).toIndexedSeq,
+      byCoarse.map(_.map(_._1).toIndexedSeq).toIndexedSeq,
+      byCoarse.map(_.map(_._2.toIndexedSeq).toIndexedSeq).toIndexedSeq,
+      byCoarse.map(_.map(_._3).toIndexedSeq).toIndexedSeq,
+      wc, pf))
   }
 }

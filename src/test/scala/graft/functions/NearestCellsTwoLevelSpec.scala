@@ -79,6 +79,82 @@ class NearestCellsTwoLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ranking on ${diff.size} rows, e.g. ${diff.take(3)}")
   }
 
+  test("ac=6 widened assignment + probeColumn equal the declarative multi-probe windows on sf0.01") {
+    // The r17 operating point (VERDICT r16 #2): corpus rows assign
+    // through their ac=6 nearest coarse cells; queries probe wc coarse
+    // cells and keep the pf best fine cells in the union. Both kernels
+    // must reproduce the declarative crnk<=ac / crnk<=wc / frnk<=pf
+    // window formulation the oracle uses, tie-breaks included.
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    val hash = (col("vec_id") % 1000003L) * 2654435761L % 1000000007L
+    val n = e.count()
+    val k = math.max(64L, math.min(65536L,
+      4L * math.floor(math.sqrt(n.toDouble)).toLong)).toInt
+    val anchors = e.orderBy(hash, col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSeq
+    val kc = math.min(2L * math.ceil(math.sqrt(k.toDouble)).toLong, anchors.size.toLong).toInt
+    val wc = ((2L * 2L * math.ceil(math.sqrt(k.toDouble)).toLong + 4L) / 5L).toInt
+    val pf = (k + 63) / 64
+    val ac = 6
+
+    val kernel = e.select(col("vec_id"),
+        NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, kc, ac).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val probeK = e.filter(col("vec_id") < 5).select(col("vec_id"),
+        NearestCellsTwoLevel.probeColumn(col("embedding"), col("nrm"),
+          anchors, kc, wc, pf).as("cells"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+
+    val s2 = spark; import s2.implicits._
+    val aDf = anchors.zipWithIndex
+      .map { case ((id, v, nr), i) => (id, v, nr, i + 1) }
+      .toDF("a_id", "av", "anrm", "hrnk")
+    val coarse = aDf.filter(col("hrnk") <= kc)
+      .select(col("a_id").as("c_id"), col("av").as("cv"), col("anrm").as("cnrm"))
+    def cos(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+        av: org.apache.spark.sql.Column, anrm: org.apache.spark.sql.Column) =
+      VectorFunctions.dot(v, av) / (nrm * anrm)
+    val wf = Window.partitionBy(col("a_id"))
+      .orderBy(cos(col("av"), col("anrm"), col("cv"), col("cnrm")).desc, col("c_id"))
+    val froute = aDf.crossJoin(coarse)
+      .withColumn("crnk", row_number().over(wf)).filter(col("crnk") === 1)
+      .select(col("a_id"), col("av"), col("anrm"), col("c_id"))
+    val presentCoarse = froute.select(col("c_id")).distinct().join(coarse, "c_id")
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(cos(col("embedding"), col("nrm"), col("cv"), col("cnrm")).desc, col("c_id"))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(cos(col("embedding"), col("nrm"), col("av"), col("anrm")).desc, col("a_id"))
+    // Declarative assignment: union of the ac nearest coarse cells.
+    val lvl1 = e.crossJoin(presentCoarse)
+      .withColumn("crnk", row_number().over(w1)).filter(col("crnk") <= ac)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+    val declarative = lvl1.join(froute.withColumnRenamed("c_id", "fc"),
+        col("fc") === col("c_id"))
+      .withColumn("frnk", row_number().over(w2)).filter(col("frnk") === 1)
+      .select(col("vec_id"), col("a_id").as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(kernel.size == n && declarative.size == n)
+    val diff = kernel.collect { case (id, c) if declarative(id) != c => (id, c, declarative(id)) }
+    assert(diff.isEmpty, s"ac=$ac kernel diverges on ${diff.size} rows, e.g. ${diff.take(3)}")
+
+    // Declarative probe: wc coarse cells, pf best fine in the union,
+    // kept in rank order.
+    val qprobe = e.filter(col("vec_id") < 5).crossJoin(presentCoarse)
+      .withColumn("crnk", row_number().over(w1)).filter(col("crnk") <= wc)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+    val fprobe = qprobe.join(froute.withColumnRenamed("c_id", "fc"),
+        col("fc") === col("c_id"))
+      .withColumn("frnk", row_number().over(w2)).filter(col("frnk") <= pf)
+      .select(col("vec_id"), col("a_id"), col("frnk"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+    assert(probeK.keySet == fprobe.keySet)
+    val pdiff = probeK.collect { case (id, cs) if fprobe(id) != cs => (id, cs, fprobe(id)) }
+    assert(pdiff.isEmpty, s"probe kernel diverges on ${pdiff.size} queries, e.g. ${pdiff.take(2)}")
+  }
+
   test("identical-vector twin anchors: empty coarse cells drop from level-1 routing (degenerate branch)") {
     val s2 = spark; import s2.implicits._
     // Anchors 10 and 20 are IDENTICAL vectors: both route (ties to the

@@ -301,6 +301,63 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"budget-selected rung $arm recalls only $caught/${brute.size} true dedup pairs")
   }
 
+  test("tight-point ladder recall ≥ 0.9 in the cos ≥ 0.8 deployment band (VERDICT r16 #1)") {
+    // The q110 operating point (hamming 35, budget 65536): planted
+    // replicas at cos = 0.85 — inside the deployment band, midway
+    // between the τ = 0.8 verify line and the easy 0.9+ regime. The
+    // similarity-targeted ceiling keeps the ladder on its recall-max
+    // W1 rung (analytic band-catch 1−(1−p⁸)¹⁶ ≈ 0.98 at 0.85, hamming
+    // pass ≈ 0.998), so the floor is 0.9 with margin; the r16 sf10
+    // probe measured ≈ 0.10 for this band at the OLD occupancy-only
+    // budget — the regression this floor pins against.
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(77)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val base = Seq.fill(120)(unit())
+    val c = 0.85
+    val reps = base.take(60).map { v =>
+      val g = Array.fill(64)(rnd.nextGaussian())
+      val d = g.zip(v).map { case (a, b) => a * b }.sum
+      val w0 = g.zip(v).map { case (a, b) => a - d * b }
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      v.zip(w0).map { case (a, b) => (c * a + math.sqrt(1 - c * c) * b / wn).toFloat }
+    }
+    val all = base.map(_.map(_.toFloat)) ++ reps
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 64) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      i <- all.indices.iterator
+      j <- (i + 1 until all.length).iterator
+      if cos(all(i), all(j)) >= Similarity.srpTightThreshold
+    } yield (i.toLong, j.toLong)).toSet
+    assert(brute.size >= 55, s"planting failed: only ${brute.size} true pairs")
+    val sigs = all.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        VectorFunctions.srpSignature(col("embedding"), 64, 64).as("sig"),
+        VectorFunctions.srpSignatureHi(col("embedding"), 64, 64).as("sig2"))
+    val arm = Similarity.srpSelectArm(sigs, Similarity.srpTightEnumBudget)
+    val cands = Similarity.srpCandidatesForRung(sigs, arm, Similarity.srpTightHammingMax)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val caught = brute.count(cands)
+    val recall = caught.toDouble / brute.size
+    info(s"tight arm=$arm planted cos-0.85 recall = $caught/${brute.size} = $recall")
+    assert(recall >= 0.9,
+      s"tight rung $arm recalls only $caught/${brute.size} deployment-band pairs")
+  }
+
   test("signature relation is computed and persisted once per (session, dir)") {
     val a = Similarity.srpSignatures(spark, dir)
     val b = Similarity.srpSignatures(spark, dir)

@@ -14,7 +14,24 @@ at the scaled point stays pinned by the driver's DuckDB gate at
 sf0.01/0.1; this tool only measures the recall/cost tradeoff at SFs
 the oracle can't reach.
 
-Usage: ivf_scale_probe.py OUT.json SFDIR [SFDIR ...] [--queries N]
+Usage:
+  ivf_scale_probe.py OUT.json SFDIR [SFDIR ...] [--queries N]
+      flat fixed-64 vs scaled-(K,p) comparison (VERDICT r15 #2)
+  ivf_scale_probe.py two_level OUT.json SFDIR [SFDIR ...] [--queries N]
+      two-level coarse-multi-probe (q109's r17 operating point:
+      kc = 2*ceil(sqrt(K)), ac = 6 assignment probes, wc = ceil(2kc/5)
+      query probes) vs the scaled FLAT path at EQUAL scan budget (same
+      p probed fine cells) — VERDICT r16 #2's recall measurement
+  ivf_scale_probe.py cap OUT.json SFDIR [--queries N] [--k K]
+      beyond-cap demonstration: force K (default 65536, where
+      anchorKFor saturates) on a corpus where flat assignment is the
+      bottleneck; measures assignment dots/row and wall-clock flat vs
+      two-level, plus recall at the widened multi-probe point
+
+Anchor arrays are ordered by (hash rank) for selection but re-indexed
+by vec_id before every argmax/lexsort, so position ties equal id ties —
+the engine and oracle break exact-cosine ties by anchor id ascending
+(ADVICE r16 #4: the old mirror broke them by selection rank).
 """
 import json
 import sys
@@ -54,18 +71,20 @@ def top5(scores, ids, exclude):
 
 
 def run_arm(vid, emb, nrm, q_ids, k, p):
-    a_idx = min_hash_anchors(vid, k)
+    # id-sort the selected anchors so position ties equal id ties
+    # (ADVICE r16 #4) — argmax/lexsort's first-max-wins then matches the
+    # engine/oracle's (score DESC, a_id ASC).
+    a_idx = np.sort(min_hash_anchors(vid, k))
     av, anrm = emb[a_idx], nrm[a_idx]
-    # nearest-cell assignment: argmax cos, ties -> lowest anchor rank
-    # (anchors ordered by selection rank = a_id order in the engine)
+    a_ids = vid[a_idx]
     cos_a = (emb @ av.T) / np.outer(nrm, anrm)
-    cell = np.argmax(cos_a, axis=1)  # first max = lowest index = engine tie-break
+    cell = np.argmax(cos_a, axis=1)  # first max = lowest id (id-sorted)
     scanned = 0
     hits = 0
     for q in q_ids:
         qi = int(np.searchsorted(vid, q))
-        # top-p anchors by cos DESC, anchor rank ASC (engine tie-break)
-        probes = np.lexsort((np.arange(k), -cos_a[qi]))[:p]
+        # top-p anchors by cos DESC, a_id ASC (id-sorted arrays)
+        probes = np.lexsort((a_ids, -cos_a[qi]))[:p]
         mask = np.isin(cell, probes)
         cand = np.where(mask)[0]
         scanned += cand.size
@@ -79,15 +98,219 @@ def run_arm(vid, emb, nrm, q_ids, k, p):
             "scan_fraction": round(scanned / (len(q_ids) * float(len(vid))), 6)}
 
 
+def two_level_tables(vid, emb, nrm, k, kc, ac=6):
+    """Mirror NearestCellsTwoLevel.routingTable + corpus assignment at
+    the shipped operating point (kc = 2*ceil(sqrt(K)), ac = 6
+    assignment coarse probes — q109's r17 formula).
+
+    Returns (cell fine-anchor id per corpus row, coarse tables, fine
+    routing) with every rank id-sorted so first-max = lowest id.
+    """
+    a_rank = min_hash_anchors(vid, k)          # hash-rank order
+    c_rank = a_rank[:kc]                       # coarse = first kc by rank
+    c_idx = np.sort(c_rank)                    # id-sorted (engine sortBy(_._1))
+    a_idx = np.sort(a_rank)
+    cv, cnrm, c_ids = emb[c_idx], nrm[c_idx], vid[c_idx]
+    fv, fnrm, f_ids = emb[a_idx], nrm[a_idx], vid[a_idx]
+    # fine -> nearest coarse (score DESC, c_id ASC)
+    f_cos = (fv @ cv.T) / np.outer(fnrm, cnrm)
+    froute = np.argmax(f_cos, axis=1)          # coarse POSITION per fine anchor
+    kept = np.unique(froute)                   # coarse cells owning >=1 fine
+    # corpus lvl1: top-ac KEPT coarse cells per row (score DESC, id ASC
+    # — kept is id-sorted, stable argsort keeps the id tie-break)
+    l1 = (emb @ cv[kept].T) / np.outer(nrm, cnrm[kept])
+    topac = kept[np.argsort(-l1, axis=1, kind="stable")[:, :ac]]
+    # corpus lvl2: best fine anchor in the union of the ac cells,
+    # ties to the lower fine id
+    best_s = np.full(len(vid), -np.inf)
+    cell = np.full(len(vid), np.iinfo(np.int64).max, dtype=np.int64)
+    for c in kept:
+        rows = np.where((topac == c).any(axis=1))[0]
+        if not rows.size:
+            continue
+        fins = np.where(froute == c)[0]        # id-sorted (a_idx is)
+        s = (emb[rows] @ fv[fins].T) / np.outer(nrm[rows], fnrm[fins])
+        j = np.argmax(s, axis=1)
+        sc = s[np.arange(len(rows)), j]
+        fid = f_ids[fins[j]]
+        upd = (sc > best_s[rows]) | ((sc == best_s[rows]) & (fid < cell[rows]))
+        best_s[rows[upd]] = sc[upd]
+        cell[rows[upd]] = fid[upd]
+    return cell, (c_ids, cv, cnrm, kept), (f_ids, fv, fnrm, froute)
+
+
+def run_two_level(vid, emb, nrm, q_ids, k, p, wc, kc=None):
+    if kc is None:
+        kc = 2 * int(np.ceil(np.sqrt(k)))
+    cell, (c_ids, cv, cnrm, kept), (f_ids, fv, fnrm, froute) = \
+        two_level_tables(vid, emb, nrm, k, min(kc, len(vid)))
+    scanned = 0
+    hits = 0
+    for q in q_ids:
+        qi = int(np.searchsorted(vid, q))
+        # top-wc kept coarse cells (score DESC, c_id ASC)
+        qc = (cv[kept] @ emb[qi]) / (cnrm[kept] * nrm[qi])
+        probes_c = kept[np.lexsort((c_ids[kept], -qc))[:wc]]
+        # union of their fine anchors, top-p by (score DESC, a_id ASC)
+        fins = np.where(np.isin(froute, probes_c))[0]
+        qf = (fv[fins] @ emb[qi]) / (fnrm[fins] * nrm[qi])
+        probes_f = f_ids[fins[np.lexsort((f_ids[fins], -qf))[:p]]]
+        cand = np.where(np.isin(cell, probes_f))[0]
+        scanned += cand.size
+        cos_q = (emb[cand] @ emb[qi]) / (nrm[cand] * nrm[qi])
+        approx = set(top5(cos_q, vid[cand], q))
+        cos_all = (emb @ emb[qi]) / (nrm * nrm[qi])
+        truth = set(top5(cos_all, vid, q))
+        hits += len(truth & approx)
+    return {"k": k, "kc": kc, "wc": wc, "nprobe": p,
+            "recall_at_5": round(hits / (5.0 * len(q_ids)), 4),
+            "scanned_rows_per_query": round(scanned / len(q_ids), 1),
+            "scan_fraction": round(scanned / (len(q_ids) * float(len(vid))), 6)}
+
+
+def chunked_flat_assign(emb, nrm, av, anrm, chunk=2048):
+    """argmax cell per row without materializing the n x K score matrix
+    (at K=65536 x 2M rows that matrix is ~1 PB in float64). float32
+    matmul — tie behavior may differ in the last ulp, acceptable for a
+    cost/recall demo (the engine's correctness is pinned by the DuckDB
+    gate at oracle-reachable SFs, not here)."""
+    a32 = (av / anrm[:, None]).astype(np.float32)
+    cell = np.empty(len(emb), dtype=np.int64)
+    for s in range(0, len(emb), chunk):
+        e = emb[s:s + chunk].astype(np.float32)
+        cell[s:s + chunk] = np.argmax(e @ a32.T, axis=1)
+    return cell
+
+
+def run_cap_demo(sfdir, nq, k_forced):
+    """Beyond-cap demonstration (VERDICT r16 #2): force K to the
+    anchorKFor cap on a corpus where a flat K-dot assignment is the
+    bottleneck, and measure assignment cost + recall at the widened
+    two-level multi-probe point vs the flat path at equal scan."""
+    import time
+    vid, emb = load(sfdir)
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    n = len(vid)
+    k = min(k_forced, n)
+    kc = 2 * int(np.ceil(np.sqrt(k)))          # the engine's q109 formula
+    p = nprobe(k)
+    wc = (2 * kc + 4) // 5
+    q_ids = vid[:nq]
+
+    # Flat assignment wall-clock (K dots/row), chunked argmax.
+    a_idx = np.sort(min_hash_anchors(vid, k))
+    av, anrm, a_ids = emb[a_idx], nrm[a_idx], vid[a_idx]
+    t0 = time.time()
+    flat_cell = chunked_flat_assign(emb, nrm, av, anrm)
+    flat_assign_s = time.time() - t0
+
+    # Two-level assignment wall-clock (kc + ac*K/kc dots/row), float32
+    # chunked like the flat arm so the wall comparison reflects the dot
+    # counts, not numpy implementation asymmetry. Ranking by dot against
+    # norm-scaled anchors: the row's own nrm is a positive constant and
+    # drops out of per-row argmax.
+    ac = 6
+    t0 = time.time()
+    a_idx2 = np.sort(min_hash_anchors(vid, k))
+    c_idx = np.sort(min_hash_anchors(vid, k)[:kc])
+    cv, cnrm, c_ids = emb[c_idx], nrm[c_idx], vid[c_idx]
+    fv, fnrm, f_ids = emb[a_idx2], nrm[a_idx2], vid[a_idx2]
+    f_cos = (fv @ cv.T) / np.outer(fnrm, cnrm)
+    froute = np.argmax(f_cos, axis=1)
+    kept = np.unique(froute)
+    cn32 = (cv[kept] / cnrm[kept][:, None]).astype(np.float32)
+    topac = np.empty((n, ac), dtype=np.int64)
+    for s in range(0, n, 131072):
+        sc = emb[s:s + 131072].astype(np.float32) @ cn32.T
+        topac[s:s + 131072] = kept[np.argpartition(-sc, min(ac, sc.shape[1]) - 1,
+                                                   axis=1)[:, :ac]]
+    fn32 = (fv / fnrm[:, None]).astype(np.float32)
+    best_s = np.full(n, -np.inf, dtype=np.float32)
+    cell = np.zeros(n, dtype=np.int64)
+    for c in kept:
+        rows = np.where((topac == c).any(axis=1))[0]
+        if not rows.size:
+            continue
+        fins = np.where(froute == c)[0]
+        sc = emb[rows].astype(np.float32) @ fn32[fins].T
+        j = np.argmax(sc, axis=1)
+        v = sc[np.arange(len(rows)), j]
+        upd = v > best_s[rows]
+        best_s[rows[upd]] = v[upd]
+        cell[rows[upd]] = f_ids[fins[j[upd]]]
+    two_assign_s = time.time() - t0
+    fine_per_cell = float(np.mean([np.sum(froute == c) for c in kept]))
+
+    # Recall at equal scan budget: flat probes its p best cells, the
+    # two-level point probes p fine cells within wc coarse.
+    hits_f = hits_t = scan_f = scan_t = 0
+    for q in q_ids:
+        qi = int(np.searchsorted(vid, q))
+        cos_all = (emb @ emb[qi]) / (nrm * nrm[qi])
+        truth = set(top5(cos_all, vid, q))
+        # flat arm
+        qa = (av @ emb[qi]) / (anrm * nrm[qi])
+        probes = np.lexsort((a_ids, -qa))[:p]
+        cand = np.where(np.isin(flat_cell, probes))[0]
+        scan_f += cand.size
+        cos_q = (emb[cand] @ emb[qi]) / (nrm[cand] * nrm[qi])
+        hits_f += len(truth & set(top5(cos_q, vid[cand], q)))
+        # two-level arm
+        qc = (cv[kept] @ emb[qi]) / (cnrm[kept] * nrm[qi])
+        probes_c = kept[np.lexsort((c_ids[kept], -qc))[:wc]]
+        fins = np.where(np.isin(froute, probes_c))[0]
+        qf = (fv[fins] @ emb[qi]) / (fnrm[fins] * nrm[qi])
+        probes_f = f_ids[fins[np.lexsort((f_ids[fins], -qf))[:p]]]
+        cand = np.where(np.isin(cell, probes_f))[0]
+        scan_t += cand.size
+        cos_q = (emb[cand] @ emb[qi]) / (nrm[cand] * nrm[qi])
+        hits_t += len(truth & set(top5(cos_q, vid[cand], q)))
+
+    nqf = float(len(q_ids))
+    return {
+        "sfdir": sfdir, "n": n, "queries": int(nq),
+        "k_forced": k, "kc": kc, "nprobe": p, "wc": wc,
+        "assignment_dots_per_row": {"flat": k,
+                                    "two_level": round(kc + 6 * fine_per_cell, 1)},
+        "assignment_wall_s": {"flat": round(flat_assign_s, 2),
+                              "two_level": round(two_assign_s, 2)},
+        "flat": {"recall_at_5": round(hits_f / (5 * nqf), 4),
+                 "scanned_rows_per_query": round(scan_f / nqf, 1)},
+        "two_level": {"recall_at_5": round(hits_t / (5 * nqf), 4),
+                      "scanned_rows_per_query": round(scan_t / nqf, 1)},
+        "recall_ratio_two_level_vs_flat":
+            round(hits_t / hits_f, 4) if hits_f else None,
+    }
+
+
 def main():
     argv = sys.argv[1:]
+    mode = "flat"
+    if argv and argv[0] in ("two_level", "cap"):
+        mode = argv[0]
+        argv = argv[1:]
     nq = 100
     if "--queries" in argv:
         i = argv.index("--queries")
         nq = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    k_forced = 65536
+    if "--k" in argv:
+        i = argv.index("--k")
+        k_forced = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     args = argv
     out_path, sfdirs = args[0], args[1:]
+
+    if mode == "cap":
+        rep = run_cap_demo(sfdirs[0], nq, k_forced)
+        with open(out_path, "w") as f:
+            json.dump({"probe": "ivf beyond-cap two-level demo (VERDICT r16 #2)",
+                       **rep}, f, indent=1)
+        print(json.dumps(rep))
+        print(f"wrote {out_path}")
+        return
+
     report = {}
     for sfdir in sfdirs:
         vid, emb = load(sfdir)
@@ -95,13 +318,26 @@ def main():
         n = len(vid)
         q_ids = vid[:nq]  # the smallest vec_ids — superset of q49's <5 batch
         ks = anchor_k(n)
-        fixed = run_arm(vid, emb, nrm, q_ids, 64, 1)
-        scaled = run_arm(vid, emb, nrm, q_ids, ks, nprobe(ks))
-        report[sfdir] = {"n": n, "queries": int(len(q_ids)),
-                         "fixed_64_nprobe1": fixed, "scaled": scaled}
-        print(f"{sfdir}: n={n} fixed={fixed} scaled={scaled}")
+        p = nprobe(ks)
+        if mode == "two_level":
+            flat = run_arm(vid, emb, nrm, q_ids, ks, p)
+            kc2 = 2 * int(np.ceil(np.sqrt(ks)))
+            wc = (2 * kc2 + 4) // 5            # ceil(2*kc/5), the engine formula
+            two = run_two_level(vid, emb, nrm, q_ids, ks, p, wc)
+            ratio = (round(two["recall_at_5"] / flat["recall_at_5"], 4)
+                     if flat["recall_at_5"] else None)
+            report[sfdir] = {"n": n, "queries": int(len(q_ids)),
+                             "flat_scaled": flat, "two_level": two,
+                             "recall_ratio_two_level_vs_flat": ratio}
+            print(f"{sfdir}: n={n} flat={flat} two_level={two} ratio={ratio}")
+        else:
+            fixed = run_arm(vid, emb, nrm, q_ids, 64, 1)
+            scaled = run_arm(vid, emb, nrm, q_ids, ks, p)
+            report[sfdir] = {"n": n, "queries": int(len(q_ids)),
+                             "fixed_64_nprobe1": fixed, "scaled": scaled}
+            print(f"{sfdir}: n={n} fixed={fixed} scaled={scaled}")
     with open(out_path, "w") as f:
-        json.dump({"probe": "ivf anchor scaling, numpy mirror of Similarity.scala",
+        json.dump({"probe": f"ivf {mode} probe, numpy mirror of Similarity.scala",
                    "arms": report}, f, indent=1)
     print(f"wrote {out_path}")
 

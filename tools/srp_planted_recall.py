@@ -16,16 +16,34 @@ above threshold exist too (cosine scatter ~N(0, 1/sqrt(dim))) but have
 no tractable exact enumeration at sf10 — exactly why the planted probe
 is the decade-2 instrument.
 
-Usage: srp_planted_recall.py Q53_PARQUET_DIR SRC_SF_DIR COPIES OUT.json
+Usage:
+  srp_planted_recall.py Q53_PARQUET_DIR SRC_SF_DIR COPIES OUT.json
+      replica-isometry planted recall (the r16 instrument, threshold-
+      boundary pairs only — the corpus tops out at cos ~0.51)
+  srp_planted_recall.py synth SRC_SF_DIR OUT_DIR N_PER_BAND
+      VERDICT r16 #1: synthesize PERTURBATION replicas at controlled
+      cosine bands (0.7/0.8/0.9/0.95 — copy a vector, mix in scaled
+      orthogonal noise) and write an augmented embeddings corpus +
+      planted manifest, so ladder recall is measurable in the
+      HIGH-COSINE regime real dedup deploys at. Run the engine's
+      q53/q110 on OUT_DIR (Verify subset), then:
+  srp_planted_recall.py measure_synth PLANTED_JSON OUT.json NAME=DUMP_DIR:THRESH [...]
+      per-band recall table per family; a planted pair counts for a
+      family only when its exact float32 cosine clears that family's
+      verify threshold (pairs below it are excluded from the
+      denominator, not missed).
 """
 import glob
 import json
 import sys
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
-STRIDE = 100000  # make_sf1.py's vec_id stride per copy
+STRIDE = 100000    # make_sf1.py's vec_id stride per copy
+SYNTH_BASE = 20_000_000  # replica vec_ids start here — beyond any replicated id
+BANDS = [0.7, 0.8, 0.9, 0.95]
 
 
 def exact_pairs(sfdir, thresh=0.45):
@@ -41,7 +59,97 @@ def exact_pairs(sfdir, thresh=0.45):
     return set(zip(vid[iu[0][hit]].tolist(), vid[iu[1][hit]].tolist()))
 
 
+def synth(src_sf, out_dir, n_per_band):
+    import os
+    t = pq.read_table(f"{src_sf}/embeddings.parquet")
+    vid = np.asarray(t["vec_id"], dtype=np.int64)
+    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    lab = np.asarray(t["label"], dtype=np.int32)
+    rng = np.random.default_rng(20260816)  # deterministic manifest
+    bases = rng.choice(len(vid), size=n_per_band * len(BANDS), replace=False)
+    manifest = []
+    new_vecs, new_ids, new_labs = [], [], []
+    for bi, band in enumerate(BANDS):
+        # Target 0.002 ABOVE the nominal band: a replica planted exactly
+        # AT a verify threshold (q110's first run: band 0.8 vs tau 0.8)
+        # is a float-rounding coin flip on BOTH sides — half the band
+        # fails the engine's full-precision >= and reads as a ladder
+        # miss. The offset keeps every pair decisively inside its band.
+        c = band + 0.002
+        for j in range(n_per_band):
+            i = int(bases[bi * n_per_band + j])
+            v = emb[i]
+            nv = np.linalg.norm(v)
+            vhat = v / nv
+            g = rng.standard_normal(len(v))
+            w = g - (g @ vhat) * vhat
+            w /= np.linalg.norm(w)
+            u = c * vhat + np.sqrt(1.0 - c * c) * w
+            rep32 = (nv * u).astype(np.float32)
+            rid = SYNTH_BASE + bi * n_per_band + j
+            # exact cosine AFTER float32 rounding — the arithmetic the
+            # engine's float64-over-float32 verify actually sees
+            r64 = rep32.astype(np.float64)
+            cos = float((r64 @ v) / (np.linalg.norm(r64) * nv))
+            manifest.append({"replica_id": rid, "base_id": int(vid[i]),
+                             "band": band, "cos": round(cos, 6)})
+            new_ids.append(rid)
+            new_vecs.append(rep32)
+            new_labs.append(int(lab[i]))
+    os.makedirs(out_dir, exist_ok=True)
+    all_ids = np.concatenate([vid, np.array(new_ids, dtype=np.int64)])
+    all_vecs = [np.asarray(r, dtype=np.float32) for r in emb.astype(np.float32)] + new_vecs
+    all_labs = np.concatenate([lab, np.array(new_labs, dtype=np.int32)])
+    out = pa.table({
+        "vec_id": pa.array(all_ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in all_vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(all_labs, pa.int32()),
+    })
+    pq.write_table(out, f"{out_dir}/embeddings.parquet")
+    with open(f"{out_dir}/planted_synth.json", "w") as f:
+        json.dump({"src": src_sf, "n_per_band": n_per_band, "bands": BANDS,
+                   "planted": manifest}, f, indent=1)
+    print(f"wrote {out_dir}/embeddings.parquet ({len(all_ids)} rows = "
+          f"{len(vid)} corpus + {len(new_ids)} replicas) + planted_synth.json")
+
+
+def measure_synth(planted_json, out_path, family_args):
+    man = json.load(open(planted_json))
+    planted = man["planted"]
+    report = {"probe": "synthesized high-cosine planted-pair recall per band "
+                       "(VERDICT r16 #1)", "src": man["src"],
+              "n_per_band": man["n_per_band"], "families": {}}
+    for arg in family_args:
+        name, rest = arg.split("=", 1)
+        dump_dir, thresh = rest.rsplit(":", 1)
+        thresh = float(thresh)
+        files = glob.glob(f"{dump_dir}/*.parquet")
+        t = pq.read_table(files, columns=["a_id", "b_id"])
+        got = set(zip(t["a_id"].to_pylist(), t["b_id"].to_pylist()))
+        fam = {}
+        for band in man["bands"]:
+            elig = [(min(p["base_id"], p["replica_id"]), max(p["base_id"], p["replica_id"]))
+                    for p in planted if p["band"] == band and p["cos"] >= thresh]
+            hits = sum(1 for pr in elig if pr in got)
+            fam[str(band)] = {
+                "eligible_pairs": len(elig), "recovered": hits,
+                "recall": round(hits / len(elig), 4) if elig else None}
+        report["families"][name] = {"verify_threshold": thresh,
+                                    "pairs_total": len(got), "bands": fam}
+        print(name, json.dumps(report["families"][name]["bands"]))
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {out_path}")
+
+
 def main():
+    if sys.argv[1] == "synth":
+        synth(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        return
+    if sys.argv[1] == "measure_synth":
+        measure_synth(sys.argv[2], sys.argv[3], sys.argv[4:])
+        return
     q53_dir, src_sf, copies, out_path = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
     base = exact_pairs(src_sf)
     planted = {(a + k * STRIDE, b + k * STRIDE) for (a, b) in base for k in range(copies)}
