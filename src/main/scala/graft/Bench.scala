@@ -275,7 +275,8 @@ object Bench {
       skipped: Set[String] = Set.empty,
       recall: Option[(Long, Long, Int)] = None,
       calibrationS: Option[Double] = None,
-      familyRecall: Map[String, (Long, Long)] = Map.empty): String = {
+      familyRecall: Map[String, (Long, Long)] = Map.empty,
+      host: Option[(Double, Long)] = None): String = {
     val shortsUnique = results.map(r => shortKey(r.name)).distinct.size == results.size
     def key(n: String) = if (shortsUnique) shortKey(n) else n
     // Per-query cache-construction ms (VERDICT r11 #7), keyed like the
@@ -313,10 +314,19 @@ object Bench {
     // NEVER degraded away: it exists precisely for the rounds where the
     // line is under pressure.
     val cal = calibrationS.map(s => s""","cal":${fmt(s, 2)}""").getOrElse("")
+    // Host context rides the contract line too (VERDICT r16 #1): r16's
+    // run_meta line carried loadavg/mem but printed BEFORE the
+    // detail+contract lines and fell off the driver's 2000-char stdout
+    // tail — BENCH_r16.json has cal but no host fields. ~45 chars, and
+    // like cal NEVER degraded: busy-box adjudication is exactly the
+    // rounds where the line is under pressure.
+    val hostF = host.map { case (la, mem) =>
+      s""","loadavg_1m":${fmt(la, 2)},"mem_available_mb":$mem"""
+    }.getOrElse("")
     val total = results.map(_.seconds).sum
     def qsAt(dec: Int) = renderMaps(results, key, fmt(_, dec), 0, 0)._1
     def line(qs: String, errs: String, cb: String, rc: String) =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk$rc$cal,"sf":${Jsons.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sweeps":$sweeps${ss(cb)}$sk$rc$cal$hostF,"sf":${Jsons.quote(sfDir)}}"""
     val failed = results.collect { case QueryRun(n, _, Some(m), _) => (n, m) }
     // Degrade order: error detail first (a failure round is when the
     // artifact matters most), then the cache-build map, then per-query
@@ -336,7 +346,13 @@ object Bench {
         failed.headOption.map { case (n, m) =>
           s""","_first":${Jsons.quote(s"${key(n)}: ${m.take(40)}")}"""
         }.getOrElse("")
-      }}""", rcCompact))
+      }}""", rcCompact),
+      // Final decimal step (r17, after the host fields joined cal on the
+      // never-degraded tail): every query at 4-digit seconds with full
+      // per-query precision is the one shape that still overflowed —
+      // one decimal keeps ~0.1 s resolution on a line whose detail
+      // sibling carries full precision regardless.
+      (1, cbCompact, s"""{"_n":${failed.size}}""", rcCompact))
     attempts.map { case (dec, cb, errs, rc) => line(qsAt(dec), errs, cb, rc) }
       .find(_.length <= ContractLineBudget)
       // Last resort (pathological name lengths): emit anyway — a long
@@ -366,15 +382,11 @@ object Bench {
     * detail line; tools/merge_bench.py lifts it into the merged
     * artifact's `runs` block.
     */
-  private[graft] def renderRunMetaJson(spark: SparkSession, sweeps: Int,
-      calibrationS: Option[Double] = None): String = {
-    val c = spark.sparkContext.getConf
-    val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
-    // Host context at sweep start (VERDICT r15 #8): the r15 drift
-    // adjudication (driver 67 s vs builder 80–101 s on identical code)
-    // took a paragraph of prose because the artifact couldn't say "the
-    // box was busy" — one-minute loadavg + MemAvailable make it
-    // self-adjudicating. -1 where the platform can't answer.
+  /** (one-minute loadavg, MemAvailable in MB); -1 where the platform
+    * can't answer. Shared by the run_meta line and (since r17) the
+    * contract line, so the two records agree within one sample.
+    */
+  private[graft] def hostSample(): (Double, Long) = {
     val loadavg1m =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val memAvailableMb: Long =
@@ -386,6 +398,19 @@ object Bench {
           .getOrElse(-1L)
         finally src.close()
       } catch { case scala.util.control.NonFatal(_) => -1L }
+    (loadavg1m, memAvailableMb)
+  }
+
+  private[graft] def renderRunMetaJson(spark: SparkSession, sweeps: Int,
+      calibrationS: Option[Double] = None): String = {
+    val c = spark.sparkContext.getConf
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024L * 1024L)
+    // Host context at sweep start (VERDICT r15 #8): the r15 drift
+    // adjudication (driver 67 s vs builder 80–101 s on identical code)
+    // took a paragraph of prose because the artifact couldn't say "the
+    // box was busy" — one-minute loadavg + MemAvailable make it
+    // self-adjudicating. -1 where the platform can't answer.
+    val (loadavg1m, memAvailableMb) = hostSample()
     val fields = calibrationS.map(s => "calibration_s" -> fmt(s, 3)).toSeq ++ Seq(
       "loadavg_1m" -> fmt(loadavg1m, 2),
       "mem_available_mb" -> memAvailableMb.toString,
@@ -635,7 +660,7 @@ object Bench {
     println(renderDetailJson(results, sfDir))
     println(renderJson(results, sfDir, sweeps,
       Some((h.maxGroupBoxes.value, h.pairsEnumerated.value, h.denseGroups.value)),
-      excluded, recall, calibrationS, familyRecall))
+      excluded, recall, calibrationS, familyRecall, Some(hostSample())))
     spark.stop()
   }
 }

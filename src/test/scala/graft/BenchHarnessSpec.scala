@@ -66,13 +66,19 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val line = Bench.renderJson(runs, "/root/testdata/sf0.1", sweeps = 2,
       Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)),
       recall = Some((Long.MaxValue, Long.MaxValue, 13)),
-      calibrationS = Some(8888.88))
+      calibrationS = Some(8888.88),
+      host = Some((8888.88, 999999L)))
     assert(line.startsWith("""{"metric":"""), line.take(40))
     assert(!line.contains("\n"))
     assert(line.length <= 1850, s"contract line ${line.length} chars overflows the tail budget")
     // VERDICT r14 #1: the canary must live ON the driver-kept contract
     // line, not only in run_meta (which falls off the 2000-char tail).
-    assert(line.contains(""","cal":8888.88"""), line.takeRight(120))
+    assert(line.contains(""","cal":8888.88"""), line.takeRight(200))
+    // VERDICT r16 #1: host context (loadavg/mem) rides the contract line
+    // next to cal and is never degraded away — r16's artifact had cal but
+    // no run_meta because that line fell off the driver's stdout tail.
+    assert(line.contains(""","loadavg_1m":8888.88,"mem_available_mb":999999"""),
+      line.takeRight(200))
     // Short keys must be unique over the registry or the render silently
     // falls back to full names and re-breaks the budget.
     val shorts = names.map(Bench.shortKey)
@@ -119,10 +125,14 @@ class BenchHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     val allFail = names.map(n =>
       Bench.QueryRun(n, 8888.888888, Some("X" * 300 + "\"quote\nnewline")))
     val line = Bench.renderJson(allFail, "/root/testdata/sf0.1", sweeps = 2,
-      Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)))
+      Some((Long.MaxValue, Long.MaxValue, Long.MaxValue)),
+      calibrationS = Some(8888.88), host = Some((8888.88, 999999L)))
     assert(line.length <= Bench.ContractLineBudget,
       s"degraded line still ${line.length} chars")
     assert(!line.contains("\n") && line.startsWith("""{"metric":"""))
+    // cal + host survive even a full-failure degradation cascade.
+    assert(line.contains(""","cal":""") && line.contains(""","loadavg_1m":"""),
+      line.takeRight(200))
     assert(line.contains(s""""_n":${names.size}""") || line.contains("\"_truncated\":"),
       s"failure count must survive degradation: ${line.takeRight(200)}")
     // A few failures keep their messages (no degradation needed).
