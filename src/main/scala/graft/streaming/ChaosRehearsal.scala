@@ -232,11 +232,58 @@ object ChaosRehearsal {
     }
   }
 
+  /** Victim-side kill gate (VERDICT r16 #3 — de-vacuating the restart-
+    * watermark sandwich). The divergence the re-derived contract bounds
+    * only occurs when the SIGKILL lands in the gap between an
+    * event-time-ADVANCING late batch's commit and the next batch's
+    * offsets write (committed stats still in memory, not yet folded
+    * into a persisted watermark) — r16's both re-runs landed elsewhere
+    * and proved the ceiling vacuously (divergence 0). This listener
+    * makes the timing targetable instead of lottery-drawn: once every
+    * stream has real progress, each late-query progress whose
+    * eventTime.max exceeds watermark+delay (i.e. the JUST-COMMITTED
+    * batch's stats will advance the watermark, and a kill RIGHT NOW
+    * loses them) touches `<workDir>/kill_now` — the progress event
+    * posts immediately after the commit-log write, so a harness
+    * polling the marker at sub-batch granularity kills inside the gap
+    * with high probability. tools/chaos.sh retries the whole flow
+    * until the resume leg reports divergence > 0, so the artifact's
+    * sandwich is exercised, not assumed.
+    */
+  private final class KillGate(workDir: String, lateId: java.util.UUID,
+      otherIds: Set[java.util.UUID], delayMs: Long)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    private val counts = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Long]()
+    override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      counts.merge(p.id, 1L, (a, b) => a + b)
+      val minProgress = counts.getOrDefault(lateId, 0L) >= 3 &&
+        otherIds.forall(id => counts.getOrDefault(id, 0L) >= 3)
+      if (p.id == lateId && minProgress) {
+        val et = p.eventTime
+        val mx = et.get("max"); val wm = et.get("watermark")
+        if (mx != null && wm != null) {
+          val advancing = java.time.Instant.parse(mx).toEpochMilli - delayMs >
+            java.time.Instant.parse(wm).toEpochMilli
+          if (advancing)
+            try java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(workDir, "kill_now"),
+              s"""{"batch":${p.batchId},"max":"$mx","watermark":"$wm"}""")
+            catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+    }
+  }
+
   private def run(spark: SparkSession, sfDir: String, workDir: String,
       validate: Boolean): Unit = {
     import spark.implicits._
     val peakTracker = new StatePeakTracker(workDir)
-    spark.streams.addListener(peakTracker)
     // ── Sessionizer stream: RocksDB flatMapGroupsWithState over the
     // event chunks, per-batch OVERWRITE parquet (idempotent on replay).
     val sessOut = s"$workDir/sess_out"
@@ -253,7 +300,15 @@ object ChaosRehearsal {
         out.write.mode("overwrite").parquet(f"$sessOut/batch_$batchId%05d")
       }
       .start()
+    // sessId BEFORE addListener (ADVICE r16 #3): the old order
+    // registered the listener first and assigned the id after start(),
+    // so progress events delivered in that window were dropped against
+    // a null filter — benign only because onQueryProgress fires after a
+    // completed micro-batch. This order removes the timing dependence:
+    // no event can reach the listener before the id it filters on is
+    // set.
     peakTracker.sessId = sessQ.id
+    spark.streams.addListener(peakTracker)
     // ── Near-dup ingest stream: SegmentStore-backed deduper, one doc
     // chunk per micro-batch; apply(batch, batchId) is idempotent.
     val deduper = new NearDupIngestDeduper(
@@ -287,6 +342,12 @@ object ChaosRehearsal {
         out.write.mode("overwrite").parquet(f"$lateOut/batch_$batchId%05d")
       }
       .start()
+    // The kill gate only arms the VICTIM leg: the resume/validate leg
+    // must run to completion, and a marker there would just confuse the
+    // harness's polling.
+    if (!validate)
+      spark.streams.addListener(new KillGate(workDir, lateQ.id,
+        Set(sessQ.id, ndQ.id), delayMs = 30L * 60 * 1000))
     sessQ.processAllAvailable(); sessQ.stop()
     ndQ.processAllAvailable(); ndQ.stop()
     lateQ.processAllAvailable(); lateQ.stop()
