@@ -136,6 +136,10 @@ def artifact_cal(obj):
 def vs_prior(prior_path, cur_cal, best):
     """The self-adjudication block (VERDICT r16 #5)."""
     prior = json.load(open(prior_path))
+    # Driver-kept round artifacts wrap the contract object in `parsed`
+    # (alongside the raw tail); merged artifacts are the object itself.
+    if isinstance(prior.get("parsed"), dict):
+        prior = prior["parsed"]
     prior_cal = artifact_cal(prior)
     if cur_cal is None or prior_cal is None or prior_cal <= 0:
         return {"cal_ratio": None, "noise_suspect": [],
