@@ -480,7 +480,15 @@ object Bench {
         }
         pass() // JIT warm-up: compile the generated sort loop untimed
         Some(pass())
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(e) =>
+        // A silent canary failure leaves the artifact without its
+        // noise adjudicator (observed once, r17 skew sweep: cal absent
+        // from an otherwise-clean run with nothing in the log to
+        // explain it) — name the cause where the artifact reader can
+        // see it.
+        System.err.println(s"[bench] calibration canary failed: $e")
+        None
+      }
     // The warm-up built SessionCache entries keyed with the warm dir;
     // the sweep's releases are keyed with sfDir and would never drop
     // them. Outside the try — a half-failed warm-up must still clean
