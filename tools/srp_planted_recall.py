@@ -63,7 +63,11 @@ def synth(src_sf, out_dir, n_per_band):
     import os
     t = pq.read_table(f"{src_sf}/embeddings.parquet")
     vid = np.asarray(t["vec_id"], dtype=np.int64)
-    emb = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    # fixed-dim fast path: reshape the flat values buffer (to_pylist on
+    # a 2M x 64 corpus builds ~13 GB of Python floats)
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    emb = np.asarray(col.flatten(), dtype=np.float64).reshape(len(vid), dim)
     lab = np.asarray(t["label"], dtype=np.int32)
     rng = np.random.default_rng(20260816)  # deterministic manifest
     bases = rng.choice(len(vid), size=n_per_band * len(BANDS), replace=False)
@@ -98,12 +102,15 @@ def synth(src_sf, out_dir, n_per_band):
             new_labs.append(int(lab[i]))
     os.makedirs(out_dir, exist_ok=True)
     all_ids = np.concatenate([vid, np.array(new_ids, dtype=np.int64)])
-    all_vecs = [np.asarray(r, dtype=np.float32) for r in emb.astype(np.float32)] + new_vecs
+    flat = np.concatenate([emb.astype(np.float32).reshape(-1),
+                           np.concatenate(new_vecs)])
     all_labs = np.concatenate([lab, np.array(new_labs, dtype=np.int32)])
+    n_all = len(all_ids)
+    offsets = pa.array(np.arange(0, (n_all + 1) * dim, dim, dtype=np.int32))
+    emb_arr = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
     out = pa.table({
         "vec_id": pa.array(all_ids, pa.int64()),
-        "embedding": pa.array([v.tolist() for v in all_vecs],
-                              pa.list_(pa.float32())),
+        "embedding": emb_arr,
         "label": pa.array(all_labs, pa.int32()),
     })
     pq.write_table(out, f"{out_dir}/embeddings.parquet")
