@@ -452,6 +452,12 @@ object Similarity {
     * exercised in both directions). Zeroing is EXACT in float32, and
     * dot/norm folds skip the zeros identically in both engines, so the
     * oracle mirror stays bit-exact — no trig, no rounding.
+    *
+    * Replica id shifts are 10¹²/2·10¹² — far above any reachable real
+    * id (ADVICE r17: the old +10M/+20M collided with make_sf1 sf100
+    * ids, which stride 100k/copy up to ~10⁸, and with the synth
+    * probe's replica base), so the a_id < b_id pair identity can never
+    * conflate a replica with a real row on any corpus the engine runs.
     */
   private[queries] def tightAugmented(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -460,19 +466,19 @@ object Similarity {
       .select((col("vec_id") + shift).as("vec_id"),
         expr(s"transform(embedding, (x, i) -> IF(i < $z, CAST(0.0 AS FLOAT), x))")
           .as("embedding"))
-    raw.unionByName(masked(10000000L, 13)).unionByName(masked(20000000L, 26))
+    raw.unionByName(masked(1000000000000L, 13)).unionByName(masked(2000000000000L, 26))
   }
 
   private val tightCorpusCte = s"""
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 10000000 AS vec_id,
+      SELECT vec_id + 1000000000000 AS vec_id,
              list_concat(list_transform(generate_series(1, 13), zx -> CAST(0.0 AS FLOAT)),
                          embedding[14:]) AS embedding
       FROM embeddings WHERE vec_id < 32
       UNION ALL
-      SELECT vec_id + 20000000 AS vec_id,
+      SELECT vec_id + 2000000000000 AS vec_id,
              list_concat(list_transform(generate_series(1, 26), zx -> CAST(0.0 AS FLOAT)),
                          embedding[27:]) AS embedding
       FROM embeddings WHERE vec_id < 32),
@@ -658,7 +664,7 @@ object Similarity {
           FROM cells q JOIN cells c ON q.cell = c.cell AND c.vec_id != q.vec_id
           WHERE q.vec_id < 5)
         WHERE rnk <= 5 ORDER BY q_id, rnk"""),
-      releases = Seq("embN"))( (spark, dir) => {
+      releases = Nil)( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
       val anchors = collectAnchors(e, anchorKFor(corpusCount(spark, dir)))
@@ -708,6 +714,10 @@ object Similarity {
                  round(${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm), 6) AS cos
           FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id)
         WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      // embN releases HERE only: q54 is the last IVF consumer in the
+      // harnesses' sorted sweep order (q109 < q49 < q51 < q54), so the
+      // cached corpus count survives across all four within a sweep
+      // (ADVICE r17 #3 — releasing on each consumer re-ran the count).
       releases = Seq("embN"))( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
@@ -811,7 +821,7 @@ object Similarity {
                  round(${VS.dotExpr("fp.qv", "c.v")} / (fp.qn * c.nrm), 6) AS cos
           FROM fprobe fp JOIN cells c ON c.cell = fp.cell AND c.vec_id != fp.q_id)
         WHERE rnk <= 5 ORDER BY q_id, rnk"""),
-      releases = Seq("embN"))( (spark, dir) => {
+      releases = Nil)( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
       val kk = anchorKFor(corpusCount(spark, dir))
@@ -896,7 +906,7 @@ object Similarity {
         FROM truth t
         LEFT JOIN approx a ON a.q_id = t.q_id AND a.neighbor_id = t.neighbor_id
         GROUP BY t.q_id ORDER BY t.q_id"""),
-      releases = Seq("embN"))( (spark, dir) => {
+      releases = Nil)( (spark, dir) => {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
       val kk = anchorKFor(corpusCount(spark, dir))

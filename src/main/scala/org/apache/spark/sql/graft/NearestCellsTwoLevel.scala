@@ -111,6 +111,9 @@ case class NearestCellsTwoLevel(
     val used = new Array[Boolean](nC)
     var bestF = 0L
     var bestScore = Double.NegativeInfinity
+    // Lowest fine id scanned — the deterministic assignment when every
+    // fine score is NaN (zero-norm row) and no comparison ever fires.
+    var fallbackF = Long.MaxValue
     var r = 0
     while (r < acEff) {
       var bestC = -1
@@ -120,6 +123,11 @@ case class NearestCellsTwoLevel(
         if (!used(i) && cScores(i) > bestCs) { bestCs = cScores(i); bestC = i }
         i += 1
       }
+      // All-NaN scores (zero-norm vector ⇒ 0/0) satisfy no strict-max
+      // comparison; fall back to the first unused (= lowest-id) cell so
+      // degenerate rows route deterministically instead of crashing
+      // (ADVICE r17: used(-1) threw ArrayIndexOutOfBoundsException).
+      if (bestC < 0) { bestC = 0; while (used(bestC)) bestC += 1 }
       used(bestC) = true
       // Level 2: best fine anchor across the union of the picked cells
       // — union ids are not globally sorted, so ties compare ids.
@@ -130,11 +138,13 @@ case class NearestCellsTwoLevel(
         if (s > bestScore || (s == bestScore && ids(f) < bestF)) {
           bestScore = s; bestF = ids(f)
         }
+        if (ids(f) < fallbackF) fallbackF = ids(f)
         f += 1
       }
       r += 1
     }
-    bestF
+    if (bestScore == Double.NegativeInfinity && fallbackF != Long.MaxValue) fallbackF
+    else bestF
   }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -240,6 +250,8 @@ case class NearestCellsTwoLevelProbe(
         if (!usedC(i) && cScores(i) > bestS) { bestS = cScores(i); best = i }
         i += 1
       }
+      // NaN fallback as in NearestCellsTwoLevel.kernel: first unused.
+      if (best < 0) { best = 0; while (usedC(best)) best += 1 }
       usedC(best) = true; pickedC(r) = best; r += 1
     }
     // Level 2: rank the union of the probed cells' fine anchors by
@@ -279,6 +291,8 @@ case class NearestCellsTwoLevelProbe(
         }
         i += 1
       }
+      // NaN fallback: first unused candidate (deterministic).
+      if (best < 0) { best = 0; while (usedF(best)) best += 1 }
       usedF(best) = true; out(r) = candIds(best); r += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -181,6 +181,35 @@ class NearestCellsTwoLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 10L, 2L -> 30L), s"got $got")
   }
 
+  test("zero-norm rows route deterministically instead of crashing (ADVICE r17 NaN fallback)") {
+    val s2 = spark; import s2.implicits._
+    // A zero-norm vector makes every cosine 0/0 = NaN: no strict-max
+    // comparison fires, so pre-fix bestC stayed -1 and used(-1) threw.
+    // The fallback routes through the first (lowest-id) cells.
+    val anchors: Seq[(Long, Seq[Float], Double)] = Seq(
+      (10L, Seq(1f, 0f, 0f), 1.0),
+      (20L, Seq(0f, 1f, 0f), 1.0),
+      (30L, Seq(0f, 0f, 1f), 1.0))
+    val df = Seq(
+      (1L, Seq(0f, 0f, 0f)),       // zero norm → all-NaN scores
+      (2L, Seq(0.0f, 0.1f, 0.9f))  // healthy row, unaffected
+    ).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+    val got = df.select(col("vec_id"),
+        NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, 3, 2).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // Zero row: coarse fallback = first unused cells, fine fallback =
+    // lowest fine id scanned → 10. Healthy row still routes to 30.
+    assert(got == Map(1L -> 10L, 2L -> 30L), s"got $got")
+    val probed = df.select(col("vec_id"),
+        NearestCellsTwoLevel.probeColumn(col("embedding"), col("nrm"),
+          anchors, 3, 2, 2).as("cells"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    // Zero row probes the first two cells in array order — stable, no throw.
+    assert(probed(1L) == Seq(10L, 20L), s"got ${probed(1L)}")
+    assert(probed(2L).head == 30L, s"got ${probed(2L)}")
+  }
+
   test("kernel assignment is identical on the interpreted (NO_CODEGEN) path") {
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),

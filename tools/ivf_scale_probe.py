@@ -235,9 +235,14 @@ def run_cap_demo(sfdir, nq, k_forced):
         sc = emb[rows].astype(np.float32) @ fn32[fins].T
         j = np.argmax(sc, axis=1)
         v = sc[np.arange(len(rows)), j]
-        upd = v > best_s[rows]
+        # Equal-score lower-id tie-break across cells, matching
+        # two_level_tables' engine mirror (ADVICE r17 #4 — without it
+        # this arm could diverge from the engine on exact float32 ties
+        # beyond the documented flat-argmax ulp caveat).
+        cand_id = f_ids[fins[j]]
+        upd = (v > best_s[rows]) | ((v == best_s[rows]) & (cand_id < cell[rows]))
         best_s[rows[upd]] = v[upd]
-        cell[rows[upd]] = f_ids[fins[j[upd]]]
+        cell[rows[upd]] = cand_id[upd]
     two_assign_s = time.time() - t0
     fine_per_cell = float(np.mean([np.sum(froute == c) for c in kept]))
 

@@ -118,6 +118,43 @@ def selftest():
         assert r.returncode == 0
         vp = json.load(open(out))["vs_prior"]
         assert vp["noise_suspect"] == [], f"calm-box deltas are real, not suspect: {vp}"
+        # VERDICT r17 #1: the driver-kept prior uses SHORT query names
+        # (`q80`) inside a `parsed` wrapper while merged logs carry LONG
+        # ones (`q80_grouped_detections`) — the r17 artifact compared
+        # ZERO queries and shipped noise_suspect:[] meaning "compared
+        # nothing". Both sides must normalize to the qNN prefix. Calm box
+        # (cal 1.6 vs prior 11.2, ratio 0.14 < 0.5): the 3.0 -> 1.0
+        # speedup on the long-named query IS suspect.
+        longnames = os.path.join(d, "longnames")
+        with open(longnames, "w") as f:
+            f.write(meta + "\n")
+            f.write('{"detail":"d","queries":{"q80_grouped_detections":1.0,"q2_hist":2.5},'
+                    '"errors":{},"cache_build_ms":{},"sf":"/x"}\n')
+            f.write('{"metric":"total","value":3.5,"unit":"sec",'
+                    '"queries":{"q80_grouped_detections":1.0,"q2_hist":2.5},'
+                    '"errors":{},"sweeps":1,"cal":1.6,"sf":"/x"}\n')
+        driver_prior = os.path.join(d, "driver_prior.json")
+        with open(driver_prior, "w") as f:
+            json.dump({"parsed": {"metric": "total", "value": 4.0, "cal": 11.2,
+                                  "queries": {"q80": 3.0, "q2": 2.4}}}, f)
+        r = subprocess.run([sys.executable, me, out, "--prior", driver_prior,
+                            f"a={longnames}"], capture_output=True, text=True)
+        assert r.returncode == 0, f"short-vs-long prior merge failed: {r.stderr or r.stdout}"
+        vp = json.load(open(out))["vs_prior"]
+        assert vp["matched_queries"] == 2, \
+            f"qNN normalization must match short prior keys to long merged names: {vp}"
+        assert vp["noise_suspect"] == ["q80_grouped_detections"], \
+            f"calm-box speedup on a long-named query must be annotated: {vp}"
+        # Zero key intersection must FAIL, not ship a vacuous block.
+        alien_prior = os.path.join(d, "alien_prior.json")
+        with open(alien_prior, "w") as f:
+            json.dump({"metric": "total", "value": 4.0, "cal": 1.5,
+                       "queries": {"z1": 1.0}}, f)
+        r = subprocess.run([sys.executable, me, out, "--prior", alien_prior,
+                            f"a={longnames}"], capture_output=True, text=True)
+        assert r.returncode != 0, "zero-matched-prior merge must fail loud"
+        assert "vacuous" in (r.stderr + r.stdout), \
+            "zero-match rejection must say the adjudication would be vacuous"
     print("merge_bench selftest: OK")
 
 
@@ -133,6 +170,17 @@ def artifact_cal(obj):
     return min(cals) if cals else None
 
 
+def qkey(name):
+    """Normalize a query name to its `qNN` prefix. Merged artifacts carry
+    long names from the detail line (`q80_grouped_detections`) while
+    driver-kept contract artifacts carry short ones (`q80`) — VERDICT r17
+    #1 found the vs_prior comparison matching ZERO keys across that
+    split, shipping a vacuously empty noise_suspect. Both shapes share
+    the qNN prefix, so compare on that."""
+    m = re.match(r"(q\d+)", name)
+    return m.group(1) if m else name
+
+
 def vs_prior(prior_path, cur_cal, best):
     """The self-adjudication block (VERDICT r16 #5)."""
     prior = json.load(open(prior_path))
@@ -145,14 +193,21 @@ def vs_prior(prior_path, cur_cal, best):
         return {"cal_ratio": None, "noise_suspect": [],
                 "note": "calibration canary missing on one side; deltas unadjudicated"}
     ratio = round(cur_cal / prior_cal, 3)
-    prior_qs = prior.get("queries", {})
+    prior_qs = {qkey(q): sec for q, sec in prior.get("queries", {}).items()}
+    # Fail loud on an empty intersection (VERDICT r17 #1): a vs_prior
+    # block that compared nothing must not be readable as "no suspects".
+    matched = sorted(q for q in best if qkey(q) in prior_qs)
+    if not matched:
+        sys.exit(f"vs_prior: ZERO queries of {len(best)} match any prior key "
+                 f"({len(prior_qs)} in {prior_path}) — the adjudication would be "
+                 "vacuous; check the prior artifact")
     suspect = []
     # Only deltas in the direction the box shift explains are suspect:
     # a busier box (ratio > 2) makes regressions suspect, a calmer one
     # (ratio < 0.5) makes speedups suspect. Opposite-direction deltas
     # survived the box working against them — real by a stronger test.
     for q, sec in best.items():
-        p = prior_qs.get(q)
+        p = prior_qs.get(qkey(q))
         if p is None or p <= 0:
             continue
         if ratio > 2 and sec > 1.3 * p:
@@ -160,6 +215,7 @@ def vs_prior(prior_path, cur_cal, best):
         elif ratio < 0.5 and sec < p / 1.3:
             suspect.append(q)
     return {"cal_ratio": ratio, "cal": cur_cal, "cal_prior": prior_cal,
+            "matched_queries": len(matched),
             "noise_suspect": sorted(suspect)}
 
 

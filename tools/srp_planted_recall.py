@@ -42,7 +42,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 STRIDE = 100000    # make_sf1.py's vec_id stride per copy
-SYNTH_BASE = 20_000_000  # replica vec_ids start here — beyond any replicated id
+# Replica vec_ids start here — above any replicated real id (make_sf1
+# strides 100k/copy, so sf100 tops out near 1e8) and far below q110's
+# tightAugmented shifts (1e12/2e12), so no flow can conflate them
+# (ADVICE r17: the old 2e7 base collided with the +2e7 tight shift).
+SYNTH_BASE = 500_000_000
 BANDS = [0.7, 0.8, 0.9, 0.95]
 
 
