@@ -544,7 +544,12 @@ object Bench {
         // kernel is gate-SF-sized by design — ensuring it at a
         // rehearsal SF OOMs on the O(n²) adjacency (measured at sf10:
         // 2.5M wall features).
-        graft.queries.GroupedDetectionsTable).foreach { t =>
+        graft.queries.GroupedDetectionsTable,
+        // The ANN serving index (VERDICT r17 #6): ensure + seed so the
+        // IVF queries read the persisted anchors/route on every sweep —
+        // the index build (count + TakeOrdered) lands in setup, and
+        // reuse ticks run zero full-corpus jobs before the query plan.
+        graft.queries.AnnIndexTable).foreach { t =>
       // ensure + seed: a FRESH materialization of the dedup tables seeds
       // shared SessionCache entries as a side effect of building through
       // the cached readers ("build cost lands in setup" — by design);

@@ -22,7 +22,11 @@ object Verify {
         // clustering kernels' outputs as tables the q80/q82/q83/q86 eps
         // SQL can read_parquet.
         graft.queries.GroupedDetectionsTable,
-        graft.queries.WallClustersTable).foreach { t =>
+        graft.queries.WallClustersTable,
+        // The ANN serving index (VERDICT r17 #6): the sweep then
+        // exercises the persisted-index read path the way production
+        // serving would — q49/q51/q54/q109 stay oracle-green reading it.
+        graft.queries.AnnIndexTable).foreach { t =>
       try { t.ensure(spark, sfDir); () }
       catch { case scala.util.control.NonFatal(e) =>
         // NonFatal: a fatal VM error must abort the dump, not produce a

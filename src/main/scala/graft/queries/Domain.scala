@@ -549,6 +549,12 @@ object GroupedDetectionsTable extends graft.pipeline.InputTable(
   override def seedSessionCaches(spark: org.apache.spark.sql.SparkSession,
       sfDir: String): Unit =
     materializedPath(sfDir).foreach { p =>
+      // The build also warms the detections relation it groups (reads
+      // the committed DetectionsTable when present — ensured earlier in
+      // the same harness setup loop). Found by InputTableSeedSpec on
+      // its first run (VERDICT r17 #4): the same asymmetry class, one
+      // dependency level down.
+      graft.pipeline.Synthetic.detectionsCached(spark, sfDir).count()
       graft.pipeline.SessionCache.getOrPersist(spark, s"grouped:$sfDir") {
         spark.read.parquet(p)
       }.count()

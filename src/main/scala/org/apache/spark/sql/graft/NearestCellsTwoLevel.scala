@@ -363,11 +363,37 @@ object NearestCellsTwoLevel {
     (kept, kept.map(c => routed(c._1).sortBy(_._1)))
   }
 
+  /** The fine→coarse routing as a persistable relation: fine anchor id →
+    * kept coarse anchor id, computed by the SAME fold/tie rule as
+    * [[routingTable]] (it IS routingTable, flattened). Persisted by the
+    * ANN index table (VERDICT r17 #6) so a reuse tick reconstructs the
+    * routing without recomputing K·Kc anchor dots.
+    */
+  def routeOf(anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int): Map[Long, Long] = {
+    val (kept, byCoarse) = routingTable(anchorsByRank, kc)
+    kept.zip(byCoarse).flatMap { case (c, fines) => fines.map(f => f._1 -> c._1) }.toMap
+  }
+
+  /** Rebuild [[routingTable]]'s output from a persisted route map —
+    * bit-identical by construction: kept = the coarse ids present as
+    * route targets (id-sorted, exactly routingTable's filter), each
+    * cell's fine anchors id-sorted.
+    */
+  private def routingFromPersisted(
+      anchorsByRank: Seq[(Long, Seq[Float], Double)], route: Map[Long, Long])
+      : (Seq[(Long, Seq[Float], Double)], Seq[Seq[(Long, Seq[Float], Double)]]) = {
+    val byId = anchorsByRank.map(a => a._1 -> a).toMap
+    val grouped = anchorsByRank.groupBy(f => route(f._1))
+    val kept = grouped.keys.toSeq.sorted.map(byId)
+    (kept, kept.map(c => grouped(c._1).sortBy(_._1)))
+  }
+
   def column(
       vec: Column, nrm: Column,
       anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int,
-      ac: Int = 1): Column = {
-    val (kept, byCoarse) = routingTable(anchorsByRank, kc)
+      ac: Int = 1, route: Option[Map[Long, Long]] = None): Column = {
+    val (kept, byCoarse) = route.map(routingFromPersisted(anchorsByRank, _))
+      .getOrElse(routingTable(anchorsByRank, kc))
     ExpressionUtils.column(NearestCellsTwoLevel(
       ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm),
       kept.map(_._1).toIndexedSeq,
@@ -385,8 +411,9 @@ object NearestCellsTwoLevel {
   def probeColumn(
       vec: Column, nrm: Column,
       anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int,
-      wc: Int, pf: Int): Column = {
-    val (kept, byCoarse) = routingTable(anchorsByRank, kc)
+      wc: Int, pf: Int, route: Option[Map[Long, Long]] = None): Column = {
+    val (kept, byCoarse) = route.map(routingFromPersisted(anchorsByRank, _))
+      .getOrElse(routingTable(anchorsByRank, kc))
     ExpressionUtils.column(NearestCellsTwoLevelProbe(
       ExpressionUtils.expression(vec), ExpressionUtils.expression(nrm),
       kept.map(_._1).toIndexedSeq,

@@ -171,6 +171,11 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = SessionCache.liveKeys(spark)
     assert(after.size <= 2,
       s"sweep must end near-empty: live=${after.mkString(",")}")
-    assert(highWater <= 8, s"high-water mark $highWater — entries not retiring")
+    // 10, not 8, since r18: embN + annIndex deliberately survive the
+    // whole q109..q54 IVF window (ADVICE r17 #3 — releasing per
+    // consumer re-ran the corpus count), and q110 carries two guard
+    // entries to its own release point. Still well below the ~30
+    // cacheable stages — the retirement property this test pins.
+    assert(highWater <= 10, s"high-water mark $highWater — entries not retiring")
   }
 }

@@ -358,6 +358,65 @@ class SrpLshSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"tight rung $arm recalls only $caught/${brute.size} deployment-band pairs")
   }
 
+  test("dup-mass guard reroutes q110 through exact-dedup representatives on dup-heavy corpora (VERDICT r17 #3)") {
+    // "Run q40 before SRP on dup-heavy corpora" as ENGINE behavior:
+    // exact-clique fan-out above srpTightDupFanoutMax must collapse the
+    // banded self-join onto canonical (min-id) representatives, and the
+    // gate corpora must measure fan-out 0 so the DuckDB oracle path is
+    // untouched. Corpus: 40 distinct unit vectors (ids 100..139 — kept
+    // ≥ 32 so tightAugmented's replica planting stays inert), bases
+    // 0..9 duplicated 7x each (ids 1000+), one cos-0.85 near-dup of
+    // clique member 105 (id 5000): fan-out = 10·8·7/111 ≈ 5.0 > 1.
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = IndexedSeq.fill(40)(unit())
+    val c = 0.85
+    val nearDup = {
+      val v = bases(5).map(_.toDouble)
+      val g = Array.fill(64)(rnd.nextGaussian())
+      val d = g.zip(v).map { case (a, b) => a * b }.sum
+      val w0 = g.zip(v).map { case (a, b) => a - d * b }
+      val wn = math.sqrt(w0.map(x => x * x).sum)
+      v.zip(w0).map { case (a, b) => (c * a + math.sqrt(1 - c * c) * b / wn).toFloat }
+    }
+    val rows =
+      bases.zipWithIndex.map { case (v, i) => (100L + i, v.toSeq) } ++
+      (for (i <- 0 until 10; k <- 0 until 7)
+        yield (1000L + i * 10 + k, bases(i).toSeq)) ++
+      Seq((5000L, nearDup.toSeq))
+    val tmp = java.nio.file.Files.createTempDirectory("srpguard").toString
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    val fanout = Similarity.srpTightDupFanout(spark, tmp)
+    assert(fanout > Similarity.srpTightDupFanoutMax,
+      s"dup-heavy corpus must trip the guard (fan-out $fanout)")
+    assert(Similarity.srpTightGuardActive(spark, tmp))
+    val canon = Similarity.srpSignaturesTightCanonical(spark, tmp)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(canon.size == 41, s"41 distinct vectors expected, got ${canon.size}")
+    assert(canon.forall(id => id < 1000L || id == 5000L),
+      s"canonical ids must be the clique minima: ${canon.filter(_ >= 1000L) - 5000L}")
+    // The full q110 pipeline on the guarded corpus: every reported id
+    // is canonical, and the planted pair surfaces as (105, 5000).
+    val out = graft.SparkEntry.queries("q110_srp_highcos")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.forall { case (a, b) => canon(a) && canon(b) },
+      s"guard-active output must reference representatives only: $out")
+    assert(out.contains((105L, 5000L)),
+      s"planted cos-0.85 pair (105, 5000) not recovered: $out")
+    // Trigger pin, inert side: the gate corpus measures fan-out 0, so
+    // the guard never perturbs the oracle-checked path.
+    assert(Similarity.srpTightDupFanout(spark, dir) == 0.0,
+      "gate corpus must measure zero exact-dup fan-out")
+    assert(!Similarity.srpTightGuardActive(spark, dir))
+  }
+
   test("signature relation is computed and persisted once per (session, dir)") {
     val a = Similarity.srpSignatures(spark, dir)
     val b = Similarity.srpSignatures(spark, dir)

@@ -246,9 +246,52 @@ def run_cap_demo(sfdir, nq, k_forced):
     two_assign_s = time.time() - t0
     fine_per_cell = float(np.mean([np.sum(froute == c) for c in kept]))
 
+    # Dial (a), VERDICT r17 #2: MULTI-ASSIGNMENT — index each corpus row
+    # under its top-2 fine cells (within the same ac-coarse union), so a
+    # row whose two-level route narrowly misassigns it is still findable
+    # through its runner-up cell. 2x index size; the probe halves nprobe
+    # to hold the scanned-row budget. Demo-grade tie handling (ulp ties
+    # follow argpartition order) — the engine-mirror discipline lives on
+    # the primary `cell` arm above.
+    t0 = time.time()
+    m2_s = np.full((n, 2), -np.inf, dtype=np.float32)
+    m2_id = np.zeros((n, 2), dtype=np.int64)
+
+    def insert_cand(rows, cs, cid):
+        gt = cs > m2_s[rows, 0]
+        r_gt = rows[gt]
+        m2_s[r_gt, 1] = m2_s[r_gt, 0]; m2_id[r_gt, 1] = m2_id[r_gt, 0]
+        m2_s[r_gt, 0] = cs[gt]; m2_id[r_gt, 0] = cid[gt]
+        mid = (~gt) & (cs > m2_s[rows, 1])
+        r_mid = rows[mid]
+        m2_s[r_mid, 1] = cs[mid]; m2_id[r_mid, 1] = cid[mid]
+
+    for c in kept:
+        rows = np.where((topac == c).any(axis=1))[0]
+        if not rows.size:
+            continue
+        fins = np.where(froute == c)[0]
+        sc = emb[rows].astype(np.float32) @ fn32[fins].T
+        if sc.shape[1] == 1:
+            insert_cand(rows, sc[:, 0], np.full(len(rows), f_ids[fins[0]]))
+        else:
+            top2 = np.argpartition(-sc, 1, axis=1)[:, :2]
+            ar = np.arange(len(rows))
+            s0, s1 = sc[ar, top2[:, 0]], sc[ar, top2[:, 1]]
+            insert_cand(rows, s0, f_ids[fins[top2[:, 0]]])
+            insert_cand(rows, s1, f_ids[fins[top2[:, 1]]])
+    multi_assign_s = time.time() - t0
+
     # Recall at equal scan budget: flat probes its p best cells, the
-    # two-level point probes p fine cells within wc coarse.
+    # two-level point probes p fine cells within wc coarse. Dial arms
+    # (VERDICT r17 #2): (a) multi-assignment membership at nprobe p/2,
+    # (b) DIRECT fine-anchor probe ranking — rank all K fine anchors by
+    # the query's own score instead of routing through wc coarse cells
+    # (K dots per QUERY is affordable; the 51x saving is per corpus
+    # ROW), (ab) both.
+    p_half = max(1, p // 2)
     hits_f = hits_t = scan_f = scan_t = 0
+    hits_a = hits_b = hits_ab = scan_a = scan_b = scan_ab = 0
     for q in q_ids:
         qi = int(np.searchsorted(vid, q))
         cos_all = (emb @ emb[qi]) / (nrm * nrm[qi])
@@ -270,6 +313,27 @@ def run_cap_demo(sfdir, nq, k_forced):
         scan_t += cand.size
         cos_q = (emb[cand] @ emb[qi]) / (nrm[cand] * nrm[qi])
         hits_t += len(truth & set(top5(cos_q, vid[cand], q)))
+        # dial (a): multi-assignment membership, nprobe halved
+        probes_a = f_ids[fins[np.lexsort((f_ids[fins], -qf))[:p_half]]]
+        cand = np.where(np.isin(m2_id[:, 0], probes_a)
+                        | ((m2_s[:, 1] > -np.inf) & np.isin(m2_id[:, 1], probes_a)))[0]
+        scan_a += cand.size
+        cos_q = (emb[cand] @ emb[qi]) / (nrm[cand] * nrm[qi])
+        hits_a += len(truth & set(top5(cos_q, vid[cand], q)))
+        # dial (b): direct fine-anchor ranking over ALL K anchors
+        qf_all = (fv @ emb[qi]) / (fnrm * nrm[qi])
+        probes_b = f_ids[np.lexsort((f_ids, -qf_all))[:p]]
+        cand = np.where(np.isin(cell, probes_b))[0]
+        scan_b += cand.size
+        cos_q = (emb[cand] @ emb[qi]) / (nrm[cand] * nrm[qi])
+        hits_b += len(truth & set(top5(cos_q, vid[cand], q)))
+        # dials (a)+(b): direct ranking + multi-assignment, nprobe halved
+        probes_ab = f_ids[np.lexsort((f_ids, -qf_all))[:p_half]]
+        cand = np.where(np.isin(m2_id[:, 0], probes_ab)
+                        | ((m2_s[:, 1] > -np.inf) & np.isin(m2_id[:, 1], probes_ab)))[0]
+        scan_ab += cand.size
+        cos_q = (emb[cand] @ emb[qi]) / (nrm[cand] * nrm[qi])
+        hits_ab += len(truth & set(top5(cos_q, vid[cand], q)))
 
     nqf = float(len(q_ids))
     return {
@@ -285,6 +349,23 @@ def run_cap_demo(sfdir, nq, k_forced):
                       "scanned_rows_per_query": round(scan_t / nqf, 1)},
         "recall_ratio_two_level_vs_flat":
             round(hits_t / hits_f, 4) if hits_f else None,
+        "dials": {
+            "multi_assign_extra_s": round(multi_assign_s, 2),
+            "nprobe_halved": p_half,
+            "a_multi_assign": {
+                "recall_at_5": round(hits_a / (5 * nqf), 4),
+                "scanned_rows_per_query": round(scan_a / nqf, 1),
+                "ratio_vs_flat": round(hits_a / hits_f, 4) if hits_f else None},
+            "b_direct_fine_probe": {
+                "recall_at_5": round(hits_b / (5 * nqf), 4),
+                "scanned_rows_per_query": round(scan_b / nqf, 1),
+                "probe_dots_per_query": k,
+                "ratio_vs_flat": round(hits_b / hits_f, 4) if hits_f else None},
+            "ab_both": {
+                "recall_at_5": round(hits_ab / (5 * nqf), 4),
+                "scanned_rows_per_query": round(scan_ab / nqf, 1),
+                "ratio_vs_flat": round(hits_ab / hits_f, 4) if hits_f else None},
+        },
     }
 
 

@@ -125,12 +125,46 @@ def synth(src_sf, out_dir, n_per_band):
           f"{len(vid)} corpus + {len(new_ids)} replicas) + planted_synth.json")
 
 
-def measure_synth(planted_json, out_path, family_args):
+def canonical_map(corpus_dir):
+    """id -> min-id over its EXACT-vector clique (only non-trivial
+    cliques are kept). Mirrors the engine's dup-mass guard (q110 routes
+    dup-heavy corpora through exact-dedup representatives, VERDICT r17
+    #3), so planted base ids can be canonicalized before matching a
+    guard-active dump. Grouping is on the raw float32 bytes — the same
+    exact-equality the engine's window partitions on."""
+    t = pq.read_table(f"{corpus_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = np.asarray(t["vec_id"], dtype=np.int64)
+    col = t["embedding"].combine_chunks()
+    dim = len(col[0])
+    emb = np.asarray(col.flatten(), dtype=np.float32).reshape(len(vid), dim)
+    order = np.argsort(vid)
+    vid, emb = vid[order], emb[order]
+    groups = {}
+    for i in range(len(vid)):
+        groups.setdefault(emb[i].tobytes(), []).append(int(vid[i]))
+    canon = {}
+    for ids in groups.values():
+        if len(ids) > 1:
+            m = min(ids)
+            for x in ids:
+                canon[x] = m
+    return canon
+
+
+def measure_synth(planted_json, out_path, family_args, canon_dir=None):
     man = json.load(open(planted_json))
     planted = man["planted"]
+    canon = canonical_map(canon_dir) if canon_dir else {}
     report = {"probe": "synthesized high-cosine planted-pair recall per band "
                        "(VERDICT r16 #1)", "src": man["src"],
               "n_per_band": man["n_per_band"], "families": {}}
+    if canon_dir:
+        report["canonicalized"] = {
+            "corpus": canon_dir, "clique_members": len(canon),
+            "note": "planted base ids mapped to exact-clique minima before "
+                    "matching (engine dup-mass guard reports representative "
+                    "pairs on dup-heavy corpora)"}
     for arg in family_args:
         name, rest = arg.split("=", 1)
         dump_dir, thresh = rest.rsplit(":", 1)
@@ -140,8 +174,12 @@ def measure_synth(planted_json, out_path, family_args):
         got = set(zip(t["a_id"].to_pylist(), t["b_id"].to_pylist()))
         fam = {}
         for band in man["bands"]:
-            elig = [(min(p["base_id"], p["replica_id"]), max(p["base_id"], p["replica_id"]))
-                    for p in planted if p["band"] == band and p["cos"] >= thresh]
+            elig = []
+            for p in planted:
+                if p["band"] == band and p["cos"] >= thresh:
+                    a = canon.get(p["base_id"], p["base_id"])
+                    b = canon.get(p["replica_id"], p["replica_id"])
+                    elig.append((min(a, b), max(a, b)))
             hits = sum(1 for pr in elig if pr in got)
             fam[str(band)] = {
                 "eligible_pairs": len(elig), "recovered": hits,
@@ -159,7 +197,13 @@ def main():
         synth(sys.argv[2], sys.argv[3], int(sys.argv[4]))
         return
     if sys.argv[1] == "measure_synth":
-        measure_synth(sys.argv[2], sys.argv[3], sys.argv[4:])
+        rest = sys.argv[2:]
+        canon_dir = None
+        if "--canon" in rest:
+            i = rest.index("--canon")
+            canon_dir = rest[i + 1]
+            rest = rest[:i] + rest[i + 2:]
+        measure_synth(rest[0], rest[1], rest[2:], canon_dir)
         return
     q53_dir, src_sf, copies, out_path = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
     base = exact_pairs(src_sf)
