@@ -44,3 +44,44 @@ object AnnIndexTable extends InputTable(
   override def seedSessionCaches(spark: SparkSession, sfDir: String): Unit =
     materializedPath(sfDir).foreach { _ => Similarity.annIndex(spark, sfDir); () }
 }
+
+/** Incremental ingest against the PERSISTED index (VERDICT r17 #7 —
+  * the IVF mirror of the streaming near-dup segment store): new vectors
+  * are assigned to EXISTING cells map-only (one anchor-dot projection
+  * per row, anchors broadcast inside the expression — no corpus scan,
+  * no shuffle, no re-anchor), and the index re-anchors only when the
+  * corpus has outgrown its quantizer resolution. That is the 100 TB
+  * serving shape: appends are a map-only column, re-anchoring is a
+  * scheduled index rebuild, never an ingest-path cost.
+  */
+object AnnIngest {
+
+  /** Re-anchor slack: serve appends on the stale quantizer until the
+    * corpus-scaled K(n) outgrows the index's K by 25%. anchorKFor moves
+    * as 4⌊√n⌋, so 1.25× in K ≈ 1.56× in corpus rows — a 10% append
+    * never trips it, a ~60% growth does. Below the threshold the
+    * quantizer is merely slightly coarser than freshly-derived (recall
+    * ratio pinned by AnnIngestSpec); past it the rebuild amortizes over
+    * the rows that forced it.
+    */
+  val reanchorSlack = 1.25
+
+  def needsReanchor(kIndex: Int, nTotal: Long): Boolean =
+    Similarity.anchorKFor(nTotal) > kIndex * reanchorSlack
+
+  /** Map-only cell assignment of an append batch through the persisted
+    * index's anchors: (vec_id, cell). The anchors ride in the
+    * expression (driver-held, ≤ 65536 rows from the index table) — the
+    * batch is the only distributed input.
+    */
+  def assignBatch(spark: SparkSession, dir: String,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val idx = Similarity.annIndex(spark, dir)
+    batch
+      .withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
+      .withColumn("cell", element_at(org.apache.spark.sql.graft.NearestCells
+        .column(col("embedding"), col("nrm"), idx.anchors, 1), 1))
+      .select(col("vec_id"), col("cell"))
+  }
+}

@@ -146,8 +146,12 @@ object Similarity {
       AnnIndexTable.materializedPath(dir) match {
         case Some(p) =>
           val rows = spark.read.parquet(p).collect().sortBy(_.getAs[Int]("hrnk"))
+          // .toIndexedSeq: Row.getSeq returns a MUTABLE ArraySeq at
+          // runtime — materialize the immutable Seq the declared type
+          // promises, or downstream immutable-Seq call sites CCE.
           val anchors = rows.map(r => (r.getAs[Long]("a_id"),
-            r.getAs[Seq[Float]]("av"), r.getAs[Double]("anrm"))).toSeq
+            r.getSeq[Float](r.fieldIndex("av")).toIndexedSeq,
+            r.getAs[Double]("anrm"))).toSeq
           val n = rows.head.getAs[Long]("corpus_n")
           graft.pipeline.SessionCache.getOrBuildValue(spark, s"embN:$dir")(
             java.lang.Long.valueOf(n))
@@ -985,6 +989,88 @@ object Similarity {
           explode(org.apache.spark.sql.graft.NearestCellsTwoLevel.probeColumn(
             col("embedding"), col("nrm"), anchors, kc, wc, p,
             route = Some(idx.route))).as("qcell"))
+      val scored = cells.join(broadcast(qc),
+          col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          (VF.dot(col("qv"), col("embedding")) / (col("qn") * col("nrm"))).as("c"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("neighbor_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("neighbor_id"), col("rnk").cast("long").as("rnk"),
+          round(col("c"), 6).as("cos"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // ── BEYOND-CAP operating mode (VERDICT r17 #2, IVF_CAP_r18): keep
+    // q109's two-level CORPUS assignment (the 51× per-row saving at
+    // K = 65536 — that cost is per corpus row) but rank query probes
+    // DIRECTLY over all K fine anchors (q54's flat probe window — K
+    // dots per QUERY, affordable because queries are few), which buys
+    // the beyond-cap recall back: ratio vs flat at equal scanned rows
+    // 0.959 at K=65536/sf100 vs 0.857 through the coarse-routed probe.
+    // This query pins the mode's full pipeline against a declarative
+    // oracle at the gate SFs: q109's corpus windows + q54's probe
+    // window, same top-5 tail.
+    QueryDef(
+      "q111_ivf_cap_directprobe",
+      Some(s"""
+        $corpusCte,
+        $anchorsCte,
+        kcq AS (SELECT 2 * CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS kc FROM kq),
+        coarse AS (SELECT a_id AS c_id, av AS cv, anrm AS cnrm
+                   FROM anchors, kcq WHERE hrnk <= kc),
+        froute AS (
+          SELECT a_id, av, anrm, c_id FROM (
+            SELECT f.a_id, f.av, f.anrm, c.c_id,
+                   row_number() OVER (PARTITION BY f.a_id
+                     ORDER BY (${VS.dotExpr("f.av", "c.cv")} / (f.anrm * c.cnrm)) DESC, c.c_id) AS crnk
+            FROM anchors f, coarse c)
+          WHERE crnk = 1),
+        kcoarse AS (SELECT DISTINCT fr.c_id, c.cv, c.cnrm
+                    FROM froute fr JOIN coarse c ON c.c_id = fr.c_id),
+        lvl1 AS (
+          SELECT vec_id, v, nrm, c_id FROM (
+            SELECT n.vec_id, n.v, n.nrm, c.c_id,
+                   row_number() OVER (PARTITION BY n.vec_id
+                     ORDER BY (${VS.dotExpr("n.v", "c.cv")} / (n.nrm * c.cnrm)) DESC, c.c_id) AS crnk
+            FROM n, kcoarse c)
+          WHERE crnk <= 6),
+        cells AS (
+          SELECT vec_id, v, nrm, cell FROM (
+            SELECT l.vec_id, l.v, l.nrm, f.a_id AS cell,
+                   row_number() OVER (PARTITION BY l.vec_id
+                     ORDER BY (${VS.dotExpr("l.v", "f.av")} / (l.nrm * f.anrm)) DESC, f.a_id) AS frnk
+            FROM lvl1 l JOIN froute f ON f.c_id = l.c_id)
+          WHERE frnk = 1),
+        probes AS (
+          SELECT q_id, qv, qn, cell FROM (
+            SELECT q.vec_id AS q_id, q.v AS qv, q.nrm AS qn, a.a_id AS cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY (${VS.dotExpr("q.v", "a.av")} / (q.nrm * a.anrm)) DESC, a.a_id) AS arnk
+            FROM n q, anchors a WHERE q.vec_id < 5), pq
+          WHERE arnk <= p)
+        SELECT q_id, neighbor_id, rnk, cos FROM (
+          SELECT p.q_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.q_id
+                                    ORDER BY (${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm)) DESC, c.vec_id) AS rnk,
+                 round(${VS.dotExpr("p.qv", "c.v")} / (p.qn * c.nrm), 6) AS cos
+          FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id != p.q_id)
+        WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+      releases = Nil)( (spark, dir) => {
+      val e = embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+      val idx = annIndex(spark, dir)
+      val kk = idx.k
+      val anchors = idx.anchors
+      val kc = annKc(kk, anchors.size)
+      val p = nprobeFor(kk)
+      val cells = e.withColumn("cell",
+        org.apache.spark.sql.graft.NearestCellsTwoLevel.column(
+          col("embedding"), col("nrm"), anchors, kc, ac = 6, route = Some(idx.route)))
+      val qc = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+          explode(org.apache.spark.sql.graft.NearestCells.column(
+            col("embedding"), col("nrm"), anchors, p)).as("qcell"))
       val scored = cells.join(broadcast(qc),
           col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("neighbor_id"),

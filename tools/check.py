@@ -138,6 +138,13 @@ def main(sf_dir: str, out_dir: str, skip: set = frozenset()) -> int:
         qdir = f"{out_dir}/{name}"
         if not os.path.isdir(qdir):
             continue  # missing dump already failed above
+        if name in skip:
+            # Same carve-out as the exact oracles: q83's eps reference
+            # reads the materialized GLOBAL-DBSCAN table, which is
+            # gate-SF-sized by design (sf1+ ensures OOM on the O(n^2)
+            # adjacency) — scale gates skip it explicitly and loudly.
+            print(f"  {name:28s} (eps oracle skipped this run)")
+            continue
         atol = spec.get("atol", {})
         got = canon_eps(con.execute(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf(), atol)
         try:
