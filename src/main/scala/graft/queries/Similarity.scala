@@ -1305,7 +1305,12 @@ object Similarity {
       "q110_srp_highcos",
       Some(srpOracleSql(srpTightThreshold, srpTightHammingMax, srpTightEnumBudget,
         tightCorpusCte)),
-      releases = Seq("srpsigTight", "srpTightArm", "srpTightDupMass",
+      // srpTightDupMass deliberately NOT released: it is immutable
+      // per-corpus metadata (one Double) whose aggregate costs a full
+      // signature-relation pass — releasing it per sweep re-billed that
+      // job to every sweep's q110 (+1.6 s cache_build at sf0.1, caught
+      // in the r18 bench). The multi-GB relations still release.
+      releases = Seq("srpsigTight", "srpTightArm",
         "srpsigTightCanon"))( (spark, dir) =>
       srpCandidatesTight(spark, dir)
         .join(srpSignaturesTight(spark, dir)

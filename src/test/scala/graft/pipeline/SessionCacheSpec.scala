@@ -169,7 +169,10 @@ class SessionCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       qd.releases.foreach(k => SessionCache.release(spark, s"$k:$dir"))
     }
     val after = SessionCache.liveKeys(spark)
-    assert(after.size <= 2,
+    // <= 3 since r18: srpTightDupMass (one Double of per-corpus
+    // metadata) deliberately lives for the session — its aggregate is a
+    // full signature pass that must not re-bill every sweep.
+    assert(after.size <= 3,
       s"sweep must end near-empty: live=${after.mkString(",")}")
     // 10, not 8, since r18: embN + annIndex deliberately survive the
     // whole q109..q54 IVF window (ADVICE r17 #3 — releasing per
