@@ -183,7 +183,19 @@ def qkey(name):
 
 def vs_prior(prior_path, cur_cal, best):
     """The self-adjudication block (VERDICT r16 #5)."""
-    prior = json.load(open(prior_path))
+    try:
+        prior = json.load(open(prior_path))
+    except json.JSONDecodeError:
+        # Raw Bench stdout capture (run_meta + detail + contract lines,
+        # e.g. the committed skew-suite artifacts): adjudicate against
+        # its contract line.
+        prior = None
+        for line in open(prior_path):
+            if line.startswith('{"metric"'):
+                prior = json.loads(line)
+        if prior is None:
+            sys.exit(f"vs_prior: {prior_path} is neither a JSON artifact nor "
+                     "a Bench log with a contract line")
     # Driver-kept round artifacts wrap the contract object in `parsed`
     # (alongside the raw tail); merged artifacts are the object itself.
     if isinstance(prior.get("parsed"), dict):
