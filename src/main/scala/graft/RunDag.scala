@@ -41,7 +41,13 @@ object RunDag {
     if (dagName == "inputs") {
       // ensure() is always an incremental tick (fingerprint-gated reuse);
       // staleness here is structural, so --no-refresh has nothing to add.
-      Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable).foreach { t =>
+      Seq(graft.pipeline.DetectionsTable, graft.pipeline.WallFeaturesTable,
+          graft.queries.ShinglesTable, graft.queries.DedupClustersTable,
+          graft.queries.GroupedDetectionsTable,
+          // The ANN serving index (r18): the one-command path a
+          // production deployment uses to (re)build the persisted
+          // anchors+route before serving sessions start.
+          graft.queries.AnnIndexTable).foreach { t =>
         val t0 = System.nanoTime()
         val p = t.ensure(spark, sfDir)
         println(f"${t.tableName}%-16s ${(System.nanoTime() - t0) / 1000000}%6d ms  $p")
