@@ -584,7 +584,8 @@ object Similarity {
         .agg(sum(col("c")).as("n"), sum(col("c") * (col("c") - lit(1L))).as("extra"))
         .head()
       java.lang.Double.valueOf(
-        if (r.getLong(0) == 0L) 0.0 else r.getLong(1).toDouble / r.getLong(0).toDouble)
+        if (r.isNullAt(0) || r.getLong(0) == 0L) 0.0
+        else r.getLong(1).toDouble / r.getLong(0).toDouble)
     }.doubleValue()
 
   /** Guard threshold: more than one extra exact-clique partner per row
