@@ -599,18 +599,24 @@ object Similarity {
   private[queries] val srpTightDupFanoutMax = 1.0
 
   /** The exact-dedup canonical representative set of the q110 corpus —
-    * q40's md5-canonical window re-expressed on embeddings: one row per
-    * distinct vector, lowest vec_id wins (deterministic). Partitioning
-    * key is the vector content itself (same scale class as q40's md5
-    * window: shuffles once on a content key, no skew beyond the clique
-    * sizes the guard exists to detect).
+    * q40's md5-canonical selection re-expressed on embeddings: one row
+    * per distinct vector, lowest vec_id wins (deterministic). Spelled
+    * as a min-aggregate rather than a row_number window: every
+    * non-key column of a clique is IDENTICAL by definition (sig/nrm
+    * are functions of the vector), so `first` is deterministic, the
+    * partial aggregation combines map-side, and a pathological
+    * billion-row clique — exactly the corpus shape that activates this
+    * guard — never lands on one partition to be sorted (the window
+    * form would).
     */
   private[queries] def srpSignaturesTightCanonical(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"srpsigTightCanon:$dir") {
-      val w = Window.partitionBy(col("embedding")).orderBy(col("vec_id"))
       srpSignaturesTight(spark, dir)
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+        .groupBy(col("embedding"))
+        .agg(min(col("vec_id")).as("vec_id"), first(col("nrm")).as("nrm"),
+          first(col("sig")).as("sig"), first(col("sig2")).as("sig2"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("sig"), col("sig2"))
     }
 
   /** True when the dup-mass guard rerouted q110 through the canonical
