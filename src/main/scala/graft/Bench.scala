@@ -17,8 +17,9 @@ object Bench {
     */
   private[graft] def runSweep(
       spark: SparkSession, sfDir: String,
-      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QueryRun] =
-    queries.sortBy(_._1).map { case (name, fn) =>
+      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Seq[QueryRun] = {
+    val sweptNames = queries.map(_._1).toSet
+    val runs = queries.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Honest materialization: the noop sink evaluates EVERY column of
       // every row (unlike count(), which lets Catalyst prune unreferenced
@@ -78,6 +79,18 @@ object Bench {
       }
       QueryRun(name, dt, err, builtMs)
     }
+    // Release points declared on queries NOT in this sweep (ADVICE r18
+    // #3: a BENCH_ONLY/SKIP set excluding q54 left embN+annIndex live
+    // for the session — one pair per corpus dir). Firing the excluded
+    // queries' declared releases here reaches the same post-sweep cache
+    // state as a full sweep; session-lifetime entries (srpTightDupMass)
+    // declare no release point and stay untouched. Untimed: after the
+    // last query's timer.
+    graft.queries.Registry.all.filterNot(q => sweptNames(q.name))
+      .flatMap(_.releases).distinct
+      .foreach(k => graft.pipeline.SessionCache.release(spark, s"$k:$sfDir"))
+    runs
+  }
 
   /** Reclaim threshold for the post-query gc gate: well under the
     * r12 rehearsal's failure point (33 GB of dead files against ~50 GB

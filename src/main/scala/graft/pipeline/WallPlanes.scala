@@ -96,7 +96,7 @@ object WallPlanes {
     * scale path is a multi-axis grid, not more tiles.
     */
   def autoTiles(features: DataFrame, targetPerTile: Int = 2500): Int =
-    math.max(8, math.ceil(features.count().toDouble / targetPerTile).toInt)
+    autoTilesFor(features.count(), targetPerTile)
 
   /** The clustering half over an already-derived feature relation
     * (`cell_id, nx..nz, cx..cz, f0..f2` — [[scaledFeatures]]'s contract):
@@ -134,6 +134,62 @@ object WallPlanes {
       }
     }.toDF("cell_id", "nx", "ny", "nz", "cx", "cy", "cz", "cluster")
   }
+
+  /** Global-kernel row ceiling for [[labeledAuto]]: [[Dbscan.fit]]
+    * precomputes full neighbor lists in ONE task, so a dense corpus of
+    * n points can hold O(n²) neighbor ints — the sf1 gate's first run
+    * (176k features) OOM'd a 24g driver there (VERDICT r18 #3/#4, the
+    * `SPARK_GRAFT_SKIP_TABLES` episode). 20k keeps every historical
+    * gate SF on the exact global kernel (sf0.1 = 17.6k features) while
+    * bounding the worst-case (single dense clique) neighbor storage at
+    * ~4·10⁸ ints ≈ 1.6 GB.
+    */
+  val maxGlobalRows = 20000L
+
+  /** [[labeledGlobal]] with the kernel SELF-BOUNDED (VERDICT r18 #4):
+    * above [[maxGlobalRows]] features the per-point labels come from the
+    * margin-merge TILED kernel ([[tiledClusters]], spec-proven label-
+    * identical to the global fit by WallPlanesTilingSpec and re-proven
+    * live by q83's eps oracle at every gate run) instead of relying on
+    * operators remembering a skip knob. The tiled labels join back to
+    * the feature columns and are eagerly materialized via
+    * localCheckpoint so the kernel's intermediate caches release before
+    * returning — the relation the caller writes reads from checkpoint
+    * blocks (reclaimed with the DataFrame), not from a persisted
+    * lineage over already-unpersisted inputs.
+    */
+  def labeledAuto(
+      features: DataFrame,
+      eps: Double = 0.03,
+      minSamples: Int = 20): DataFrame = {
+    val featC = features.persist()
+    try {
+      val n = featC.count()
+      if (n <= maxGlobalRows) {
+        // The global kernel consumes the cached features once; eager
+        // materialization below frees the cache before returning.
+        val out = labeledGlobal(featC, eps, minSamples).localCheckpoint(true)
+        out
+      } else {
+        System.err.println(s"[wall_clusters] $n features > $maxGlobalRows: " +
+          "global DBSCAN kernel would be O(n²) in one task — labeling via the " +
+          "tiled kernel (WallPlanesTilingSpec-proven label-identical)")
+        val clusters = tiledClusters(
+          featC.select(col("cell_id"), col("f0"), col("f1"), col("f2")),
+          eps, minSamples, tiles = autoTilesFor(n))
+        try {
+          featC.select(col("cell_id"), col("nx"), col("ny"), col("nz"),
+              col("cx"), col("cy"), col("cz"))
+            .join(clusters, "cell_id")
+            .localCheckpoint(true)
+        } finally clusters.unpersist(blocking = false)
+      }
+    } finally featC.unpersist(blocking = false)
+  }
+
+  /** [[autoTiles]]'s formula over an already-known count. */
+  def autoTilesFor(n: Long, targetPerTile: Int = 2500): Int =
+    math.max(8, math.ceil(n.toDouble / targetPerTile).toInt)
 
   def wallPlanesScaled(
       features: DataFrame,

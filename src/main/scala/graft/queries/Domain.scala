@@ -576,10 +576,19 @@ object GroupedDetectionsTable extends graft.pipeline.InputTable(
 object WallClustersTable extends graft.pipeline.InputTable(
     "wall_clusters", "part",
     graft.pipeline.Synthetic.meshCellsSql +
-      "|scaledFeatures(vth=0.1,aw=10000.0,cw=0.001)|dbscanGlobal(eps=0.03,min=20)",
-    version = 1) {
+      "|scaledFeatures(vth=0.1,aw=10000.0,cw=0.001)" +
+      "|dbscanAuto(eps=0.03,min=20,maxGlobal=" +
+      graft.pipeline.WallPlanes.maxGlobalRows + ")",
+    version = 2) {
+  /** SELF-BOUNDED since r19 (VERDICT r18 #4): the ensure labels through
+    * the global kernel only up to [[graft.pipeline.WallPlanes.maxGlobalRows]]
+    * features (every gate SF — labels byte-identical to v1), and through
+    * the spec-proven-identical TILED kernel above it, so a scale-SF
+    * Verify no longer needs the `SPARK_GRAFT_SKIP_TABLES` carve-out
+    * (the r18 sf1 gate's 24g OOM).
+    */
   protected def dag(sfDir: String): Seq[graft.pipeline.Dag.Stage] =
     Seq(graft.pipeline.Dag.Stage("wall_clusters", Nil,
-      (s, _) => graft.pipeline.WallPlanes.labeledGlobal(
+      (s, _) => graft.pipeline.WallPlanes.labeledAuto(
         graft.pipeline.Synthetic.wallFeatures(s, sfDir))))
 }

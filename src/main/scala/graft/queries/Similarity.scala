@@ -144,30 +144,45 @@ object Similarity {
       dir: String): AnnIndex =
     graft.pipeline.SessionCache.getOrBuildValue(spark, s"annIndex:$dir") {
       AnnIndexTable.materializedPath(dir) match {
+        // rows.nonEmpty guard (ADVICE r18 #1): an EMPTY corpus commits an
+        // empty index table — zero anchors, and no row to read corpus_n
+        // from — so the reuse tick must fall back to the live derivation
+        // (which handles n = 0 consistently with the empty-corpus
+        // hardening elsewhere) instead of throwing on rows.head.
         case Some(p) =>
           val rows = spark.read.parquet(p).collect().sortBy(_.getAs[Int]("hrnk"))
-          // .toIndexedSeq: Row.getSeq returns a MUTABLE ArraySeq at
-          // runtime — materialize the immutable Seq the declared type
-          // promises, or downstream immutable-Seq call sites CCE.
-          val anchors = rows.map(r => (r.getAs[Long]("a_id"),
-            r.getSeq[Float](r.fieldIndex("av")).toIndexedSeq,
-            r.getAs[Double]("anrm"))).toSeq
-          val n = rows.head.getAs[Long]("corpus_n")
-          graft.pipeline.SessionCache.getOrBuildValue(spark, s"embN:$dir")(
-            java.lang.Long.valueOf(n))
-          AnnIndex(anchors,
-            n, rows.map(r => r.getAs[Long]("a_id") -> r.getAs[Long]("coarse_route")).toMap)
-        case None =>
-          val e = embeddings(spark, dir)
-            .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-          val n = corpusCount(spark, dir)
-          val k = anchorKFor(n)
-          val anchors = collectAnchors(e, k)
-          AnnIndex(anchors, n,
-            org.apache.spark.sql.graft.NearestCellsTwoLevel
-              .routeOf(anchors, annKc(k, anchors.size)))
+          if (rows.isEmpty) annIndexDerived(spark, dir)
+          else {
+            // .toIndexedSeq: Row.getSeq returns a MUTABLE ArraySeq at
+            // runtime — materialize the immutable Seq the declared type
+            // promises, or downstream immutable-Seq call sites CCE.
+            val anchors = rows.map(r => (r.getAs[Long]("a_id"),
+              r.getSeq[Float](r.fieldIndex("av")).toIndexedSeq,
+              r.getAs[Double]("anrm"))).toSeq
+            val n = rows.head.getAs[Long]("corpus_n")
+            graft.pipeline.SessionCache.getOrBuildValue(spark, s"embN:$dir")(
+              java.lang.Long.valueOf(n))
+            AnnIndex(anchors,
+              n, rows.map(r => r.getAs[Long]("a_id") -> r.getAs[Long]("coarse_route")).toMap)
+          }
+        case None => annIndexDerived(spark, dir)
       }
     }
+
+  /** The live (no committed table) index derivation — the gate path, and
+    * the empty-table fallback above.
+    */
+  private def annIndexDerived(spark: org.apache.spark.sql.SparkSession,
+      dir: String): AnnIndex = {
+    val e = embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
+    val n = corpusCount(spark, dir)
+    val k = anchorKFor(n)
+    val anchors = collectAnchors(e, k)
+    AnnIndex(anchors, n,
+      org.apache.spark.sql.graft.NearestCellsTwoLevel
+        .routeOf(anchors, annKc(k, anchors.size)))
+  }
 
   /** SRP signature relation (vec_id, embedding, nrm, sig), persisted once
     * per (session, sfDir): the band explode and both verify-join sides
@@ -511,6 +526,21 @@ object Similarity {
   private[queries] val srpTightHammingMax = 35
   private[queries] val srpTightEnumBudget = 65536L
 
+  /** Guard threshold: more than one extra exact-clique partner per row
+    * on average means band-bucket occupancy is dominated by duplicate
+    * mass — the r17 sf100 synth corpus (isometry collisions, fan-out
+    * ≈ 6.7) forced the enumeration-budgeted ladder down to a deep rung
+    * and cost it a quarter of its 0.8-band recall (SRP_SYNTH_r17: 0.765
+    * with the "run q40 first" caveat as ADVICE). Gate corpora measure
+    * 0.0, so the guard is inert exactly where the DuckDB oracle runs —
+    * and since r19 the oracle MIRRORS the guard (the dup-mass +
+    * canonical CTEs in [[tightCorpusCte]]), so q110 stays hash-checkable
+    * on dup-heavy corpora too. Declared BEFORE the CTE: the string
+    * interpolates this threshold, and object-init order would otherwise
+    * bake in 0.0.
+    */
+  private[queries] val srpTightDupFanoutMax = 1.0
+
   /** q110's corpus: embeddings plus DETERMINISTIC high-cosine replicas
     * — the gate corpora top out at cos ≈ 0.51, so without planting the
     * high-cosine oracle would be vacuously green on 0 rows. Replicas of
@@ -537,6 +567,16 @@ object Similarity {
     raw.unionByName(masked(1000000000000L, 13)).unionByName(masked(2000000000000L, 26))
   }
 
+  /** q110's corpus CTE, GUARD-AWARE since r19 (VERDICT r18 #2 / ADVICE
+    * r18 #2): the oracle mirrors [[srpTightDupFanout]]'s dup-mass probe
+    * (Σ c·(c−1) / Σ c over exact-embedding groups) and, above the same
+    * [[srpTightDupFanoutMax]] threshold, [[srpSignaturesTightCanonical]]'s
+    * min-id representative selection — so q110 is hash-checkable on ANY
+    * corpus, not just the fan-out-0 gate corpora where the guard is
+    * inert. The fan-out decision is a ratio of exact integers divided in
+    * double, identical in both engines; the WHERE-gated UNION keeps the
+    * plan declarative (DuckDB prunes the dead branch at run time).
+    */
   private val tightCorpusCte = s"""
     WITH aug AS (
       SELECT vec_id, embedding FROM embeddings
@@ -550,7 +590,18 @@ object Similarity {
              list_concat(list_transform(generate_series(1, 26), zx -> CAST(0.0 AS FLOAT)),
                          embedding[27:]) AS embedding
       FROM embeddings WHERE vec_id < 32),
-    n AS (SELECT vec_id, embedding AS v, ${VS.normExpr("embedding")} AS nrm FROM aug)"""
+    dupq AS (
+      SELECT CASE WHEN coalesce(sum(c), 0) = 0 THEN 0.0
+                  ELSE CAST(sum(c * (c - 1)) AS DOUBLE) / sum(c) END AS fanout
+      FROM (SELECT count(*) AS c FROM aug GROUP BY embedding)),
+    guarded AS (
+      SELECT vec_id, embedding FROM aug
+      WHERE (SELECT fanout FROM dupq) <= $srpTightDupFanoutMax
+      UNION ALL
+      SELECT min(vec_id) AS vec_id, embedding FROM aug
+      WHERE (SELECT fanout FROM dupq) > $srpTightDupFanoutMax
+      GROUP BY embedding),
+    n AS (SELECT vec_id, embedding AS v, ${VS.normExpr("embedding")} AS nrm FROM guarded)"""
 
   /** The 128-bit signature relation over [[tightAugmented]], cached per
     * (session, corpus) like [[srpSignatures]].
@@ -588,16 +639,6 @@ object Similarity {
         else r.getLong(1).toDouble / r.getLong(0).toDouble)
     }.doubleValue()
 
-  /** Guard threshold: more than one extra exact-clique partner per row
-    * on average means band-bucket occupancy is dominated by duplicate
-    * mass — the r17 sf100 synth corpus (isometry collisions, fan-out
-    * ≈ 6.7) forced the enumeration-budgeted ladder down to a deep rung
-    * and cost it a quarter of its 0.8-band recall (SRP_SYNTH_r17: 0.765
-    * with the "run q40 first" caveat as ADVICE). Gate corpora measure
-    * 0.0, so the guard is inert exactly where the DuckDB oracle runs.
-    */
-  private[queries] val srpTightDupFanoutMax = 1.0
-
   /** The exact-dedup canonical representative set of the q110 corpus —
     * q40's md5-canonical selection re-expressed on embeddings: one row
     * per distinct vector, lowest vec_id wins (deterministic). Spelled
@@ -632,7 +673,9 @@ object Similarity {
     * enumeration budget into a deep low-recall rung; pairs are reported
     * between canonical ids (exact-dup membership is the q40/q55/q103
     * family's output, not a near-dup result). Inert (fan-out 0) on the
-    * gate corpora, so the DuckDB oracle is untouched.
+    * gate corpora; on dup-heavy corpora the oracle mirrors the reroute
+    * ([[tightCorpusCte]]'s dupq/guarded CTEs), so q110 hash-verifies in
+    * BOTH guard states.
     */
   private[queries] def srpSignaturesTightGuarded(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

@@ -182,6 +182,47 @@ def chunked_flat_assign(emb, nrm, av, anrm, chunk=2048):
     return cell
 
 
+def chunked_two_level_cells(vid, emb, nrm, k, kc, ac=6):
+    """The cap demo's chunked float32 two-level corpus assignment,
+    extracted so serve_envelope shares it (the float64 two_level_tables
+    materializes an n x kc score matrix — ~8 GB at sf100). Returns
+    (cell fine-anchor id per row, coarse tables, fine tables, topac)."""
+    n = len(vid)
+    a_idx = np.sort(min_hash_anchors(vid, k))
+    c_idx = np.sort(min_hash_anchors(vid, k)[:kc])
+    cv, cnrm, c_ids = emb[c_idx], nrm[c_idx], vid[c_idx]
+    fv, fnrm, f_ids = emb[a_idx], nrm[a_idx], vid[a_idx]
+    f_cos = (fv @ cv.T) / np.outer(fnrm, cnrm)
+    froute = np.argmax(f_cos, axis=1)
+    kept = np.unique(froute)
+    cn32 = (cv[kept] / cnrm[kept][:, None]).astype(np.float32)
+    topac = np.empty((n, ac), dtype=np.int64)
+    for s in range(0, n, 131072):
+        sc = emb[s:s + 131072].astype(np.float32) @ cn32.T
+        topac[s:s + 131072] = kept[np.argpartition(-sc, min(ac, sc.shape[1]) - 1,
+                                                   axis=1)[:, :ac]]
+    fn32 = (fv / fnrm[:, None]).astype(np.float32)
+    best_s = np.full(n, -np.inf, dtype=np.float32)
+    cell = np.zeros(n, dtype=np.int64)
+    for c in kept:
+        rows = np.where((topac == c).any(axis=1))[0]
+        if not rows.size:
+            continue
+        fins = np.where(froute == c)[0]
+        sc = emb[rows].astype(np.float32) @ fn32[fins].T
+        j = np.argmax(sc, axis=1)
+        v = sc[np.arange(len(rows)), j]
+        # Equal-score lower-id tie-break across cells, matching
+        # two_level_tables' engine mirror (ADVICE r17 #4 — without it
+        # this arm could diverge from the engine on exact float32 ties
+        # beyond the documented flat-argmax ulp caveat).
+        cand_id = f_ids[fins[j]]
+        upd = (v > best_s[rows]) | ((v == best_s[rows]) & (cand_id < cell[rows]))
+        best_s[rows[upd]] = v[upd]
+        cell[rows[upd]] = cand_id[upd]
+    return cell, (c_ids, cv, cnrm, kept), (f_ids, fv, fnrm, froute), topac
+
+
 def run_cap_demo(sfdir, nq, k_forced):
     """Beyond-cap demonstration (VERDICT r16 #2): force K to the
     anchorKFor cap on a corpus where a flat K-dot assignment is the
@@ -211,38 +252,9 @@ def run_cap_demo(sfdir, nq, k_forced):
     # drops out of per-row argmax.
     ac = 6
     t0 = time.time()
-    a_idx2 = np.sort(min_hash_anchors(vid, k))
-    c_idx = np.sort(min_hash_anchors(vid, k)[:kc])
-    cv, cnrm, c_ids = emb[c_idx], nrm[c_idx], vid[c_idx]
-    fv, fnrm, f_ids = emb[a_idx2], nrm[a_idx2], vid[a_idx2]
-    f_cos = (fv @ cv.T) / np.outer(fnrm, cnrm)
-    froute = np.argmax(f_cos, axis=1)
-    kept = np.unique(froute)
-    cn32 = (cv[kept] / cnrm[kept][:, None]).astype(np.float32)
-    topac = np.empty((n, ac), dtype=np.int64)
-    for s in range(0, n, 131072):
-        sc = emb[s:s + 131072].astype(np.float32) @ cn32.T
-        topac[s:s + 131072] = kept[np.argpartition(-sc, min(ac, sc.shape[1]) - 1,
-                                                   axis=1)[:, :ac]]
+    cell, (c_ids, cv, cnrm, kept), (f_ids, fv, fnrm, froute), topac = \
+        chunked_two_level_cells(vid, emb, nrm, k, kc, ac)
     fn32 = (fv / fnrm[:, None]).astype(np.float32)
-    best_s = np.full(n, -np.inf, dtype=np.float32)
-    cell = np.zeros(n, dtype=np.int64)
-    for c in kept:
-        rows = np.where((topac == c).any(axis=1))[0]
-        if not rows.size:
-            continue
-        fins = np.where(froute == c)[0]
-        sc = emb[rows].astype(np.float32) @ fn32[fins].T
-        j = np.argmax(sc, axis=1)
-        v = sc[np.arange(len(rows)), j]
-        # Equal-score lower-id tie-break across cells, matching
-        # two_level_tables' engine mirror (ADVICE r17 #4 — without it
-        # this arm could diverge from the engine on exact float32 ties
-        # beyond the documented flat-argmax ulp caveat).
-        cand_id = f_ids[fins[j]]
-        upd = (v > best_s[rows]) | ((v == best_s[rows]) & (cand_id < cell[rows]))
-        best_s[rows[upd]] = v[upd]
-        cell[rows[upd]] = cand_id[upd]
     two_assign_s = time.time() - t0
     fine_per_cell = float(np.mean([np.sum(froute == c) for c in kept]))
 
@@ -369,10 +381,121 @@ def run_cap_demo(sfdir, nq, k_forced):
     }
 
 
+def run_serve_envelope(sfdir, k_forced, batch_sizes=(1, 8, 64, 512, 4096)):
+    """Query-side cost envelope at the beyond-cap point (VERDICT r18 #6):
+    q109's coarse-ROUTED probe ranking (kc dots to pick wc coarse cells,
+    then rank the ~wc*K/kc fine anchors under them) vs q111's DIRECT
+    probe ranking (all K fine-anchor dots per query), measured as
+    queries/s over serving batch sizes, with the probe stage and the
+    candidate scan separated so the crossover is attributable. Both
+    modes scan the SAME single-assign cell layout with the same p, so
+    the recall delta is exactly the r18/r19 cap-demo numbers (direct
+    0.959 vs routed 0.857 ratio-to-flat) — this tool measures what that
+    recall costs in throughput at each batch size."""
+    import time
+    vid, emb = load(sfdir)
+    nrm = np.sqrt((emb * emb).sum(axis=1))
+    n = len(vid)
+    k = min(k_forced, n)
+    kc = 2 * int(np.ceil(np.sqrt(k)))
+    p = nprobe(k)
+    wc = (2 * kc + 4) // 5
+    cell, (c_ids, cv, cnrm, kept), (f_ids, fv, fnrm, froute), _ = \
+        chunked_two_level_cells(vid, emb, nrm, k, min(kc, n))
+    # Pre-normalized float32 anchor matrices — the serving-layout shape
+    # (the engine holds anchors driver-side; a server would hold these).
+    f32 = (fv / fnrm[:, None]).astype(np.float32)
+    c32 = (cv[kept] / cnrm[kept][:, None]).astype(np.float32)
+    # two_level_tables' froute maps fine anchor -> coarse POSITION in the
+    # id-sorted coarse table; kept are the positions owning >=1 fine.
+    fins_by_pos = {pos: np.where(froute == pos)[0] for pos in kept}
+    # Sort corpus rows by cell for contiguous candidate gathers (the
+    # bucketed-layout serving shape).
+    order = np.argsort(cell, kind="stable")
+    cell_s, vid_s = cell[order], vid[order]
+    emb_s = (emb[order] / nrm[order][:, None]).astype(np.float32)
+    starts = np.searchsorted(cell_s, f_ids, side="left")
+    ends = np.searchsorted(cell_s, f_ids, side="right")
+
+    def scan_topk(qv32, probes_fid):
+        idx = np.concatenate([np.arange(starts[j], ends[j])
+                              for j in np.searchsorted(f_ids, probes_fid)]) \
+            if len(probes_fid) else np.empty(0, dtype=np.int64)
+        if not idx.size:
+            return 0
+        s = emb_s[idx] @ qv32
+        take = min(5, s.size)
+        np.argpartition(-s, take - 1)[:take]
+        return idx.size
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for bs in batch_sizes:
+      reps = []
+      # Best-of-2 per batch size (the merge_bench discipline): the first
+      # rep pays allocator/page-cache warm-up; box noise hits one rep.
+      for _rep in range(2):
+        qs = rng.choice(n, size=bs, replace=bs > n)
+        q32 = (emb[qs] / nrm[qs][:, None]).astype(np.float32)
+        # direct probe ranking: (bs x K) matmul + per-query top-p,
+        # chunked at 512 queries so a large batch never materializes a
+        # GB-scale score matrix (what a real server would do too).
+        t0 = time.time()
+        direct_probes = np.empty((bs, p), dtype=np.int64)
+        for s in range(0, bs, 512):
+            sc = q32[s:s + 512] @ f32.T
+            direct_probes[s:s + 512] = np.argpartition(-sc, p - 1,
+                                                       axis=1)[:, :p]
+        direct_probe_s = time.time() - t0
+        # routed probe ranking: (bs x kc) matmul -> top-wc coarse ->
+        # rank fine anchors under them per query
+        t0 = time.time()
+        scc = q32 @ c32.T
+        topwc = np.argpartition(-scc, min(wc, scc.shape[1]) - 1,
+                                axis=1)[:, :wc]
+        routed_probes = []
+        for qi in range(bs):
+            fins = np.concatenate([fins_by_pos[kept[j]] for j in topwc[qi]])
+            sf = f32[fins] @ q32[qi]
+            take = min(p, sf.size)
+            routed_probes.append(fins[np.argpartition(-sf, take - 1)[:take]])
+        routed_probe_s = time.time() - t0
+        # scan stage (identical layout both modes; scanned rows differ
+        # only through the probe set) — time each mode's scan.
+        t0 = time.time()
+        scanned_d = sum(scan_topk(q32[qi], f_ids[direct_probes[qi]])
+                        for qi in range(bs))
+        direct_scan_s = time.time() - t0
+        t0 = time.time()
+        scanned_r = sum(scan_topk(q32[qi], f_ids[routed_probes[qi]])
+                        for qi in range(bs))
+        routed_scan_s = time.time() - t0
+        reps.append({
+            "batch": int(bs),
+            "direct": {"probe_s": round(direct_probe_s, 4),
+                       "scan_s": round(direct_scan_s, 4),
+                       "qps": round(bs / max(1e-9, direct_probe_s + direct_scan_s), 1),
+                       "scanned_rows_per_query": round(scanned_d / bs, 1)},
+            "routed": {"probe_s": round(routed_probe_s, 4),
+                       "scan_s": round(routed_scan_s, 4),
+                       "qps": round(bs / max(1e-9, routed_probe_s + routed_scan_s), 1),
+                       "scanned_rows_per_query": round(scanned_r / bs, 1)},
+        })
+      best = dict(reps[0])
+      for mode_key in ("direct", "routed"):
+          best[mode_key] = max((r[mode_key] for r in reps),
+                               key=lambda m: m["qps"])
+      rows.append(best)
+    return {"sfdir": sfdir, "n": n, "k": k, "kc": kc, "wc": wc, "nprobe": p,
+            "probe_dots_per_query": {"direct": k,
+                                     "routed": kc + wc * (k // max(1, kc))},
+            "batches": rows}
+
+
 def main():
     argv = sys.argv[1:]
     mode = "flat"
-    if argv and argv[0] in ("two_level", "cap"):
+    if argv and argv[0] in ("two_level", "cap", "serve_envelope"):
         mode = argv[0]
         argv = argv[1:]
     nq = 100
@@ -392,6 +515,16 @@ def main():
         rep = run_cap_demo(sfdirs[0], nq, k_forced)
         with open(out_path, "w") as f:
             json.dump({"probe": "ivf beyond-cap two-level demo (VERDICT r16 #2)",
+                       **rep}, f, indent=1)
+        print(json.dumps(rep))
+        print(f"wrote {out_path}")
+        return
+
+    if mode == "serve_envelope":
+        rep = run_serve_envelope(sfdirs[0], k_forced)
+        with open(out_path, "w") as f:
+            json.dump({"probe": "beyond-cap QUERY-side envelope: direct vs "
+                                "coarse-routed probe ranking (VERDICT r18 #6)",
                        **rep}, f, indent=1)
         print(json.dumps(rep))
         print(f"wrote {out_path}")

@@ -155,6 +155,37 @@ def selftest():
         assert r.returncode != 0, "zero-matched-prior merge must fail loud"
         assert "vacuous" in (r.stderr + r.stdout), \
             "zero-match rejection must say the adjudication would be vacuous"
+        # ADVICE r18 #4: a RAW-LOG prior with several contract lines must
+        # adjudicate against the current run's SF, not whichever sweep
+        # happened to be last in the file. Mixed-SF log: a wrong-sf line
+        # LAST (cal 99 — would flag everything), the matching-sf line
+        # first (cal 1.6 — calm ratio, q speedup suspect).
+        mixed = os.path.join(d, "mixed_prior_log")
+        with open(mixed, "w") as f:
+            f.write('{"metric":"total","value":9.9,"unit":"sec",'
+                    '"queries":{"q":9.0},"errors":{},"sweeps":1,"cal":11.2,"sf":"/x"}\n')
+            f.write('{"metric":"total","value":9.9,"unit":"sec",'
+                    '"queries":{"q":9.0},"errors":{},"sweeps":1,"cal":99.0,"sf":"/other"}\n')
+        r = subprocess.run([sys.executable, me, out, "--prior", mixed,
+                            f"a={calm}"], capture_output=True, text=True)
+        assert r.returncode == 0, f"mixed-sf raw-log prior failed: {r.stderr or r.stdout}"
+        vp = json.load(open(out))["vs_prior"]
+        assert abs(vp["cal_ratio"] - 1.6 / 11.2) < 1e-3, \
+            f"must adjudicate against the sf-matching contract line, not the last: {vp}"
+        # And a MULTI-line raw-log prior with NO same-sf contract line
+        # must fail loud (a single line stays accept-with-warning: sf is
+        # a corpus path and may legitimately move between rounds).
+        alien_log = os.path.join(d, "alien_prior_log")
+        with open(alien_log, "w") as f:
+            f.write('{"metric":"total","value":9.9,"unit":"sec",'
+                    '"queries":{"q":9.0},"errors":{},"sweeps":1,"cal":99.0,"sf":"/other"}\n')
+            f.write('{"metric":"total","value":9.9,"unit":"sec",'
+                    '"queries":{"q":9.0},"errors":{},"sweeps":1,"cal":98.0,"sf":"/other2"}\n')
+        r = subprocess.run([sys.executable, me, out, "--prior", alien_log,
+                            f"a={calm}"], capture_output=True, text=True)
+        assert r.returncode != 0, "no-same-sf raw-log prior must fail loud"
+        assert "vacuous" in (r.stderr + r.stdout), \
+            "cross-SF rejection must say the adjudication would be vacuous"
     print("merge_bench selftest: OK")
 
 
@@ -181,21 +212,59 @@ def qkey(name):
     return m.group(1) if m else name
 
 
-def vs_prior(prior_path, cur_cal, best):
+def vs_prior(prior_path, cur_cal, best, cur_sf=None):
     """The self-adjudication block (VERDICT r16 #5)."""
     try:
         prior = json.load(open(prior_path))
+        # Same-SF sanity on the artifact path: a wrong-SF prior makes
+        # every delta garbage. Warn (not fail) — driver artifacts are
+        # same-SF by construction and some carry no sf field.
+        if (cur_sf is not None and prior.get("sf") is not None
+                and str(prior["sf"]) != str(cur_sf)):
+            print(f"vs_prior WARNING: prior sf={prior['sf']} != current "
+                  f"sf={cur_sf} — cross-SF deltas are not comparable",
+                  file=sys.stderr)
     except json.JSONDecodeError:
         # Raw Bench stdout capture (run_meta + detail + contract lines,
         # e.g. the committed skew-suite artifacts): adjudicate against
-        # its contract line.
-        prior = None
-        for line in open(prior_path):
-            if line.startswith('{"metric"'):
-                prior = json.loads(line)
-        if prior is None:
+        # its contract line. ADVICE r18 #4: a multi-run or mixed-SF log
+        # holds SEVERAL contract lines, and blindly taking the last
+        # silently adjudicated against whichever sweep happened to run
+        # last — filter to the current run's sf and FAIL when none
+        # matches (a cross-SF adjudication is vacuous, same polarity as
+        # the zero-key-intersection guard below).
+        lines = [json.loads(l) for l in open(prior_path)
+                 if l.startswith('{"metric"')]
+        if not lines:
             sys.exit(f"vs_prior: {prior_path} is neither a JSON artifact nor "
                      "a Bench log with a contract line")
+        if len(lines) == 1:
+            # One sweep in the log: accept it (sf is a corpus PATH, and
+            # the same corpus can legitimately live at a new path across
+            # rounds), warning on mismatch like the artifact branch.
+            prior = lines[0]
+            if (cur_sf is not None and prior.get("sf") is not None
+                    and str(prior["sf"]) != str(cur_sf)):
+                print(f"vs_prior WARNING: prior sf={prior['sf']} != current "
+                      f"sf={cur_sf} — cross-SF deltas are not comparable",
+                      file=sys.stderr)
+        else:
+            # Several sweeps: "last line wins" silently adjudicated a
+            # multi-run or mixed-SF capture against an arbitrary sweep —
+            # require an sf match and fail loud when none exists.
+            matching = ([l for l in lines if str(l.get("sf")) == str(cur_sf)]
+                        if cur_sf is not None else lines)
+            if not matching:
+                sys.exit(f"vs_prior: {prior_path} holds {len(lines)} contract "
+                         f"lines, none at the current run's sf={cur_sf} — the "
+                         "adjudication would be vacuous (cross-SF deltas "
+                         "compare nothing); pick a same-SF prior or extract "
+                         "the intended line")
+            if len(matching) > 1:
+                print(f"vs_prior WARNING: {prior_path} holds {len(matching)} "
+                      f"same-sf contract lines; adjudicating against the last",
+                      file=sys.stderr)
+            prior = matching[-1]
     # Driver-kept round artifacts wrap the contract object in `parsed`
     # (alongside the raw tail); merged artifacts are the object itself.
     if isinstance(prior.get("parsed"), dict):
@@ -300,7 +369,8 @@ def main():
     if cals:
         artifact["cal"] = min(cals)
     if prior_path is not None:
-        artifact["vs_prior"] = vs_prior(prior_path, artifact.get("cal"), best)
+        artifact["vs_prior"] = vs_prior(prior_path, artifact.get("cal"), best,
+                                        artifact.get("sf"))
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"{out_path}: {len(best)} queries, {len(merged_errors)} hard errors, "
