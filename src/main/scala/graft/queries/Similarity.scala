@@ -95,7 +95,7 @@ object Similarity {
     * corpora smaller than K) — callers derive every downstream dial
     * (nprobe, kc, wc) from the same clamped K the oracle uses.
     */
-  private def collectAnchors(e: DataFrame, k: Int): Seq[(Long, Seq[Float], Double)] =
+  private[queries] def collectAnchors(e: DataFrame, k: Int): Seq[(Long, Seq[Float], Double)] =
     e.orderBy(anchorHash, col("vec_id"))
       .limit(k)
       .collect().toSeq

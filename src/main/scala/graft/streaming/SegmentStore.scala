@@ -191,11 +191,14 @@ final class SegmentStore(statePath: Option[String]) extends Serializable {
     * dirs and fills the tmp dir; the compacted segment commits BEFORE
     * the old segments are retired (best-effort): a crash in between
     * leaves old + new, whose union merely duplicates rows. No-op when
-    * there is at most one segment to fold.
+    * there is at most one segment to fold — unless `force` (the ANN
+    * re-anchor tick: the fold REWRITES segment contents under a new
+    * quantizer, so even a single segment must roll into a fresh base).
     */
-  def compactExcept(keep: Option[Long])(fold: (Seq[String], String) => Unit): Unit = {
+  def compactExcept(keep: Option[Long], force: Boolean = false)(
+      fold: (Seq[String], String) => Unit): Unit = {
     val foldable = keep.fold(batchDirs.toList)(k => (batchDirs - k).toList)
-    if (foldable.size + baseDirs.size > 1) {
+    if (foldable.size + baseDirs.size > (if (force) 0 else 1)) {
       val olds = baseDirs ++ foldable.map(_._2)
       val tmp = s"$stateDir/t$commitSeq.tmp"
       rmTree(new java.io.File(tmp)) // same stale-marker self-heal as commitBatch
