@@ -45,13 +45,15 @@ case class NearestCellsTwoLevel(
     fineIdsByCoarse: IndexedSeq[IndexedSeq[Long]],
     fineVecsByCoarse: IndexedSeq[IndexedSeq[IndexedSeq[Float]]],
     fineNrmsByCoarse: IndexedSeq[IndexedSeq[Double]],
-    ac: Int = 1)
+    ac: Int = 1,
+    nf: Int = 1)
     extends BinaryExpression with ExpectsInputTypes {
 
   require(coarseIds.nonEmpty, "NearestCellsTwoLevel: empty coarse set")
   require(coarseIds.length == coarseVecs.length && coarseIds.length == coarseNrms.length)
   require(fineIdsByCoarse.length == coarseIds.length)
   require(ac >= 1, s"assignment coarse width ac=$ac must be >= 1")
+  require(nf >= 1, s"fine multi-assignment width nf=$nf must be >= 1")
   require(fineIdsByCoarse.forall(_.nonEmpty),
     "level-1 routing must only see coarse cells owning >=1 fine anchor " +
       "(the column() constructor drops empty cells)")
@@ -62,7 +64,13 @@ case class NearestCellsTwoLevel(
   override def inputTypes: Seq[AbstractDataType] = Seq(
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)), DoubleType)
 
-  override def dataType: DataType = LongType
+  /** nf = 1 keeps the scalar single-cell contract (q109's hot path —
+    * no per-row array allocation); nf > 1 is MULTI-ASSIGNMENT (dial (a)
+    * of the beyond-cap study, promoted into q111 in r19): the top-nf
+    * fine cells across the ac-coarse union, rank-ordered.
+    */
+  override def dataType: DataType =
+    if (nf == 1) LongType else ArrayType(LongType, containsNull = false)
 
   private def elemIsFloat: Boolean =
     vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -147,13 +155,87 @@ case class NearestCellsTwoLevel(
     else bestF
   }
 
+  /** nf > 1 form: the top-nf fine cells across the ac-coarse union,
+    * (score DESC, id ASC), rank-ordered — exactly the probe kernel's
+    * union ranking applied to ASSIGNMENT (dial (a): a row whose
+    * two-level route narrowly misassigns it is still findable through
+    * its runner-up cell). Shorter than nf when the union holds fewer
+    * fine anchors. NaN scores (zero-norm rows) satisfy no strict-max
+    * comparison → first-unused fallback, same rule as [[kernel]] and
+    * the probe.
+    */
+  def kernelMulti(v: ArrayData, vNrm: Double): ArrayData = {
+    val fl = elemIsFloat
+    val nC = cIds.length
+    val acEff = math.min(ac, nC)
+    val cScores = new Array[Double](nC)
+    var a = 0
+    while (a < nC) { cScores(a) = dot(v, fl, cMats(a)) / (vNrm * cNrms(a)); a += 1 }
+    val usedC = new Array[Boolean](nC)
+    val pickedC = new Array[Int](acEff)
+    var r = 0
+    while (r < acEff) {
+      var bestC = -1
+      var bestCs = Double.NegativeInfinity
+      var i = 0
+      while (i < nC) {
+        if (!usedC(i) && cScores(i) > bestCs) { bestCs = cScores(i); bestC = i }
+        i += 1
+      }
+      if (bestC < 0) { bestC = 0; while (usedC(bestC)) bestC += 1 }
+      usedC(bestC) = true; pickedC(r) = bestC; r += 1
+    }
+    // Level 2: rank the union of the picked cells' fine anchors — the
+    // union is not id-sorted across cells, so ties compare ids.
+    var nCand = 0
+    r = 0
+    while (r < acEff) { nCand += fIds(pickedC(r)).length; r += 1 }
+    val candIds = new Array[Long](nCand)
+    val candScores = new Array[Double](nCand)
+    var o = 0
+    r = 0
+    while (r < acEff) {
+      val c = pickedC(r)
+      val ids = fIds(c); val mats = fMats(c); val nrms = fNrms(c)
+      var f = 0
+      while (f < ids.length) {
+        candIds(o) = ids(f)
+        candScores(o) = dot(v, fl, mats(f)) / (vNrm * nrms(f))
+        o += 1; f += 1
+      }
+      r += 1
+    }
+    val nfEff = math.min(nf, nCand)
+    val out = new Array[Long](nfEff)
+    val usedF = new Array[Boolean](nCand)
+    r = 0
+    while (r < nfEff) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var bestId = Long.MaxValue
+      var i = 0
+      while (i < nCand) {
+        if (!usedF(i) && (candScores(i) > bestS ||
+            (candScores(i) == bestS && candIds(i) < bestId))) {
+          bestS = candScores(i); bestId = candIds(i); best = i
+        }
+        i += 1
+      }
+      if (best < 0) { best = 0; while (usedF(best)) best += 1 }
+      usedF(best) = true; out(r) = candIds(best); r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Double])
+    if (nf == 1) kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Double])
+    else kernelMulti(a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("twoLevel", this, classOf[NearestCellsTwoLevel].getName)
+    val call = if (nf == 1) "kernel" else "kernelMulti"
     nullSafeCodeGen(ctx, ev, (v, n) =>
-      s"${ev.value} = $ref.kernel($v, $n);")
+      s"${ev.value} = $ref.$call($v, $n);")
   }
 
   override protected def withNewChildrenInternal(
@@ -391,7 +473,8 @@ object NearestCellsTwoLevel {
   def column(
       vec: Column, nrm: Column,
       anchorsByRank: Seq[(Long, Seq[Float], Double)], kc: Int,
-      ac: Int = 1, route: Option[Map[Long, Long]] = None): Column = {
+      ac: Int = 1, route: Option[Map[Long, Long]] = None,
+      nf: Int = 1): Column = {
     val (kept, byCoarse) = route.map(routingFromPersisted(anchorsByRank, _))
       .getOrElse(routingTable(anchorsByRank, kc))
     ExpressionUtils.column(NearestCellsTwoLevel(
@@ -402,7 +485,7 @@ object NearestCellsTwoLevel {
       byCoarse.map(_.map(_._1).toIndexedSeq).toIndexedSeq,
       byCoarse.map(_.map(_._2.toIndexedSeq).toIndexedSeq).toIndexedSeq,
       byCoarse.map(_.map(_._3).toIndexedSeq).toIndexedSeq,
-      ac))
+      ac, nf))
   }
 
   /** The query-side multi-probe column: the `pf` best fine cells within

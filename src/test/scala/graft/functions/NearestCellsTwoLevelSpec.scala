@@ -210,6 +210,95 @@ class NearestCellsTwoLevelSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probed(2L).head == 30L, s"got ${probed(2L)}")
   }
 
+  test("nf=2 multi-assignment equals the declarative frnk<=2 window on sf0.01 (q111's r19 dial (a))") {
+    // The promoted beyond-cap operating point multi-assigns each corpus
+    // row to its TOP-2 fine cells in the ac-coarse union (rank order).
+    // The kernel must reproduce the declarative frnk<=2 formulation the
+    // q111 oracle uses, tie-breaks included, and its rank-1 cell must
+    // equal the single-assign kernel's cell on every row.
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+    val hash = (col("vec_id") % 1000003L) * 2654435761L % 1000000007L
+    val n = e.count()
+    val k = math.max(64L, math.min(65536L,
+      4L * math.floor(math.sqrt(n.toDouble)).toLong)).toInt
+    val anchors = e.orderBy(hash, col("vec_id")).limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2))).toSeq
+    val kc = math.min(2L * math.ceil(math.sqrt(k.toDouble)).toLong, anchors.size.toLong).toInt
+    val ac = 6
+
+    val multi = e.select(col("vec_id"),
+        NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, kc, ac,
+          nf = 2).as("cells"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val single = e.select(col("vec_id"),
+        NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, kc, ac).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val s2 = spark; import s2.implicits._
+    val aDf = anchors.zipWithIndex
+      .map { case ((id, v, nr), i) => (id, v, nr, i + 1) }
+      .toDF("a_id", "av", "anrm", "hrnk")
+    val coarse = aDf.filter(col("hrnk") <= kc)
+      .select(col("a_id").as("c_id"), col("av").as("cv"), col("anrm").as("cnrm"))
+    def cos(v: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+        av: org.apache.spark.sql.Column, anrm: org.apache.spark.sql.Column) =
+      VectorFunctions.dot(v, av) / (nrm * anrm)
+    val wf = Window.partitionBy(col("a_id"))
+      .orderBy(cos(col("av"), col("anrm"), col("cv"), col("cnrm")).desc, col("c_id"))
+    val froute = aDf.crossJoin(coarse)
+      .withColumn("crnk", row_number().over(wf)).filter(col("crnk") === 1)
+      .select(col("a_id"), col("av"), col("anrm"), col("c_id"))
+    val presentCoarse = froute.select(col("c_id")).distinct().join(coarse, "c_id")
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(cos(col("embedding"), col("nrm"), col("cv"), col("cnrm")).desc, col("c_id"))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(cos(col("embedding"), col("nrm"), col("av"), col("anrm")).desc, col("a_id"))
+    val lvl1 = e.crossJoin(presentCoarse)
+      .withColumn("crnk", row_number().over(w1)).filter(col("crnk") <= ac)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("c_id"))
+    val declarative = lvl1.join(froute.withColumnRenamed("c_id", "fc"),
+        col("fc") === col("c_id"))
+      .withColumn("frnk", row_number().over(w2)).filter(col("frnk") <= 2)
+      .select(col("vec_id"), col("a_id"), col("frnk"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq).toMap
+
+    assert(multi.size == n && declarative.size == n)
+    val diff = multi.collect { case (id, cs) if declarative(id) != cs =>
+      (id, cs, declarative(id)) }
+    assert(diff.isEmpty, s"nf=2 kernel diverges from the declarative frnk<=2 " +
+      s"window on ${diff.size} rows, e.g. ${diff.take(3)}")
+    val rankDiff = multi.collect { case (id, cs) if cs.head != single(id) => id }
+    assert(rankDiff.isEmpty,
+      s"nf=2 rank-1 cell diverges from single-assign on ${rankDiff.size} rows")
+    assert(multi.values.forall(_.length == 2),
+      "every sf0.01 row has >=2 fine anchors in its ac-union")
+  }
+
+  test("nf=2 zero-norm rows fall back to the first two candidates deterministically") {
+    val s2 = spark; import s2.implicits._
+    val anchors: Seq[(Long, Seq[Float], Double)] = Seq(
+      (10L, Seq(1f, 0f, 0f), 1.0),
+      (20L, Seq(0f, 1f, 0f), 1.0),
+      (30L, Seq(0f, 0f, 1f), 1.0))
+    val df = Seq(
+      (1L, Seq(0f, 0f, 0f)),       // zero norm → all-NaN scores
+      (2L, Seq(0.0f, 0.1f, 0.9f))  // healthy row
+    ).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(VectorFunctions.dot(col("embedding"), col("embedding"))))
+    val got = df.select(col("vec_id"),
+        NearestCellsTwoLevel.column(col("embedding"), col("nrm"), anchors, 3, 2,
+          nf = 2).as("cells"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    // Zero row: first-unused fallback at both levels → candidates in
+    // pick order (cells 10, 20), take the first two.
+    assert(got(1L) == Seq(10L, 20L), s"got ${got(1L)}")
+    // Healthy row: best fine 30, runner-up 20 (0.1 on the y axis).
+    assert(got(2L) == Seq(30L, 20L), s"got ${got(2L)}")
+  }
+
   test("kernel assignment is identical on the interpreted (NO_CODEGEN) path") {
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
