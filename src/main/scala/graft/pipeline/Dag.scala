@@ -861,6 +861,17 @@ abstract class InputTable(
   /** The one-stage DAG that builds the table. */
   protected def dag(sfDir: String): Seq[Dag.Stage]
 
+  /** The table's current fingerprint, exposed for EXTERNAL stores whose
+    * durable state embeds assignments made against this table's source
+    * corpus (VERDICT r18 #7 — the ANN segment store stamps every
+    * committed segment with it): a store rehydrating in a rebuilt
+    * session compares its stamps against this value and reroutes or
+    * re-derives anything assigned under a corpus that has since moved.
+    * Same value [[root]] embeds in the materialized path — source file
+    * stats + derivation text + version.
+    */
+  final def sourceStamp(sfDir: String): String = fingerprint(sfDir)
+
   private def fingerprint(sfDir: String): String = {
     val files = Option(new java.io.File(s"$sfDir/$sourceTable.parquet").listFiles())
       .getOrElse(Array.empty).sortBy(_.getName)

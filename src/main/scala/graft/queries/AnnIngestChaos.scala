@@ -109,6 +109,7 @@ object AnnIngestChaos {
     val ok = appended == expected && diff == 0
     val json =
       s"""{"probe": "ANN ingest kill-chaos (VERDICT r18 #1): torn-commit + unacked-commit windows, replayed batches",
+         | "segment_schema": "vec_id,embedding,nrm,cell,base_fp (epoch-stamped, VERDICT r18 #7)",
          | "batches": $nBatches, "batch_size": $batchSize,
          | "appended_rows": $appended, "expected_rows": $expected,
          | "full_probe_vs_brute_diff_rows": $diff,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.NearestCells
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.functions.{VectorFunctions => VF}
 import graft.streaming.SegmentStore
@@ -59,19 +59,30 @@ final class AnnIngestStore(
     dir: String,
     statePath: Option[String] = None) extends Serializable {
 
+  import AnnIngestStore.ServingState
+
   private[queries] val store = new SegmentStore(statePath)
 
   private val vecSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
     StructField("nrm", DoubleType),
-    StructField("cell", LongType)))
+    StructField("cell", LongType),
+    // Quantizer epoch the cell was assigned under (VERDICT r18 #7) —
+    // see [[servingState]]. Reads as null from pre-epoch segments,
+    // which then count as stale (reassigned at serve time).
+    StructField("base_fp", StringType)))
   private val anchorSchema = StructType(Seq(
     StructField("a_id", LongType),
     StructField("av", ArrayType(FloatType)),
     StructField("anrm", DoubleType),
     StructField("hrnk", IntegerType),
-    StructField("corpus_n", LongType)))
+    StructField("corpus_n", LongType),
+    // AnnIndexTable.sourceStamp at fold time: the base corpus these
+    // anchors were derived against. Drift against the CURRENT stamp
+    // means the base moved under the fold — the re-anchor tick fires.
+    StructField("base_fp", StringType)))
+
 
   /** The serving quantizer: a re-anchored base segment's persisted
     * anchors when one exists (rehydrated on restart — newest base wins
@@ -80,8 +91,10 @@ final class AnnIngestStore(
     * count the anchors were derived over (the K the slack policy
     * compares against).
     */
-  def servingIndex(): Similarity.AnnIndex = synchronized {
-    val baseAnchors = store.priorDirs(excluding = -1L)
+  def servingIndex(): Similarity.AnnIndex = servingState().idx
+
+  private[queries] def servingState(): ServingState = synchronized {
+    val folded = store.priorDirs(excluding = -1L)
       .map(d => new java.io.File(d, "anchors"))
       .filter(_.isDirectory) match {
       case Seq() => None
@@ -96,14 +109,23 @@ final class AnnIngestStore(
           val n = rows.map(_.getAs[Long]("corpus_n")).max
           val latest = rows.filter(_.getAs[Long]("corpus_n") == n)
             .sortBy(_.getAs[Int]("hrnk"))
-          Some(Similarity.AnnIndex(
-            latest.map(r => (r.getAs[Long]("a_id"),
-              r.getSeq[Float](r.fieldIndex("av")).toIndexedSeq,
-              r.getAs[Double]("anrm"))).toSeq,
-            n, Map.empty))
+          // Pre-epoch folds (no base_fp column) read null → "" — never
+          // equal to a real stamp, so drift reads true and the next
+          // re-anchor tick restamps everything.
+          val foldFp = Option(latest.head.getAs[String]("base_fp")).getOrElse("")
+          Some(ServingState(
+            Similarity.AnnIndex(
+              latest.map(r => (r.getAs[Long]("a_id"),
+                r.getSeq[Float](r.fieldIndex("av")).toIndexedSeq,
+                r.getAs[Double]("anrm"))).toSeq,
+              n, Map.empty),
+            epoch = s"fold:$n:$foldFp", baseFp = foldFp))
         }
     }
-    baseAnchors.getOrElse(Similarity.annIndex(spark, dir))
+    folded.getOrElse {
+      val fp = AnnIndexTable.sourceStamp(dir)
+      ServingState(Similarity.annIndex(spark, dir), s"base:$fp", fp)
+    }
   }
 
   /** Committed appended vectors (vec_id, embedding, nrm, cell), all
@@ -126,12 +148,13 @@ final class AnnIngestStore(
     */
   def append(batch: DataFrame, batchId: Long): DataFrame = synchronized {
     store.checkBatchId(batchId)
-    val anchors = servingIndex().anchors
+    val state = servingState()
     val assigned = batch
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .withColumn("nrm", VF.norm(col("embedding")))
       .withColumn("cell", element_at(
-        NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
+        NearestCells.column(col("embedding"), col("nrm"), state.idx.anchors, 1), 1))
+      .withColumn("base_fp", lit(state.epoch))
     val seg = store.commitBatch(batchId) { tmp =>
       assigned.write.mode("overwrite").parquet(s"$tmp/vecs")
       // Chaos kill gate (rehearsal-only, never set by the driver): die
@@ -145,6 +168,42 @@ final class AnnIngestStore(
 
   def appendedCount(): Long = segments().count()
 
+  /** Committed segments with their SERVE-TIME cells: a row stamped with
+    * the serving epoch uses its persisted cell (the IVF fast path — the
+    * inverted-list entry its ingest wrote); a row from ANOTHER epoch —
+    * a rebuilt session whose base corpus moved since the assignment, or
+    * a pre-epoch segment — reassigns map-only under the current serving
+    * anchors, so no query ever routes by a cell that belongs to a
+    * quantizer that is no longer the serving one (VERDICT r18 #7). The
+    * reassignment is per-row arithmetic on the already-read embedding
+    * (the same cost base rows pay at every query); [[maybeReanchor]]
+    * fires on the same drift and restores the persisted-cell fast path
+    * by restamping everything at the fold.
+    */
+  private[queries] def servedSegments(
+      anchors: Seq[(Long, Seq[Float], Double)], epoch: String): DataFrame =
+    segments()
+      .withColumn("cell",
+        when(col("base_fp") === lit(epoch), col("cell"))
+          .otherwise(element_at(
+            NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1)))
+      .drop("base_fp")
+
+  /** True when any durable state was stamped under a quantizer epoch
+    * other than the serving one: folded anchors derived against a base
+    * corpus that has since moved, or segment rows assigned under a
+    * superseded quantizer. Serving stays correct through it
+    * ([[servedSegments]] reassigns) — drift is the signal that the
+    * persisted fast path is degraded and the re-anchor should fold.
+    */
+  private[queries] def epochDrift(): Boolean = synchronized {
+    val state = servingState()
+    if (state.baseFp != AnnIndexTable.sourceStamp(dir)) true
+    else !segments()
+      .filter(col("base_fp").isNull || col("base_fp") =!= lit(state.epoch))
+      .isEmpty
+  }
+
   /** Fire the re-anchor when base + appended rows have outgrown the
     * serving quantizer's K by [[AnnIngest.reanchorSlack]]; returns
     * whether it fired. The tick: fresh anchors over base ∪ segments,
@@ -156,10 +215,14 @@ final class AnnIngestStore(
     // idx.n counts whatever corpus the quantizer was DERIVED over (base
     // only for the table index; base + then-appended after a re-anchor)
     // — the slack compares the quantizer's K against the corpus NOW,
-    // which is always base count + all currently-appended rows.
+    // which is always base count + all currently-appended rows. Epoch
+    // drift fires the tick even INSIDE the slack: a base corpus that
+    // moved under committed segments leaves serving correct but on the
+    // reassign-at-read slow path, and the quantizer derived over a
+    // corpus that no longer exists — the fold below restamps both.
     val baseN = Similarity.corpusCount(spark, dir)
     val appended = appendedCount()
-    if (!AnnIngest.needsReanchor(idx.k, baseN + appended)) false
+    if (!AnnIngest.needsReanchor(idx.k, baseN + appended) && !epochDrift()) false
     else {
       val base = graft.sources.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"),
@@ -170,18 +233,24 @@ final class AnnIngestStore(
       val k = Similarity.anchorKFor(n)
       val anchors = Similarity.collectAnchors(union, k)
       val s2 = spark; import s2.implicits._
+      // The fold's stamps: anchors record the base corpus they were
+      // derived against; vecs record the resulting quantizer epoch —
+      // the exact strings servingState()/servedSegments compare, so a
+      // completed fold always reads drift-free.
+      val foldFp = AnnIndexTable.sourceStamp(dir)
       val anchorDf = anchors.zipWithIndex
-        .map { case ((id, v, nr), i) => (id, v, nr, i + 1, n) }
-        .toDF("a_id", "av", "anrm", "hrnk", "corpus_n")
+        .map { case ((id, v, nr), i) => (id, v, nr, i + 1, n, foldFp) }
+        .toDF("a_id", "av", "anrm", "hrnk", "corpus_n", "base_fp")
       store.compactExcept(None, force = true) { (olds, tmp) =>
         val oldVecs = SegmentStore.readOrEmpty(spark, vecSchema,
           olds.map(_ + "/vecs")
             .filter(d => new java.io.File(d).isDirectory))
           .distinct()
         oldVecs
-          .drop("cell")
+          .drop("cell", "base_fp")
           .withColumn("cell", element_at(
             NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
+          .withColumn("base_fp", lit(s"fold:$n:$foldFp"))
           .write.mode("overwrite").parquet(s"$tmp/vecs")
         anchorDf.write.mode("overwrite").parquet(s"$tmp/anchors")
       }
@@ -204,14 +273,14 @@ final class AnnIngestStore(
     */
   def topK(queries: DataFrame, k: Int = 5, nprobe: Option[Int] = None): DataFrame =
     synchronized {
-    val idx = servingIndex()
-    val anchors = idx.anchors
-    val p = math.min(nprobe.getOrElse(Similarity.nprobeFor(idx.k)), anchors.size)
+    val state = servingState()
+    val anchors = state.idx.anchors
+    val p = math.min(nprobe.getOrElse(Similarity.nprobeFor(state.idx.k)), anchors.size)
     val base = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
       .withColumn("cell", element_at(
         NearestCells.column(col("embedding"), col("nrm"), anchors, 1), 1))
-    val corpus = base.unionByName(segments())
+    val corpus = base.unionByName(servedSegments(anchors, state.epoch))
     val q = queries
       .select(col("q_id").cast("long").as("q_id"), col("qv"))
       .withColumn("qn", VF.norm(col("qv")))
@@ -240,4 +309,26 @@ final class AnnIngestStore(
   def segmentCount: Int = synchronized(store.segmentCount)
 
   def close(): Unit = synchronized(store.close())
+}
+
+object AnnIngestStore {
+
+  /** The serving quantizer plus the stamp chain VERDICT r18 #7 asks for:
+    *
+    *  - `epoch` names the quantizer segment cells are assigned under.
+    *    Every committed segment row carries the epoch current at its
+    *    assignment; `servedSegments` trusts a persisted cell ONLY when
+    *    its epoch matches the serving one, else reassigns map-only. A
+    *    REBUILT session over a changed base corpus (new AnnIndexTable
+    *    fingerprint → new live quantizer) therefore cannot route by
+    *    cells assigned under the quantizer that no longer serves.
+    *  - `baseFp` is the base-corpus stamp the quantizer was DERIVED
+    *    against ([[AnnIndexTable.sourceStamp]]): current by construction
+    *    on the live path, frozen at fold time for folded anchors — so
+    *    `baseFp != sourceStamp` detects a base corpus that moved under
+    *    a folded quantizer, and `maybeReanchor` fires on it even
+    *    inside the growth slack.
+    */
+  private[queries] final case class ServingState(
+      idx: Similarity.AnnIndex, epoch: String, baseFp: String)
 }

@@ -188,4 +188,103 @@ class AnnServeSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(f"operating-point recall@5 over base ∪ appends after re-anchor: $recall%.2f")
     assert(recall >= 0.2, s"operating-point recall collapsed: $recall")
   }
+
+  test("a rebuilt session over a CHANGED base corpus cannot serve stale " +
+      "segment cells: epoch drift reassigns at serve time and fires the " +
+      "re-anchor inside the growth slack (VERDICT r18 #7)") {
+    import org.apache.spark.sql.graft.NearestCells
+    val s = spark; import s.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("annserve-epoch").toString
+    val state2 = java.nio.file.Files.createTempDirectory("annserve-epoch-state").toString
+    val rnd = new scala.util.Random(21)
+    val base2 = scala.collection.mutable.ArrayBuffer.tabulate(nBase)(i => (i.toLong, unit(rnd)))
+    def writeBase(): Unit =
+      base2.toSeq.map { case (id, v) => (id, v.toSeq, (id % 5).toInt) }
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir2/embeddings.parquet")
+    writeBase()
+    // 40 appends assigned under the ORIGINAL base quantizer, one planted
+    // next to base vector 7 (the serve-visibility probe).
+    val rnd2 = new scala.util.Random(31)
+    val planted = {
+      val b = base2(7)._2
+      val v = b.map(x => x + (rnd2.nextGaussian() * 0.01).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val appends2 = (30000L, planted) +: (1 until 40).map(i => (30000L + i, unit(rnd2)))
+    val store = new AnnIngestStore(spark, dir2, Some(state2))
+    store.append(appends2.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding"), batchId = 0L)
+    assert(!store.maybeReanchor(),
+      "10% growth + matching epoch must not trip the tick")
+
+    def brute(qId: Long, qv: Array[Float]): Seq[Long] =
+      (base2.toSeq ++ appends2).filter(_._1 != qId)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    def topIds(st: AnnIngestStore, full: Boolean): Map[Long, Seq[Long]] =
+      st.topK(qIds.map(i => (i, base2(i.toInt)._2.toSeq)).toDF("q_id", "qv"), 5,
+          if (full) Some(Int.MaxValue) else None)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq }
+
+    // THE BASE CORPUS MOVES: vectors 100..399 regenerate (0..99 — the
+    // queries and the planted target — stay bit-identical). The segment
+    // on disk still carries cells assigned under the OLD quantizer.
+    val rnd3 = new scala.util.Random(22)
+    (100 until nBase).foreach(i => base2(i) = (i.toLong, unit(rnd3)))
+    writeBase()
+    // A REBUILT session: the live-derivation session caches and memoized
+    // source plans of the old one are gone (the in-contract path — the
+    // stamp watch only covers committed tables; a new JVM starts empty
+    // either way).
+    graft.pipeline.SessionCache.releaseAll(s"annIndex:$dir2")
+    graft.pipeline.SessionCache.releaseAll(s"embN:$dir2")
+    graft.sources.Tables.evictPath(s"$dir2/embeddings.parquet")
+    graft.sources.Tables.evictPath(s"$dir2/embeddings.parquet#fanout")
+    val store2 = new AnnIngestStore(spark, dir2, Some(state2))
+
+    assert(store2.epochDrift(), "a moved base corpus must read as epoch drift")
+    val st = store2.servingState()
+    assert(st.epoch.startsWith("base:"), "pre-fold serving quantizer is the live one")
+    // Non-vacuity: the PERSISTED cells really do disagree with the new
+    // quantizer (without the epoch machinery these would be served as-is).
+    val persistedStale = store2.segments()
+      .withColumn("live", element_at(NearestCells
+        .column(col("embedding"), col("nrm"), st.idx.anchors, 1), 1))
+      .filter(col("cell") =!= col("live")).count()
+    assert(persistedStale > 0,
+      "fixture failure: the base rewrite left every persisted cell valid")
+    // The SERVED cells are all live assignments under the current anchors.
+    val servedStale = store2.servedSegments(st.idx.anchors, st.epoch)
+      .withColumn("live", element_at(NearestCells
+        .column(col("embedding"), col("nrm"), st.idx.anchors, 1), 1))
+      .filter(col("cell") =!= col("live")).count()
+    assert(servedStale == 0,
+      s"$servedStale stale-epoch cells reached serving unreassigned")
+    // End-to-end: full probe row-identical to brute force over the NEW
+    // union, and the planted append still visible at the operating point
+    // (its old-epoch cell would route it into the wrong inverted list).
+    val full = topIds(store2, full = true)
+    qIds.foreach(q => assert(full(q) == brute(q, base2(q.toInt)._2),
+      s"rebuilt-session serving diverged from brute force for q$q: ${full(q)}"))
+    assert(topIds(store2, full = false)(7L).contains(30000L),
+      "planted append must stay visible at the operating point across a base rewrite")
+
+    // Drift fires the tick even though growth is inside the slack...
+    assert(store2.maybeReanchor(), "epoch drift must fire the re-anchor")
+    // ...and the fold restamps everything: no drift, persisted cells live.
+    assert(!store2.epochDrift(), "a completed fold must read drift-free")
+    assert(!store2.maybeReanchor(), "no second tick without new drift/growth")
+    val st2 = store2.servingState()
+    assert(st2.epoch.startsWith("fold:"))
+    val postFoldStale = store2.segments()
+      .withColumn("live", element_at(NearestCells
+        .column(col("embedding"), col("nrm"), st2.idx.anchors, 1), 1))
+      .filter(col("cell") =!= col("live")).count()
+    assert(postFoldStale == 0, s"$postFoldStale stale cells survived the fold")
+    val full2 = topIds(store2, full = true)
+    qIds.foreach(q => assert(full2(q) == brute(q, base2(q.toInt)._2)))
+  }
 }
