@@ -33,7 +33,13 @@ object Relational {
     * to double for a schema both engines agree on.
     */
   private def moneySum(e: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
-    sum(e.cast(org.apache.spark.sql.types.DecimalType(18, scale))).cast("double")
+    // r19 optimization (guide §4): the double→decimal(18,s) cast allocated
+    // a java BigDecimal per row (~0.35 s per cast-sum over 600k rows —
+    // q01 carries four); MoneyDecimal is the same mathematical function
+    // computed allocation-free in 128-bit integer arithmetic, proven
+    // bit-identical to the Cast by MoneyDecimalSpec. The sum sees the
+    // same decimal(18,s) input type, so results are unchanged.
+    sum(org.apache.spark.sql.graft.GraftExpressions.moneyDecimal(e, scale)).cast("double")
 
   /** DuckDB mirror of [[moneySum]]. */
   private def moneySumSql(expr: String, scale: Int): String =

@@ -81,4 +81,8 @@ object GraftExpressions {
 
   def polyHash(s: Column): Column =
     ExpressionUtils.column(StringPolyHash(ExpressionUtils.expression(s)))
+
+  /** Exact money-grid double→decimal(18, scale) — see [[MoneyDecimal]]. */
+  def moneyDecimal(x: Column, scale: Int): Column =
+    ExpressionUtils.column(MoneyDecimal(ExpressionUtils.expression(x), scale))
 }
