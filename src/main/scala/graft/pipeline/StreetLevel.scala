@@ -104,8 +104,16 @@ object StreetLevel {
       poses: DataFrame,
       spacing: Int = 1,
       imageWidth: Double = ImageWidth,
-      imageHeight: Double = ImageHeight): DataFrame = {
-    val best = bestPerGroup(grouped)
+      imageHeight: Double = ImageHeight,
+      // r19 optimization (guide §2.4, remove shuffles outright): when the
+      // caller's (file_name, group_idx) is unique BY CONSTRUCTION (q95's
+      // degenerate one-box-per-group assignment, group_idx = det_idx − 1),
+      // bestPerGroup is the identity — but its row_number window still
+      // shuffled and double-sorted every detection (one hash exchange +
+      // two sorts at sf0.1, ~21 MB). The caller asserts uniqueness and the
+      // window is skipped; group shapes with real contention (q82) keep it.
+      inputIsBestPerGroup: Boolean = false): DataFrame = {
+    val best = if (inputIsBestPerGroup) grouped else bestPerGroup(grouped)
     val ring = array(
       struct(col("x1").as("x"), col("y1").as("y")),
       struct(col("x2").as("x"), col("y1").as("y")),

@@ -276,7 +276,12 @@ object DomainOracles {
       // Direction output, not endpoint — see q89's rounding-margin note.
       val det = Synthetic.detectionsCached(spark, dir)
         .withColumn("group_idx", (col("det_idx") - 1).cast("int"))
-      StreetLevel.vertexRays(det, Synthetic.poses(spark, dir), spacing = 2)
+      // group_idx = det_idx − 1 is unique per row by construction, so
+      // best-per-group is the identity (the oracle SQL above encodes the
+      // same: base feeds rays directly) — assert it and skip the window's
+      // full-detections shuffle (r19 optimization; guide §2.4).
+      StreetLevel.vertexRays(det, Synthetic.poses(spark, dir), spacing = 2,
+        inputIsBestPerGroup = true)
         .select(col("file_name"), col("group_idx"), col("v_idx"),
           round(col("rx") - col("ox"), 6).as("dx"),
           round(col("ry") - col("oy"), 6).as("dy"),

@@ -609,7 +609,15 @@ object Similarity {
   private[queries] def srpSignaturesTight(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"srpsigTight:$dir") {
+      // r19 optimization (guide §2.6 idle capacity): the 3-way union in
+      // tightAugmented concatenates partitions (32 + 32 + 32 here), and
+      // the two replica branches carry 32 ROWS each — so every stage
+      // over the persisted relation ran 96 tasks, 64 of them near-empty
+      // (measured: q110's heavy stages at 96 tasks, ~2/3 pure scheduling
+      // overhead). Coalesce (narrow, no shuffle) back to the session's
+      // parallelism before the signature projection persists.
       val e = tightAugmented(spark, dir)
+        .coalesce(spark.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
       val dim = e.select(size(col("embedding"))).head().getInt(0)
       e.withColumn("sig", VF.srpSignature(col("embedding"), 64, dim))
