@@ -145,6 +145,62 @@ object BBox {
   */
 object BBoxGrouping {
 
+  /** Pair-IoU adjacency abstraction: `get` returns the stored IoU or
+    * 0.0 (the exact-zero an unenumerated pair would have computed — see
+    * [[positiveIouAdjacency]]), `anyPositive` the standalone-box test.
+    * Two layouts, identical stored bits, so the order-dependent greedy
+    * loops cannot tell them apart (DenseVsSparseAdjacencySpec races them
+    * on random corpora):
+    *  - dense n×n double matrix for n ≤ [[denseAdjacencyMax]] — one
+    *    array store per enumerated pair, one array read per greedy
+    *    probe. The r19 profile showed the LongMap's per-pair hash
+    *    insert/lookup dominating the grouping kernel's CPU (~65M
+    *    enumerated pairs per sf0.1 sweep at ~770 ns/pair all-in).
+    *  - sparse LongMap rows beyond the bound — the r14 scale shape:
+    *    adjacency memory tracks the enumerated-pair count, not n².
+    */
+  private sealed trait Adj {
+    def put(i: Int, j: Int, v: Double): Unit
+    def get(i: Int, j: Int): Double
+    def anyPositive(i: Int): Boolean
+  }
+
+  /** Dense cutoff: 1024² doubles = 8 MB per in-flight panorama — bounded
+    * per task at any corpus scale (panorama box counts are a property of
+    * the capture, not the corpus size; measured max 204 on the harness
+    * corpora). Above it, the sparse layout keeps memory at the
+    * enumerated-pair count.
+    */
+  private[geo] val denseAdjacencyMax = 1024
+
+  private final class DenseAdj(n: Int) extends Adj {
+    private val m = new Array[Double](n * n)
+    def put(i: Int, j: Int, v: Double): Unit = { m(i * n + j) = v; m(j * n + i) = v }
+    def get(i: Int, j: Int): Double = m(i * n + j)
+    def anyPositive(i: Int): Boolean = {
+      val base = i * n
+      var j = 0
+      while (j < n) {
+        if (m(base + j) > 0) return true
+        j += 1
+      }
+      false
+    }
+  }
+
+  private final class SparseAdj(n: Int) extends Adj {
+    private val rows = Array.fill(n)(new scala.collection.mutable.LongMap[Double]())
+    def put(i: Int, j: Int, v: Double): Unit = {
+      rows(i)(j.toLong) = v; rows(j)(i.toLong) = v
+    }
+    def get(i: Int, j: Int): Double = rows(i).getOrElse(j.toLong, 0.0)
+    def anyPositive(i: Int): Boolean = {
+      val it = rows(i).valuesIterator
+      while (it.hasNext) { if (it.next() > 0) return true }
+      false
+    }
+  }
+
   /** Sparse positive-IoU adjacency built by a y1-sorted sweep (the same
     * enumeration as the q81 sweep-line join kernel): sort indices by yMin
     * and, for each box in that order, scan forward only while
@@ -161,13 +217,16 @@ object BBoxGrouping {
     * `keepZeros` (the iouThreshold ≤ 0 fallback) disables the sweep
     * cutoff and stores every pair, zeros included, because a
     * non-positive threshold makes `0 ≥ threshold` absorb — only then is
-    * an absent pair semantically different from a stored zero.
+    * an absent pair semantically different from a stored zero. Both
+    * layouts receive identical `put` calls, and an un-put dense slot
+    * reads 0.0 — exactly the sparse layout's getOrElse default.
     */
   private def positiveIouAdjacency(
       bboxes: IndexedSeq[BBox],
-      keepZeros: Boolean): (Array[scala.collection.mutable.LongMap[Double]], Long) = {
+      keepZeros: Boolean,
+      denseMax: Int = denseAdjacencyMax): (Adj, Long) = {
     val n = bboxes.length
-    val adj = Array.fill(n)(new scala.collection.mutable.LongMap[Double]())
+    val adj: Adj = if (n <= denseMax) new DenseAdj(n) else new SparseAdj(n)
     val ord = Array.range(0, n).sortBy(i => bboxes(i).yMin)
     var pairs = 0L
     var a = 0
@@ -189,7 +248,7 @@ object BBoxGrouping {
     */
   private def adjacencyRow(
       a: Int, bboxes: IndexedSeq[BBox], ord: Array[Int],
-      adj: Array[scala.collection.mutable.LongMap[Double]],
+      adj: Adj,
       keepZeros: Boolean): Long = {
     val n = bboxes.length
     val i = ord(a)
@@ -200,10 +259,7 @@ object BBoxGrouping {
       pairs += 1
       val j = ord(b)
       val v = bi.iou(bboxes(j))
-      if (v > 0 || keepZeros) {
-        adj(i)(j.toLong) = v
-        adj(j)(i.toLong) = v
-      }
+      if (v > 0 || keepZeros) adj.put(i, j, v)
       b += 1
     }
     pairs
@@ -218,13 +274,22 @@ object BBoxGrouping {
     */
   def group(
       bboxes: IndexedSeq[BBox], iouThreshold: Double,
-      onStats: (Int, Long) => Unit = (_, _) => ()): Vector[Vector[Int]] = {
+      onStats: (Int, Long) => Unit = (_, _) => ()): Vector[Vector[Int]] =
+    groupImpl(bboxes, iouThreshold, onStats, denseAdjacencyMax)
+
+  /** [[group]] with the dense/sparse layout cutoff exposed, so the
+    * equivalence spec can force BOTH layouts on the same corpus.
+    */
+  private[geo] def groupImpl(
+      bboxes: IndexedSeq[BBox], iouThreshold: Double,
+      onStats: (Int, Long) => Unit, denseMax: Int): Vector[Vector[Int]] = {
     val n = bboxes.length
-    // Sparse sim lookup: absent ⇒ IoU == 0 (see positiveIouAdjacency for
+    // Adjacency lookup: absent ⇒ IoU == 0 (see positiveIouAdjacency for
     // why that is exact). Values present are bit-identical to the dense
     // matrix this replaced, so the order-dependent loops below are
     // untouched ports of bbox_grouping.py.
-    val (adj, pairsEnumerated) = positiveIouAdjacency(bboxes, keepZeros = iouThreshold <= 0.0)
+    val (adj, pairsEnumerated) =
+      positiveIouAdjacency(bboxes, keepZeros = iouThreshold <= 0.0, denseMax)
     onStats(n, pairsEnumerated)
 
     val grouped = Array.fill(n)(false)
@@ -234,10 +299,7 @@ object BBoxGrouping {
     // `> 0` test — ANY positive overlap disqualifies, not the threshold.
     var i = 0
     while (i < n) {
-      var any = false
-      val it = adj(i).valuesIterator
-      while (it.hasNext && !any) { if (it.next() > 0) any = true }
-      if (!any) {
+      if (!adj.anyPositive(i)) {
         groups += Vector(i)
         grouped(i) = true
       }
@@ -258,7 +320,7 @@ object BBoxGrouping {
             var hit = false
             var m = 0
             while (m < current.length && !hit) {
-              if (adj(current(m)).getOrElse(j.toLong, 0.0) >= iouThreshold) hit = true
+              if (adj.get(current(m), j) >= iouThreshold) hit = true
               m += 1
             }
             if (hit) {
