@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.geo.{BBox, BBoxGrouping, Orientation, Projection}
+import graft.geo.{BBox, BBoxGrouping, Mat3, Orientation, Projection}
 
 /** One detection row entering the grouping kernel — the typed shape of
   * the reference's per-panorama frame (street_level_grouping.py:104-124).
@@ -82,12 +82,60 @@ object StreetLevel {
   /** Pixel→3D-ray UDF over [[Projection.pointTo3dLine]] (SURVEY §2 U2).
     * Pose fixups (roll negated, heading+90, deg→rad) are applied inside,
     * mirroring best_lines_3d (street_level_grouping.py:184-189).
+    * Retained as the REFERENCE implementation the split form below is
+    * spec-pinned against (RayColumnsSpec, bit-exact).
     */
-  private val rayUdf = udf {
+  private[pipeline] val rayUdf = udf {
     (x: Double, y: Double, roll: Double, pitch: Double, heading: Double,
      ox: Double, oy: Double, oz: Double, w: Double, h: Double) =>
       val o = Orientation(roll = -roll, pitch = pitch, heading = heading + 90).rads
       Projection.pointTo3dLine(x, y, o, (ox, oy, oz), w, h)
+  }
+
+  /** Per-POSE half of the ray math (r19 optimization, guide §2.3/§4):
+    * [[rayUdf]] rebuilt the pose's rotation matrix — six trig calls, two
+    * 3×3 matrix products, five array allocations — for EVERY exploded
+    * vertex row, though it depends only on (roll, pitch, heading). This
+    * computes the identical matrix (same fixups, same [[Mat3.mul]] code
+    * path, same bits) ONCE per pose row on the broadcast side; the
+    * per-vertex remainder is the codegen column math in [[rayColumns]].
+    */
+  private[pipeline] val rotMatUdf = udf {
+    (roll: Double, pitch: Double, heading: Double) =>
+      val o = Orientation(roll = -roll, pitch = pitch, heading = heading + 90).rads
+      val cr = math.cos(o.roll); val sr = math.sin(o.roll)
+      val cp = math.cos(o.pitch); val sp = math.sin(o.pitch)
+      val ch = math.cos(o.heading); val sh = math.sin(o.heading)
+      val rx: Mat3.M = Array(1, 0, 0, 0, cr, -sr, 0, sr, cr)
+      val ry: Mat3.M = Array(cp, 0, sp, 0, 1, 0, -sp, 0, cp)
+      val rz: Mat3.M = Array(ch, sh, 0, -sh, ch, 0, 0, 0, 1)
+      Mat3.mul(rz, Mat3.mul(ry, rx)).toSeq
+  }
+
+  /** Per-VERTEX half: spherical conversion + matvec + origin translate as
+    * pure codegen column expressions, operation-for-operation the double
+    * arithmetic of [[Projection.pointTo3dLine]] (same literals, same
+    * associativity, java.lang.Math trig = the scala.math the kernel
+    * calls), over the per-pose matrix `rm`. RayColumnsSpec pins the
+    * (rx, ry, rz) triple bit-exactly against [[rayUdf]] on corpus poses
+    * and adversarial grids.
+    */
+  private[pipeline] def rayColumns(
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      rm: org.apache.spark.sql.Column,
+      ox: org.apache.spark.sql.Column, oy: org.apache.spark.sql.Column,
+      oz: org.apache.spark.sql.Column,
+      imageWidth: Double, imageHeight: Double):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val theta = lit(2 * math.Pi) * (lit(imageWidth) - x) / lit(imageWidth)
+    val phi = lit(math.Pi) * y / lit(imageHeight)
+    val xc = sin(phi) * cos(theta)
+    val yc = sin(phi) * sin(theta)
+    val zc = cos(phi)
+    def m(i: Int) = rm.getItem(i)
+    (m(0) * xc + m(1) * yc + m(2) * zc + ox,
+     m(3) * xc + m(4) * yc + m(5) * zc + oy,
+     m(6) * xc + m(7) * yc + m(8) * zc + oz)
   }
 
   /** J1+A4+M10+U2: the best_lines_3d stage (street_level_grouping.py:
@@ -120,18 +168,22 @@ object StreetLevel {
       struct(col("x2").as("x"), col("y2").as("y")),
       struct(col("x1").as("x"), col("y2").as("y")),
       struct(col("x1").as("x"), col("y1").as("y")))
+    // r19: the pose's rotation matrix rides the BROADCAST side, computed
+    // once per pose row (rotMatUdf); the per-vertex remainder is codegen
+    // column math (rayColumns) — bit-identical to the old per-vertex
+    // rayUdf (RayColumnsSpec) at a fraction of its trig/allocation cost.
+    val posesR = poses.withColumn("rm",
+      rotMatUdf(col("roll"), col("pitch"), col("heading")))
+    val (rx, ry, rz) = rayColumns(col("v.x"), col("v.y"), col("rm"),
+      col("ox"), col("oy"), col("oz"), imageWidth, imageHeight)
     best
-      .join(broadcast(poses), "file_name")
-      .select(col("file_name"), col("group_idx"), col("score"),
-        col("roll"), col("pitch"), col("heading"),
+      .join(broadcast(posesR), "file_name")
+      .select(col("file_name"), col("group_idx"), col("score"), col("rm"),
         col("ox"), col("oy"), col("oz"),
         posexplode(ring).as(Seq("v_idx", "v")))
       .filter(col("v_idx") % spacing === 0)
-      .withColumn("ray", rayUdf(
-        col("v.x"), col("v.y"), col("roll"), col("pitch"), col("heading"),
-        col("ox"), col("oy"), col("oz"), lit(imageWidth), lit(imageHeight)))
       .select(col("file_name"), col("group_idx"), col("score"), col("v_idx"),
-        col("ray._1").as("rx"), col("ray._2").as("ry"), col("ray._3").as("rz"),
+        rx.as("rx"), ry.as("ry"), rz.as("rz"),
         // Carry the camera origin: the ray–mesh consumer needs (origin,
         // endpoint) pairs, and re-deriving the origin would mean joining
         // the pose table a second time downstream.
