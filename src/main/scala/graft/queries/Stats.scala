@@ -35,23 +35,46 @@ object Stats {
                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
                round(stddev_samp(l_extendedprice), 4) AS sd,
                round(var_samp(l_extendedprice), 4) AS var
-        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))( (spark, dir) =>
-      // One percentile aggregate with an array of targets: three separate
-      // percentile() calls each buffer the whole group's values — the
-      // array form sorts one buffer and reads three ranks from it.
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))( (spark, dir) => {
+      // r19 (guide §1.2 per-task work): the built-in `percentile`
+      // aggregate buffers a boxed value→count OpenHashMap — profiled at
+      // ~1.5 s single-threaded for the 600k-row group set, and the cost
+      // is the boxing/merge, not the row count (a 32-way fan-out of the
+      // same aggregate measured SLOWER: the final map merge is the same
+      // 600k inserts single-threaded, plus a repartition shuffle).
+      // sort_array(collect_list(...)) builds the identical sorted
+      // multiset with flat array appends + one primitive sort, and the
+      // rank interpolation below mirrors Percentile.getPercentile
+      // term-for-term (position = p·(n−1); lower/higher = floor/ceil;
+      // result = lv·(h−pos) + hv·(pos−l), the degenerate h == l case
+      // returning the exact element) — multiplication/addition operand
+      // order is commutative bitwise in IEEE, so the emitted doubles are
+      // bit-identical to the percentile aggregate's. stddev/var stay in
+      // the SAME single aggregate over the unfanned scan: one partial
+      // buffer per group, the exact merge order the atol=0 oracle
+      // matched before.
+      def pct(p: Double) = {
+        val pos = lit(p) * (size(col("sorted")) - 1).cast("double")
+        val l = floor(pos)
+        val h = ceil(pos)
+        val lv = element_at(col("sorted"), (l + 1).cast("int"))
+        val hv = element_at(col("sorted"), (h + 1).cast("int"))
+        when(l === h, lv)
+          .otherwise(lv * (h.cast("double") - pos) + hv * (pos - l.cast("double")))
+      }
       lineitem(spark, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile(col("l_extendedprice"),
-            array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
+          sort_array(collect_list(col("l_extendedprice"))).as("sorted"),
           round(stddev_samp(col("l_extendedprice")), 4).as("sd"),
           round(var_samp(col("l_extendedprice")), 4).as("var"))
         .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 4).as("p50"),
-          round(element_at(col("ps"), 2), 4).as("p90"),
-          round(element_at(col("ps"), 3), 4).as("p99"),
+          round(pct(0.5), 4).as("p50"),
+          round(pct(0.9), 4).as("p90"),
+          round(pct(0.99), 4).as("p99"),
           col("sd"), col("var"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // ── q36's many-groups regime (VERDICT r11 #8): exact percentiles
     // grouped by a HIGH-CARDINALITY bucket key (256 part-key buckets),
@@ -66,15 +89,28 @@ object Stats {
         SELECT l_partkey % 256 AS bkt, count(*) AS n,
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
-        FROM lineitem GROUP BY 1 ORDER BY bkt"""))( (spark, dir) =>
+        FROM lineitem GROUP BY 1 ORDER BY bkt"""))( (spark, dir) => {
+      // r19: same boxed-OpenHashMap replacement as q36 (sorted-array
+      // buffer + the mirrored interpolation); per-bucket arrays are
+      // n/256, exactly the bounded-buffer regime this query documents.
+      def pct(p: Double) = {
+        val pos = lit(p) * (size(col("sorted")) - 1).cast("double")
+        val l = floor(pos)
+        val h = ceil(pos)
+        val lv = element_at(col("sorted"), (l + 1).cast("int"))
+        val hv = element_at(col("sorted"), (h + 1).cast("int"))
+        when(l === h, lv)
+          .otherwise(lv * (h.cast("double") - pos) + hv * (pos - l.cast("double")))
+      }
       lineitem(spark, dir)
         .groupBy((col("l_partkey") % 256).as("bkt"))
         .agg(count(lit(1)).as("n"),
-          percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9))).as("ps"))
+          sort_array(collect_list(col("l_extendedprice"))).as("sorted"))
         .select(col("bkt"), col("n"),
-          round(element_at(col("ps"), 1), 4).as("p50"),
-          round(element_at(col("ps"), 2), 4).as("p90"))
-        .orderBy(col("bkt"))),
+          round(pct(0.5), 4).as("p50"),
+          round(pct(0.9), 4).as("p90"))
+        .orderBy(col("bkt"))
+    }),
 
     // ── CUBE over two dimensions (rollup exists as q26): all 4 grouping
     // combinations, null-marked subtotals, GROUPING() to disambiguate
