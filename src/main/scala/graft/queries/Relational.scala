@@ -185,13 +185,26 @@ object Relational {
                        ORDER BY l_extendedprice DESC, l_linenumber, l_partkey) AS rn
               FROM lineitem) t
         WHERE rn = 1 ORDER BY okey"""))( (spark, dir) => {
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_extendedprice").desc, col("l_linenumber"), col("l_partkey"))
+      // r19 (guide §2.4/§4: codegen-friendly aggregation over a
+      // sort-based window): row_number-top-1 sorted the whole relation
+      // map-side (single-split scan → ONE task sorting 600k rows,
+      // profiled at ~1.0 s wall ≈ single-thread time). The same row is
+      // min_by over the ordering key struct (−price, linenumber,
+      // partkey) — a DeclarativeAggregate with map-side partials, no
+      // sorts except the final okey ORDER BY. Determinism: on a full
+      // ordering-key tie the output columns (partkey, price) are
+      // components of the key itself, so the selected row's projection
+      // is unique even though lineitem carries duplicate
+      // (l_orderkey, l_linenumber) pairs.
       lineitem(spark, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("best_partkey"),
-          round(col("l_extendedprice"), 2).as("best_price"))
+        .groupBy(col("l_orderkey"))
+        .agg(min_by(
+          struct(col("l_partkey"), col("l_extendedprice")),
+          struct((-col("l_extendedprice")).as("np"), col("l_linenumber"),
+            col("l_partkey"))).as("best"))
+        .select(col("l_orderkey").as("okey"),
+          col("best.l_partkey").as("best_partkey"),
+          round(col("best.l_extendedprice"), 2).as("best_price"))
         .orderBy(col("okey"))
     }),
 
