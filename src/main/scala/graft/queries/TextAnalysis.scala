@@ -588,13 +588,25 @@ object TextAnalysis {
         FROM scored WHERE rn = 1 ORDER BY doc_id"""))( (spark, dir) => {
       import org.apache.spark.sql.expressions.Window
       // Token arrays cached pre-explode (SessionCache entry shared with
-      // q34); the exploded terms relation is consumed three times (tf,
-      // df, n_docs) and re-explodes cheaply from the cache each time.
+      // q34). r19 (guide §2.3 "aggregate before you shuffle" / §1.2
+      // "don't compute things you throw away"): the explode ran THREE
+      // times — tf, df, n_docs — and df additionally paid a
+      // countDistinct expansion over the full term explosion (profiled
+      // at 17–20 s task CPU for the query). Both are derivable without
+      // re-exploding: tf has exactly one row per (doc_id, term), so
+      // df = count(*) of tf rows per term ≡ count(DISTINCT doc_id) per
+      // term, and n_docs = count(DISTINCT doc_id) over the explosion ≡
+      // the number of docs with a non-empty token array (doc_id is the
+      // documents key). The tf exchange is planned once and reused for
+      // both consumers (ReuseExchange); only its final aggregate runs
+      // twice — O(distinct pairs), not O(tokens).
       val toks = tokenArrays(spark, dir)
         .select(col("doc_id"), explode(col("toks")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = toks.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
-      val nDocs = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = tokenArrays(spark, dir)
+        .filter(size(col("toks")) > 0)
+        .agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("w").desc, col("term"))
       // No broadcast hint on the doc-frequency relation: its cardinality
