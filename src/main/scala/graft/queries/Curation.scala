@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{DedupSql => DS, TextSql => TS}
@@ -88,10 +87,19 @@ object Curation {
       val d = documents(spark, dir)
       val nTok = TextAnalysis.tokenArrays(spark, dir)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      val canon = d
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
-        .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(col("dg"))))
-        .select(col("doc_id"), col("keep_id"))
+      // r19 (guide §2.3/§2.4): the md5-canonical rule ran as a window
+      // over PARTITION BY dg — a full-corpus shuffle of (doc_id, 32-char
+      // digest) plus a per-partition sort — when the only thing keepers
+      // consumes is the keep_id === doc_id FILTER. The min-per-digest
+      // survivor set is a partial-aggregating groupBy (one (dg, min)
+      // pair per distinct digest per map task crosses the exchange, no
+      // sort) and the filter becomes a doc_id semi-join that rides the
+      // keepers chain's existing doc_id partitioning. Same rule, same
+      // rows — q40 already spells exact-dedup this way.
+      val canonKeep = d
+        .groupBy(md5(col("text").cast("binary")).as("dg"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
       val clust = Dedup.dedupClustersRel(spark, dir)
       // Same shared rule sites as the standalone queries: the
       // decontamination probe (q59), the stratification and split
@@ -100,11 +108,10 @@ object Curation {
       val cont = Dedup.contamProbe(spark, dir).select(col("doc_id")).distinct()
       val keepers = d.select(col("doc_id"), col("lang"))
         .join(nTok, "doc_id")
-        .join(canon, "doc_id")
+        .join(canonKeep, Seq("doc_id"), "left_semi")
         .join(clust, Seq("doc_id"), "left")
         .join(cont, Seq("doc_id"), "left_anti")
         .filter(EvalSet.isTrain(col("doc_id")))
-        .filter(col("keep_id") === col("doc_id"))
         .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
         .filter(col("n_tokens") >= 15)
         .filter(TextAnalysis.stratKeep)
