@@ -325,30 +325,36 @@ object WallPlanes {
     // are eps-dense cliques, so the full scan made this pass O(n²) in
     // the cluster size; only genuinely sparse points now pay a full
     // cell scan, which is the linear cost of deciding "not core").
-    val coreFlags = pts
+    //
+    // r19 (guide §2.4 remove shuffles outright): phase 1 used to emit
+    // bare (cell_id, core) rows that were JOINED back onto the point
+    // relation before phase 2 re-replicated them — a cell_id exchange
+    // of both sides plus a second scan of the points, for information
+    // the owner cell already holds. The owner run knows the full point
+    // AND its exact core flag, so it emits phase 2's replicas directly:
+    // one shuffle (grid) feeds phase 1, one shuffle (grid) feeds
+    // phase 2, and the core-flag join disappears. Emission is
+    // byte-identical to the old join+flatMap (same grids(), same owned
+    // marking, same exact flag), so the label math downstream is
+    // untouched.
+    val replC = pts
       .flatMap(p => grids(p.f0, cellW, eps).map(g =>
         FRepl(g, g == math.floor(p.f0 / cellW).toLong, p)))
       .groupByKey(_.grid)
       .flatMapGroups { (_, it) =>
         val all = it.toArray
-        all.iterator.filter(_.owned).map { r =>
+        all.iterator.filter(_.owned).flatMap { r =>
           var n = 0
           var i = 0
           while (i < all.length && n < minSamples) {
             if (d2(r.p, all(i).p) <= eps2) n += 1
             i += 1
           }
-          (r.p.cell_id, n >= minSamples)
+          val core = n >= minSamples
+          val own = math.floor(r.p.f0 / cellW).toLong
+          grids(r.p.f0, cellW, eps).map(g =>
+            FReplC(g, g == own, r.p, core))
         }
-      }.toDF("cell_id", "core")
-
-    // Phase 2: local components over cores; emit owned labels + bridges.
-    val replC = pts.toDF().join(coreFlags, "cell_id")
-      .as[(Long, Double, Double, Double, Boolean)]
-      .flatMap { case (id, f0, f1, f2, core) =>
-        val p = FPoint(id, f0, f1, f2)
-        grids(f0, cellW, eps).map(g =>
-          FReplC(g, g == math.floor(f0 / cellW).toLong, p, core))
       }
     // Per cell: (kind, point_id, comp_key) rows. kind 0 = core membership
     // (bridge source, all cores), kind 1 = owned point's label ref.
@@ -492,18 +498,25 @@ object WallPlanes {
     // (a thrown collect would otherwise leak it for the session life).
     try {
 
-    // Distributed reduction to the tiny merge inputs.
+    // Distributed reduction to the tiny merge inputs. The two
+    // reductions are independent jobs over the same persisted relation —
+    // submitted concurrently (guide §2.6) so the second's tasks back-fill
+    // the first's tail instead of waiting out a full scheduler round trip.
     val coreRows = emitted.filter(col("kind") === 0)
-    val bridgePairs = coreRows
-      .groupBy(col("point_id")).agg(collect_set(col("comp_key")).as("ks"))
-      .filter(size(col("ks")) > 1)
-      .select(explode(expr(
-        "transform(sequence(2, size(ks)), i -> struct(ks[0] as a, ks[i-1] as b))")).as("e"))
-      .select(col("e.a"), col("e.b")).distinct()
-      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bridgeF = scala.concurrent.Future {
+      coreRows
+        .groupBy(col("point_id")).agg(collect_set(col("comp_key")).as("ks"))
+        .filter(size(col("ks")) > 1)
+        .select(explode(expr(
+          "transform(sequence(2, size(ks)), i -> struct(ks[0] as a, ks[i-1] as b))")).as("e"))
+        .select(col("e.a"), col("e.b")).distinct()
+        .collect().map(r => (r.getString(0), r.getString(1)))
+    }(scala.concurrent.ExecutionContext.global)
     val compMins = coreRows
       .groupBy(col("comp_key")).agg(min(col("point_id")).as("min_id"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bridgePairs = scala.concurrent.Await.result(
+      bridgeF, scala.concurrent.duration.Duration.Inf)
 
     // Driver union-find over local components (O(#components)).
     val parent = scala.collection.mutable.Map[String, String]()
