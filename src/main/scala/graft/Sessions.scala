@@ -35,6 +35,22 @@ object Sessions {
       // refuses the file (PARQUET_TYPE_ILLEGAL). Tables.events converts
       // the long back to TimestampType.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r19 (guide §2.2 per-block overhead): below this reducer count
+      // Spark's bypass-merge shuffle writer opens ONE FILE PER REDUCER
+      // per map task (32 reducers × 32 map tasks = 1024 file
+      // creates/commits per tiny exchange) — profiled here at
+      // ~50-170 ms of executor time per map task on KB-sized shuffles,
+      // i.e. the dominant fixed cost of every small exchange in the
+      // sweep. Threshold 1 selects the serialized (Unsafe) writer — one
+      // spill file + index per task regardless of reducer count —
+      // measured 2-4× cheaper per task on the micro and no slower on
+      // MB-sized shuffles. SCALE-NEUTRAL: any shuffle with > 200
+      // reducers (every production-sized exchange) already takes the
+      // serialized path; this only changes the small-reducer-count
+      // regime the local harness lives in. Env override restores the
+      // Spark default for A/B.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE", "1"))
       // Cached blocks that overflow the storage pool hit local disk
       // UNCOMPRESSED by default; the corpus-sized shared caches
       // (tokenArrays, shingleSets, srpsig) overflow by design one decade
