@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.geo.{BBox, BBoxGrouping, Mat3, Orientation, Projection}
@@ -72,11 +71,25 @@ object StreetLevel {
   /** A4: best-scoring detection per (file_name, group_idx). `idxmax`
     * returns the first max in index order (street_level_grouping.py:157),
     * so det_idx is the tiebreaker.
+    *
+    * r19 (guide §2.3/§2.4): spelled as a min_by aggregate over the
+    * ordering-key struct (−score, det_idx) instead of a row_number
+    * window — same row selected (the window's first row under
+    * score DESC, det_idx IS the struct minimum; det_idx is unique per
+    * file so there are no ties), but the aggregate partial-reduces
+    * map-side to one row per group per task and never sorts, where the
+    * window shuffled and double-sorted every detection. The q82/q86 eps
+    * oracles keep the declarative row_number spelling and race this
+    * relation end-to-end every Verify run.
     */
   def bestPerGroup(grouped: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("file_name"), col("group_idx"))
-      .orderBy(col("score").desc, col("det_idx"))
-    grouped.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val others = grouped.columns.filterNot(c => c == "file_name" || c == "group_idx")
+    grouped
+      .groupBy(col("file_name"), col("group_idx"))
+      .agg(min_by(struct(others.map(col): _*),
+        struct((-col("score")).as("ns"), col("det_idx"))).as("best"))
+      .select(col("file_name") +: col("group_idx") +:
+        others.map(c => col(s"best.`$c`").as(c)): _*)
   }
 
   /** Pixel→3D-ray UDF over [[Projection.pointTo3dLine]] (SURVEY §2 U2).
