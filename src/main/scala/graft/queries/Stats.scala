@@ -161,9 +161,17 @@ object Stats {
         ORDER BY l_returnflag, metric"""))( (spark, dir) => {
       val li = lineitem(spark, dir)
       val accuracy = 10000
+      // r19 (guide §1.2: don't scan what you can fold): the sketch pass
+      // and the ndv referee ran as two separate lineitem aggregations —
+      // one groupBy computes all four (same partials, same single-split
+      // scan order, so the sketch estimates are unchanged), and the ndv
+      // rows project out of it. Scans: 3 → 2 (the rank referee below
+      // still needs its own pass against the broadcast estimates).
       val ap = li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.9)),
-          lit(accuracy)).as("ap"), count(lit(1)).as("n"))
+          lit(accuracy)).as("ap"), count(lit(1)).as("n"),
+          approx_count_distinct(col("l_partkey"), 0.05).as("acd"),
+          countDistinct(col("l_partkey")).as("ed"))
       val pq = ap.select(col("l_returnflag"), col("n"),
           posexplode(col("ap")).as(Seq("qi", "av")))
         .withColumn("q", element_at(array(lit(0.5), lit(0.9)), col("qi") + 1))
@@ -177,9 +185,7 @@ object Stats {
           concat(lit("p"), (col("q") * 100).cast("int").cast("string")).as("metric"),
           (col("q") * col("n") >= col("cnt_lt") + 1 - tol
             && col("q") * col("n") <= col("cnt_le") + tol).as("within_bound"))
-      val ndv = li.groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.05).as("acd"),
-          countDistinct(col("l_partkey")).as("ed"))
+      val ndv = ap
         .select(col("l_returnflag"), lit("ndv").as("metric"),
           (abs(col("acd") - col("ed")) <= col("ed") * 0.15).as("within_bound"))
       pcheck.unionByName(ndv).orderBy(col("l_returnflag"), col("metric"))
