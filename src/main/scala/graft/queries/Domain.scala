@@ -210,6 +210,97 @@ object Domain {
       .toDF("file_name", "a_idx", "b_idx", "iou_raw")
   }
 
+  /** Per-outer-row step of the FUSED sweep (r19, guide §1.2 order #1 —
+    * don't compute things twice): q81's pair relation and q88/q89/q94's
+    * partnered-id set enumerated the SAME y-overlapping pairs in two
+    * independent kernel passes (26.5M pair scans each at sf0.1, the two
+    * largest cache builds in the sweep). The pair pass must compute
+    * every surviving pair's IoU anyway, so the partner marking rides it
+    * for free: one IouKernel call per enumerated pair feeds BOTH the
+    * `iou >= threshold` pair emission (bit-identical to
+    * [[sweepRowPairs]]) and the `iou > 0` endpoint marking
+    * (set-identical to [[sweepRowPartnered]] — its mark short-circuit
+    * was monotone, so always computing can only re-mark). Same separate
+    * small-method JIT shape as the other sweep steps.
+    */
+  private def sweepRowBoth(i: Int, p: PanoArrays, fn: String,
+      w: Double, h: Double, threshold: Double, marked: Array[Boolean],
+      out: scala.collection.mutable.ArrayBuffer[(String, Int, Long, Long, Double)]): Long = {
+    import p._
+    val ay2 = y2(i)
+    var pairs = 0L
+    var j = i + 1
+    while (j < n && y1(j) < ay2) {
+      pairs += 1
+      if (!plain(i) || !plain(j) || (x1(i) < x2(j) && x1(j) < x2(i))) {
+        val iou = org.apache.spark.sql.graft.IouKernel.compute(
+          x1(i), y1(i), x2(i), y2(i), x1(j), y1(j), x2(j), y2(j), w, h)
+        if (iou > 0) { marked(i) = true; marked(j) = true }
+        if (iou >= threshold) {
+          if (idx(i) < idx(j)) out += ((fn, 0, idx(i), idx(j), iou))
+          else out += ((fn, 0, idx(j), idx(i), iou))
+        }
+      }
+      j += 1
+    }
+    pairs
+  }
+
+  /** ONE sweep enumeration serving both consumers, persisted per
+    * (session, sfDir): kind 0 rows are q81's pair relation
+    * (a_idx < b_idx, iou_raw ≥ 0.02), kind 1 rows are the partnered-id
+    * set ((file_name, a_idx) with any strictly-positive-IoU partner;
+    * b_idx/iou_raw are -1/0 fillers). Built at q81 (first consumer in
+    * sweep order), released by q88 (isolatedGrouped's build is the last
+    * reader). PairEnumerationPropertySpec pins both projections equal
+    * to the standalone kernels on adversarial boxes; the standalone
+    * kernels remain the spec surface. Accounting: sweep_stats.
+    * pairs_enumerated drops ~2× at every SF from this change — one
+    * enumeration where there were two (same class of artifact shift as
+    * the r15 iouPairs persist, documented then too).
+    */
+  private[queries] def sweepCombined(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"sweepIou:$dir") {
+      sweepCombinedKernel(Synthetic.detectionsCached(spark, dir),
+        StreetLevel.ImageWidth, StreetLevel.ImageHeight, 0.02)
+    }
+
+  /** The uncached fused kernel ([[sweepCombined]] without the corpus
+    * binding) — the spec surface PairEnumerationPropertySpec pins
+    * against the standalone kernels on adversarial boxes.
+    */
+  private[graft] def sweepCombinedKernel(
+      det: org.apache.spark.sql.DataFrame, w: Double, h: Double,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val spark = det.sparkSession
+    import spark.implicits._
+    val seamSpan = w * 0.95
+    val stats = graft.pipeline.SweepStats.forSession(spark)
+    val denseCutoff = graft.pipeline.SweepStats.threshold(spark)
+    panoGroups(det)
+      .flatMapGroups { (fn, it) =>
+        require(kernelWarmed)
+        val p = new PanoArrays(it.toArray, seamSpan)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long, Double)]
+        val marked = new Array[Boolean](p.n)
+        var pairs = 0L
+        var i = 0
+        while (i < p.n) {
+          pairs += sweepRowBoth(i, p, fn, w, h, threshold, marked, out)
+          i += 1
+        }
+        stats.record(fn, p.n, pairs, denseCutoff)
+        i = 0
+        while (i < p.n) {
+          if (marked(i)) out += ((fn, 1, p.idx(i), -1L, 0.0))
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("file_name", "kind", "a_idx", "b_idx", "iou_raw")
+  }
+
   /** The PARTNERED-id variant of [[sweepIouPairs]]: emits each box that
     * has ANY positive-IoU partner in its panorama, exactly once —
     * equivalent to exploding the `iou > 0` pair relation to both
@@ -293,7 +384,9 @@ object Domain {
     // never crosses panoramas.
     QueryDef(
       "q81_iou_pairs",
-      releases = Seq("iouPairs"),
+      // No release here since r19: the fused sweep relation (sweepIou)
+      // is also isolatedGrouped's input — q88, its last reader, releases.
+      releases = Nil,
       oracle = Some(s"""
         WITH det AS (${Synthetic.detectionsSql}),
         inv AS (
@@ -339,11 +432,16 @@ object Domain {
       // note for cross-round readers: sweep_stats.pairs_enumerated drops
       // 3× at every SF for this reason (one kernel execution where there
       // were three), and q81's one-time build lands in cache_build_ms.
-      graft.pipeline.SessionCache.getOrPersist(spark, s"iouPairs:$dir") {
-        sweepIouPairs(Synthetic.detectionsCached(spark, dir), 8000.0, 4000.0, 0.02)
-          .select(col("file_name"), col("a_idx"), col("b_idx"),
-            round(col("iou_raw"), 9).as("iou"))
-      }.orderBy(col("file_name"), col("a_idx"), col("b_idx"))
+      //   round 19 (this form): the persisted relation is the FUSED
+      //     sweep ([[sweepCombined]]): the same enumeration also marks
+      //     q88/q89/q94's partnered-id set, so the second 26.5M-pair
+      //     kernel pass disappears from the sweep (and
+      //     pairs_enumerated drops another ~2×). kind-0 rows ARE the
+      //     old pair relation, bit-for-bit.
+      sweepCombined(spark, dir).filter(col("kind") === 0)
+        .select(col("file_name"), col("a_idx"), col("b_idx"),
+          round(col("iou_raw"), 9).as("iou"))
+        .orderBy(col("file_name"), col("a_idx"), col("b_idx"))
     }),
 
     // ── A5/U6: the order-dependent greedy grouping inside flatMapGroups.

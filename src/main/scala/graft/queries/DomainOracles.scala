@@ -50,7 +50,14 @@ object DomainOracles {
     // code path from the greedy grouping kernel this slice
     // differentially tests: both forms share only IouKernel; the
     // relational oracle (isoCte) keeps the declarative definition.
-    val partnered = Domain.sweepPartneredIds(det, W, 4000.0)
+    // r19: the partnered set projects out of the FUSED sweep relation
+    // (Domain.sweepCombined) — the enumeration already ran for q81's
+    // pair relation, so this costs a cache scan, not a second
+    // 26.5M-pair kernel pass. sweepPartneredIds remains the standalone
+    // spec surface (PairEnumerationPropertySpec pins both forms).
+    val partnered = Domain.sweepCombined(spark, dir)
+      .filter(col("kind") === 1)
+      .select(col("file_name"), col("a_idx").as("det_idx"))
     det.join(partnered, Seq("file_name", "det_idx"), "left_anti")
   }
 
@@ -223,7 +230,10 @@ object DomainOracles {
       Some(s"""
         $isoCte
         SELECT file_name, det_idx, group_idx
-        FROM iso ORDER BY file_name, det_idx"""))( (spark, dir) =>
+        FROM iso ORDER BY file_name, det_idx"""),
+      // Last reader (sweep-sorted) of the fused sweep relation: q81
+      // built it; isolatedGrouped's build here is its final consumer.
+      releases = Seq("sweepIou"))( (spark, dir) =>
       isolatedGrouped(spark, dir)
         .select(col("file_name"), col("det_idx"), col("group_idx"))
         .orderBy(col("file_name"), col("det_idx"))),
