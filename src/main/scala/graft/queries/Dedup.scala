@@ -110,8 +110,14 @@ object Dedup {
     */
   private[queries] def sh5Sets(spark: org.apache.spark.sql.SparkSession, dir: String) =
     graft.pipeline.SessionCache.getOrPersist(spark, s"sh5:$dir") {
-      documents(spark, dir)
-        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      // r20 (guide §1.2 order #1 — don't compute things twice): this
+      // used to re-run the regex tokenizer over documents, though the
+      // token arrays are already a shared cache (TextAnalysis.
+      // tokenArrays) built by the q30-family earlier in every sweep —
+      // and the q99 oracle itself derives its sh5 CTE from the toks CTE.
+      // Shingling from the cached arrays drops the second full tokenize
+      // pass; same TF.tokens bits, so the shingle sets are identical.
+      TextAnalysis.tokenArrays(spark, dir)
         .select(col("doc_id"), TF.shingles(col("toks"), 5).as("sh"))
     }
 
