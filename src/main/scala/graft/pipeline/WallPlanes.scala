@@ -499,24 +499,32 @@ object WallPlanes {
     try {
 
     // Distributed reduction to the tiny merge inputs. The two
-    // reductions are independent jobs over the same persisted relation —
-    // submitted concurrently (guide §2.6) so the second's tasks back-fill
-    // the first's tail instead of waiting out a full scheduler round trip.
+    // reductions are independent aggregates over the same persisted
+    // relation; r19 ran them as two CONCURRENT jobs (guide §2.6), r20
+    // folds them into ONE job via a tagged union (guide §2.4 — the
+    // latency here is scheduler round trips, not compute: both inputs
+    // are O(#components) rows over a cached relation). One action
+    // materializes `emitted` exactly once and returns both relations;
+    // rows are tagged 0 = bridge edge (a, b), 1 = component minimum
+    // (comp_key, min_id as its string form — parsed back below; ids are
+    // longs so the round-trip is exact).
     val coreRows = emitted.filter(col("kind") === 0)
-    val bridgeF = scala.concurrent.Future {
-      coreRows
-        .groupBy(col("point_id")).agg(collect_set(col("comp_key")).as("ks"))
-        .filter(size(col("ks")) > 1)
-        .select(explode(expr(
-          "transform(sequence(2, size(ks)), i -> struct(ks[0] as a, ks[i-1] as b))")).as("e"))
-        .select(col("e.a"), col("e.b")).distinct()
-        .collect().map(r => (r.getString(0), r.getString(1)))
-    }(scala.concurrent.ExecutionContext.global)
-    val compMins = coreRows
+    val bridgeRel = coreRows
+      .groupBy(col("point_id")).agg(collect_set(col("comp_key")).as("ks"))
+      .filter(size(col("ks")) > 1)
+      .select(explode(expr(
+        "transform(sequence(2, size(ks)), i -> struct(ks[0] as a, ks[i-1] as b))")).as("e"))
+      .select(col("e.a"), col("e.b")).distinct()
+      .select(lit(0).as("t"), col("a"), col("b"))
+    val minsRel = coreRows
       .groupBy(col("comp_key")).agg(min(col("point_id")).as("min_id"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val bridgePairs = scala.concurrent.Await.result(
-      bridgeF, scala.concurrent.duration.Duration.Inf)
+      .select(lit(1).as("t"), col("comp_key").as("a"),
+        col("min_id").cast("string").as("b"))
+    val merged = bridgeRel.unionByName(minsRel).collect()
+    val bridgePairs = merged.iterator.filter(_.getInt(0) == 0)
+      .map(r => (r.getString(1), r.getString(2))).toArray
+    val compMins = merged.iterator.filter(_.getInt(0) == 1)
+      .map(r => (r.getString(1), r.getString(2).toLong)).toArray
 
     // Driver union-find over local components (O(#components)).
     val parent = scala.collection.mutable.Map[String, String]()

@@ -534,15 +534,24 @@ object Domain {
       // execute the whole feature derivation once and wallPlanesScaled
       // a second time — persist it so the fallback pays the derivation
       // once, released right after this query (its only consumer).
-      val features = graft.pipeline.WallFeaturesTable.materializedPath(dir) match {
-        case Some(_) => Synthetic.wallFeatures(spark, dir)
-        case None => graft.pipeline.SessionCache.getOrPersist(
-          spark, s"wallFeatLive:$dir")(Synthetic.wallFeatures(spark, dir))
-      }
+      // r20 (guide §1.2): on the table path the tile count derives from
+      // the parquet FOOTERS on the driver — the same number the count()
+      // job aggregated, without one of the ~6 sequential scheduler round
+      // trips this latency-bound query paid. Fallback (unreadable
+      // footers, degraded live path) stays the counting job.
+      val (features, nRows) =
+        graft.pipeline.WallFeaturesTable.materializedPath(dir) match {
+          case Some(p) =>
+            (Synthetic.wallFeatures(spark, dir), graft.Fs.parquetRowCount(p))
+          case None => (graft.pipeline.SessionCache.getOrPersist(
+            spark, s"wallFeatLive:$dir")(Synthetic.wallFeatures(spark, dir)), None)
+        }
       // Adaptive tiling (r11): ~2500 points per grid cell at any SF —
       // resolves to the historical tiles=8 at the gate SFs, scales the
       // tile count (not the per-tile n²) beyond them.
-      WallPlanes.wallPlanesScaled(features, tiles = WallPlanes.autoTiles(features))
+      val tiles = nRows.map(n => WallPlanes.autoTilesFor(n))
+        .getOrElse(WallPlanes.autoTiles(features))
+      WallPlanes.wallPlanesScaled(features, tiles = tiles)
         .select(col("cluster"), col("n"),
           round(col("avg_nx"), 6).as("avg_nx"), round(col("avg_ny"), 6).as("avg_ny"),
           round(col("avg_cx"), 6).as("avg_cx"), round(col("avg_cy"), 6).as("avg_cy"),
