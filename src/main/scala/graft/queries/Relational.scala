@@ -374,8 +374,18 @@ object Relational {
         GROUP BY 1 ORDER BY okey"""))( (spark, dir) => {
       val li = lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      // r20 (guide §3.1, pick the strategy deliberately): at gate SFs the
+      // compressed-size estimate puts the whole relation under the
+      // auto-broadcast threshold, so the planner collected and hashed
+      // 600k rows single-threaded on the driver to broadcast a side that
+      // is NOT small — measured 1.14-1.25 s vs 0.80-0.86 s for the
+      // shuffled strategies (same-JVM ABA, min-of-3). The merge hint is
+      // also the strategy the planner itself picks one decade up (the
+      // estimate exceeds the threshold), so the plan is now uniform
+      // across scales instead of flipping to a driver bottleneck exactly
+      // at bench scale.
       val a = li.alias("a")
-      val b = li.alias("b")
+      val b = li.hint("merge").alias("b")
       a.join(b,
           col("a.l_orderkey") === col("b.l_orderkey")
             && col("a.l_linenumber") < col("b.l_linenumber")
