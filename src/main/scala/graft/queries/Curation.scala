@@ -81,9 +81,9 @@ object Curation {
                ((running - n_tokens) // 4096)::BIGINT AS pack_id
         FROM packed ORDER BY doc_id"""),
       // The pipeline is the true last consumer (sweep-sorted) of the
-      // token arrays, the 5-shingle sets, and the cluster labels — and
-      // of its own survivors cache.
-      releases = Seq("toks", "sh5", "dedupClusters", "curated"))( (spark, dir) => {
+      // token arrays, the 5-shingle sets, the decontamination hit rows,
+      // and the cluster labels — and of its own survivors cache.
+      releases = Seq("toks", "sh5", "contamHits", "dedupClusters", "curated"))( (spark, dir) => {
       val d = documents(spark, dir)
       val nTok = TextAnalysis.tokenArrays(spark, dir)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))

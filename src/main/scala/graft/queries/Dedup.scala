@@ -129,14 +129,21 @@ object Dedup {
     * reduces it to the contaminated id set.
     */
   private[queries] def contamProbe(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val sh5 = sh5Sets(spark, dir)
-    val ev = sh5.filter(EvalSet.isEval(col("doc_id")))
-      .select(explode(col("sh")).as("s")).distinct()
-    sh5.filter(EvalSet.isTrain(col("doc_id")))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(broadcast(ev), "s")
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    // r20 (guide §1.2 order #1): q59 and q99 each re-ran the full
+    // train-side shingle explode + broadcast probe — the heavy part; the
+    // RESULT is only the hit rows (train docs sharing a 5-shingle with
+    // the eval set, a contamination-rate-bounded sliver of the corpus).
+    // Persist the hits once per (session, corpus); released with q99,
+    // the last consumer, like the sh5 cache it derives from.
+    graft.pipeline.SessionCache.getOrPersist(spark, s"contamHits:$dir") {
+      val sh5 = sh5Sets(spark, dir)
+      val ev = sh5.filter(EvalSet.isEval(col("doc_id")))
+        .select(explode(col("sh")).as("s")).distinct()
+      sh5.filter(EvalSet.isTrain(col("doc_id")))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(ev), "s")
+    }
 
   /** Near-dup cluster labels (doc_id, cluster_id) for every pair-member
     * doc, persisted per (session, sfDir) — q55 declares it and the q99
