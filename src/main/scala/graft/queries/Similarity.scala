@@ -184,19 +184,32 @@ object Similarity {
         .routeOf(anchors, annKc(k, anchors.size)))
   }
 
+  /** The corpus's embedding dimension, probed ONCE per (session, corpus)
+    * as a session-lifetime value entry (r20; the srpsig AND srpsigTight
+    * builds each re-ran this 1-row job every sweep — corpus metadata,
+    * like the srpTightDupMass precedent, so no release point). The
+    * signature kernel still throws on any row whose dimension disagrees,
+    * so a wrong cached value cannot silently mis-sign.
+    */
+  private[queries] def embDim(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int =
+    graft.pipeline.SessionCache.getOrBuildValue(spark, s"embDim:$dir")(
+      Integer.valueOf(embeddings(spark, dir)
+        .select(size(col("embedding"))).head().getInt(0))).intValue()
+
   /** SRP signature relation (vec_id, embedding, nrm, sig), persisted once
     * per (session, sfDir): the band explode and both verify-join sides
     * consume it, and Generate would otherwise re-evaluate the 64-plane
     * kernel per consumer. The plane dimension is derived from the data
-    * (one 1-row job), not hard-coded — the kernel throws on any row whose
-    * dimension disagrees.
+    * ([[embDim]], one 1-row job per session), not hard-coded — the
+    * kernel throws on any row whose dimension disagrees.
     */
   private[queries] def srpSignatures(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     graft.pipeline.SessionCache.getOrPersist(spark, s"srpsig:$dir") {
       val e = embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val dim = embDim(spark, dir)
       // Both words of the 128-bit wide family ride the one cached
       // relation: the hi word costs one more native-kernel projection
       // per row at index-build time and unlocks the 16-band recall
@@ -619,7 +632,10 @@ object Similarity {
       val e = tightAugmented(spark, dir)
         .coalesce(spark.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"), VF.norm(col("embedding")).as("nrm"))
-      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      // The replicas are element transforms of base vectors, so the
+      // corpus dimension IS the base dimension ([[embDim]]); the kernel
+      // still throws on any row that disagrees.
+      val dim = embDim(spark, dir)
       e.withColumn("sig", VF.srpSignature(col("embedding"), 64, dim))
         .withColumn("sig2", VF.srpSignatureHi(col("embedding"), 64, dim))
     }
