@@ -83,7 +83,7 @@ object Curation {
       // The pipeline is the true last consumer (sweep-sorted) of the
       // token arrays, the 5-shingle sets, the decontamination hit rows,
       // and the cluster labels — and of its own survivors cache.
-      releases = Seq("toks", "sh5", "contamHits", "dedupClusters", "curated"))( (spark, dir) => {
+      releases = Seq("toks", "sh5", "contamHits", "docDigests", "dedupClusters", "curated"))( (spark, dir) => {
       val d = documents(spark, dir)
       val nTok = TextAnalysis.tokenArrays(spark, dir)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
@@ -96,8 +96,11 @@ object Curation {
       // sort) and the filter becomes a doc_id semi-join that rides the
       // keepers chain's existing doc_id partitioning. Same rule, same
       // rows — q40 already spells exact-dedup this way.
-      val canonKeep = d
-        .groupBy(md5(col("text").cast("binary")).as("dg"))
+      // r20: the digest comes from the shared Dedup.docDigests cache
+      // (one md5 pass per corpus across q40/q57/q99) — same digests,
+      // same min-per-digest survivor rule.
+      val canonKeep = Dedup.docDigests(spark, dir)
+        .groupBy(col("digest").as("dg"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val clust = Dedup.dedupClustersRel(spark, dir)

@@ -145,6 +145,23 @@ object Dedup {
         .join(broadcast(ev), "s")
     }
 
+  /** (doc_id, digest = md5(text)) for every document, persisted once
+    * per (session, corpus) — r20, guide §1.2 order #1: the exact-dedup
+    * fingerprint was re-hashed from the full text column by SIX
+    * independent scans per sweep (q40's re-crawl union ×2, q57's
+    * corpus/batch/bloom-build ×3, the q99 canonical rule ×1), each a
+    * full md5 pass over the fanout cache. One pass; null texts keep
+    * their null digest, and each consumer applies its own null rule
+    * exactly as before (q57 drops them, q40/q99 group by them).
+    * Released with q99, the last consumer in sweep order.
+    */
+  private[queries] def docDigests(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.pipeline.SessionCache.getOrPersist(spark, s"docDigests:$dir") {
+      documents(spark, dir)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+    }
+
   /** Near-dup cluster labels (doc_id, cluster_id) for every pair-member
     * doc, persisted per (session, sfDir) — q55 declares it and the q99
     * pipeline's canonical-member filter consumes it. Released with q99.
@@ -213,10 +230,13 @@ object Dedup {
         )
         SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM crawl GROUP BY 1 ORDER BY keep_id"""))( (spark, dir) => {
-      val d = documents(spark, dir).select(col("doc_id"), col("text"))
-      val crawl = d.unionByName(
-        d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      crawl.groupBy(md5(col("text").cast("binary")).as("fp"))
+      // r20: both union branches read the shared [[docDigests]] cache —
+      // one md5 pass per corpus instead of one per branch. Same digests
+      // (md5 is deterministic), same null grouping, same aggregate.
+      val dg = docDigests(spark, dir)
+      val crawl = dg.unionByName(
+        dg.select((col("doc_id") + 100000).as("doc_id"), col("digest")))
+      crawl.groupBy(col("digest").as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .orderBy(col("keep_id"))
     }),
@@ -401,23 +421,26 @@ object Dedup {
         WHERE b.digest NOT IN (SELECT digest FROM corpus)
         ORDER BY b.doc_id"""),
       releases = Seq("corpusBloom"))( (spark, dir) => {
-      val d = documents(spark, dir)
-      // Null digests (null text) have no dedup identity: dropped
-      // explicitly here exactly as the oracle's IS NOT NULL predicates
-      // drop them — without the shared rule, left_anti KEEPS null keys
-      // while NOT IN's three-valued logic drops them (or empties the
-      // result entirely on a corpus-side null).
-      val corpus = d.filter(col("doc_id") % 5 =!= 0)
-        .select(md5(col("text").cast("binary")).as("digest"))
+      // r20: the three md5 scans (corpus, both batch branches) plus the
+      // bloom build's fourth pass all read the shared [[docDigests]]
+      // cache — one md5 pass per corpus. Null digests (null text) have
+      // no dedup identity: dropped explicitly here exactly as the
+      // oracle's IS NOT NULL predicates drop them — without the shared
+      // rule, left_anti KEEPS null keys while NOT IN's three-valued
+      // logic drops them (or empties the result entirely on a
+      // corpus-side null).
+      val dg = docDigests(spark, dir)
+      val corpus = dg.filter(col("doc_id") % 5 =!= 0)
+        .select(col("digest"))
         .filter(col("digest").isNotNull)
-      val batch = d.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
-        .unionByName(d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            md5(col("text").cast("binary")).as("digest")))
+      val batch = dg.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("digest"))
+        .unionByName(dg.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 200000).as("doc_id"), col("digest")))
         .filter(col("digest").isNotNull)
-      // count() scans no data columns (parquet metadata + the doc_id
-      // predicate); the bloom build is one treeAggregate over digests.
+      // count() is a cached-relation count (was parquet metadata + the
+      // doc_id predicate); the bloom build is one treeAggregate over
+      // the cached digests.
       // Cached per corpus identity (SessionCache value entry, VERDICT
       // r12 #1): the 100 TB shape is ONE persisted bloom per corpus
       // version that every incremental batch probes — rebuilding a
