@@ -44,6 +44,18 @@ object DedupFunctions {
     * hashes (longs in [0, 1e9+7)).
     */
   def minhashSignature(shingleHashes: Column): Column =
+    // r20: one-pass native kernel (org.apache.spark.sql.graft.
+    // MinhashSignature) — the declarative form below walks the array K
+    // times and allocates K transformed copies per row. Value equality
+    // is pinned by TextDedupSpec (live corpus + adversarial literals);
+    // the DuckDB oracle keeps the declarative spelling (DedupSql), so
+    // the whole pipeline still races cross-engine.
+    org.apache.spark.sql.graft.MinhashSignature.column(shingleHashes)
+
+  /** The declarative spelling of [[minhashSignature]] — the spec surface
+    * TextDedupSpec pins the native kernel against; not on any hot path.
+    */
+  private[graft] def minhashSignatureDeclarative(shingleHashes: Column): Column =
     array((0 until K).map { i =>
       array_min(transform(shingleHashes,
         s => pmod(s * A(i) + B(i), lit(P))))

@@ -116,6 +116,37 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sig(1L).length == DedupFunctions.K)
   }
 
+  test("MinHash: native one-pass kernel ≡ declarative K-transform spelling") {
+    val s = spark; import s.implicits._
+    // Live-corpus sample (real shingle hashes through the production
+    // path) plus adversarial literals: empty array (K-null signature),
+    // null elements (skipped like array_min), negative and huge longs
+    // (wrap-on-multiply + sign-corrected pmod), single element.
+    val corpus = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"),
+        TextFunctions.shingleHashes(
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("hs"))
+    val adversarial = Seq(
+      (9001L, Seq.empty[java.lang.Long]),
+      (9002L, Seq[java.lang.Long](0L)),
+      (9003L, Seq[java.lang.Long](null, 12345L, null)),
+      (9004L, Seq[java.lang.Long](null, null)),
+      // Values stay where s*A(i)+B(i) cannot overflow a long (|s| <
+      // 2^32): the declarative form runs under ANSI (Spark 4 default)
+      // and THROWS on overflow, while real shingle hashes live in
+      // [0, 1e9+7) where overflow is impossible — the kernel's domain.
+      (9005L, Seq[java.lang.Long](-1L, 4000000000L, -4000000000L)),
+      (9006L, Seq[java.lang.Long](DedupFunctions.P - 1, DedupFunctions.P, 1000000007L))
+    ).toDF("id", "hs")
+    for (df <- Seq(corpus, adversarial)) {
+      val diffs = df.select(col("id"),
+          DedupFunctions.minhashSignature(col("hs")).as("fast"),
+          DedupFunctions.minhashSignatureDeclarative(col("hs")).as("slow"))
+        .filter(not(col("fast") <=> col("slow")))
+      assert(diffs.count() == 0, s"native vs declarative mismatch: ${diffs.take(3).toSeq}")
+    }
+  }
+
   test("SimHash: identical texts collide; hamming is symmetric and bounded") {
     val s = spark; import s.implicits._
     val df = Seq(
