@@ -220,13 +220,22 @@ object WallPlanes {
       // the persist's lifecycle closes before returning.
       val scaledDf = scaled.toDF().persist()
       var clusters: DataFrame = null
+      var finish: () => Unit = null
       // try/finally: a failed action (executor loss, kernel OOM) must
       // not leave this branch's caches persisted for the session life —
-      // the no-storage-outlives-the-call contract covers failure too.
+      // the no-storage-outlives-the-call contract covers failure too
+      // (tiledClustersLazy's own catch releases its intermediate on a
+      // throw inside it; `finish` covers the paths after it returns).
       try {
-        clusters = tiledClusters(
+        // r20 (guide §2.6 — the chain is scheduler round trips): the
+        // lazy variant skips the kernel's dedicated label-materializing
+        // count() job; the collect below is the action that fills the
+        // label cache, and `finish` releases the kernel intermediate
+        // only after it (unpersist-first would recompute — q55 lesson).
+        val cf = tiledClustersLazy(
           scaledDf.select(col("cell_id"), col("f0"), col("f1"), col("f2")),
           eps, minSamples, tiles)
+        clusters = cf._1; finish = cf._2
         val labeled = scaledDf
           .select(col("cell_id"), col("nx"), col("ny"), col("nz"),
             col("cx"), col("cy"), col("cz"))
@@ -241,6 +250,7 @@ object WallPlanes {
         spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), agg.schema)
       } finally {
+        if (finish != null) finish()
         if (clusters != null) clusters.unpersist(blocking = false)
         scaledDf.unpersist(blocking = false)
       }
@@ -308,6 +318,28 @@ object WallPlanes {
     *         caller owns the final `unpersist()`.
     */
   def tiledClusters(points: DataFrame, eps: Double, minSamples: Int, tiles: Int): DataFrame = {
+    // Public contract (the spec surface): labels come back materialized
+    // with every intermediate cache already released. The split below
+    // (r20, guide §2.6 — the chain is scheduler round trips, not
+    // compute) lets wallPlanesScaled ride ITS aggregate action as the
+    // materializing action instead of paying a dedicated count() job.
+    val (out, finish) = tiledClustersLazy(points, eps, minSamples, tiles)
+    try { out.count() }
+    catch { case t: Throwable => out.unpersist(blocking = false); throw t }
+    finally finish()
+    out
+  }
+
+  /** [[tiledClusters]] minus the materializing action: returns the
+    * PERSISTED label relation plus a `finish` that releases the kernel's
+    * intermediate cache. The caller MUST run one full action over the
+    * labels and then call `finish()` — unpersisting the intermediate
+    * first would force the whole two-phase kernel chain to recompute on
+    * the next action (the q55 lesson).
+    */
+  private[pipeline] def tiledClustersLazy(
+      points: DataFrame, eps: Double, minSamples: Int,
+      tiles: Int): (DataFrame, () => Unit) = {
     val spark = points.sparkSession
     import spark.implicits._
     val eps2 = eps * eps
@@ -494,9 +526,11 @@ object WallPlanes {
       }
       coreRows ++ ownedRows
     }.toDF("kind", "point_id", "comp_key").persist()
-    // try/finally below: emitted must unpersist on failure paths too
-    // (a thrown collect would otherwise leak it for the session life).
-    try {
+    // try/catch below: emitted must unpersist on failure paths too (a
+    // thrown collect would otherwise leak it for the session life); on
+    // success its release is the returned `finish`, fired by the caller
+    // AFTER the labels materialize.
+    val out = try {
 
     // Distributed reduction to the tiny merge inputs. The two
     // reductions are independent aggregates over the same persisted
@@ -548,19 +582,15 @@ object WallPlanes {
     val compToGlobal = compMins.map { case (k, _) => k -> rootId(find(k)) }.toSeq
 
     val mapDf = spark.createDataFrame(compToGlobal).toDF("comp_key", "cluster")
-    val out = emitted.filter(col("kind") === 1)
+    emitted.filter(col("kind") === 1)
       .join(broadcast(mapDf), Seq("comp_key"), "left")
       .select(col("point_id").as("cell_id"),
         coalesce(col("cluster"), lit(-1L)).as("cluster"))
       .persist()
-    // Materialize the labels FROM emitted's cache before dropping it —
-    // unpersist-first would force the whole two-phase kernel chain to
-    // recompute on the caller's first action (the q55 lesson). After
-    // this, the only live storage is the returned relation.
-    try { out.count() }
-    catch { case t: Throwable => out.unpersist(blocking = false); throw t }
-    out
 
-    } finally emitted.unpersist(blocking = false)
+    } catch { case t: Throwable =>
+      emitted.unpersist(blocking = false); throw t
+    }
+    (out, () => emitted.unpersist(blocking = false))
   }
 }
