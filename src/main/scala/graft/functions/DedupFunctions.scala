@@ -106,11 +106,21 @@ object DedupFunctions {
     inter / (size(aSorted) + size(bSorted) - inter)
   }
 
-  /** 48-bit SimHash over shingle hashes (deterministic integer math, a
-    * per-document kernel — UDF by design; candidate for a codegen
-    * Expression later).
+  /** 48-bit SimHash over shingle hashes — r20: the codegen Expression
+    * (org.apache.spark.sql.graft.Simhash48), replacing the boxed
+    * Seq[Long] UDF below. Same integer math, same null edges (null
+    * input → 0L, null element votes as 0); TextDedupSpec pins native ≡
+    * UDF on the live corpus plus adversarial literals. The DuckDB
+    * oracle keeps its own declarative spelling (DedupSql), so q43
+    * still races cross-engine.
     */
-  val simhash48 = udf { (hs: Seq[Long]) =>
+  def simhash48(hs: Column): Column =
+    org.apache.spark.sql.graft.Simhash48.column(hs)
+
+  /** The UDF spelling of [[simhash48]] — the spec surface TextDedupSpec
+    * pins the native kernel against; not on any hot path.
+    */
+  private[graft] val simhash48Udf = udf { (hs: Seq[Long]) =>
     if (hs == null || hs.isEmpty) 0L
     else {
       val counts = new Array[Int](SimBits)

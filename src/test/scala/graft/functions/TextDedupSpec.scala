@@ -147,6 +147,34 @@ class TextDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SimHash: native codegen kernel ≡ the UDF spelling") {
+    val s = spark; import s.implicits._
+    val corpus = graft.sources.Tables.documents(s, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"),
+        TextFunctions.shingleHashes(
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("hs"))
+    // The UDF's domain is arrays of NON-NULL elements (the Seq[Long]
+    // encoder asserts null elements away with NOT_NULL_ASSERT_VIOLATION)
+    // plus the null/empty-array edge its guard maps to 0L — the pin
+    // covers exactly that domain; the kernel's vote-as-0 for a null
+    // element is defensive, unreachable from any production input.
+    val adversarial = Seq(
+      (9001L, Seq.empty[Long]),
+      (9002L, Seq[Long](0L)),
+      (9005L, Seq[Long](-1L, Long.MaxValue, Long.MinValue)),
+      (9006L, Seq[Long](999999999L, 1L, 2L, 3L))
+    ).toDF("id", "hs")
+      .unionByName(Seq(9007L).toDF("id")
+        .select(col("id"), lit(null).cast("array<bigint>").as("hs")))
+    for (df <- Seq(corpus, adversarial)) {
+      val diffs = df.select(col("id"),
+          DedupFunctions.simhash48(col("hs")).as("fast"),
+          DedupFunctions.simhash48Udf(col("hs")).as("slow"))
+        .filter(not(col("fast") <=> col("slow")))
+      assert(diffs.count() == 0, s"native vs UDF mismatch: ${diffs.take(3).toSeq}")
+    }
+  }
+
   test("SimHash: identical texts collide; hamming is symmetric and bounded") {
     val s = spark; import s.implicits._
     val df = Seq(
