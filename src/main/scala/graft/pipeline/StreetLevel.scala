@@ -175,12 +175,29 @@ object StreetLevel {
       // window is skipped; group shapes with real contention (q82) keep it.
       inputIsBestPerGroup: Boolean = false): DataFrame = {
     val best = if (inputIsBestPerGroup) grouped else bestPerGroup(grouped)
+    // r20 (guide §1.2 order #1 — don't compute things twice): the
+    // CLOSING ring vertex (v_idx 4) is the SAME point as v_idx 0, so
+    // running it through the trig chain re-computed a third of every
+    // surviving ray (spacing 2 keeps {0, 2, 4}: two distinct points,
+    // three trig evaluations). The ring now carries the four DISTINCT
+    // vertices; rays are computed once per distinct surviving vertex in
+    // the projection UNDER the final Generate, and the closing row is
+    // emitted by duplicating the v_idx-0 row's COMPUTED values with
+    // v_idx = 4 — bit-identical by construction (same doubles, copied).
+    // Emission matches the old filter exactly: v_idx 4 appears iff
+    // 4 % spacing == 0, v_idx i < 4 iff i % spacing == 0. Row ORDER
+    // within a partition changes (…0,4,2… vs …0,2,4…); every consumer
+    // sorts or aggregates (q82/q89/q95 declare ORDER BY; q86/q94
+    // aggregate; the specs join on keys), so output is unchanged.
     val ring = array(
-      struct(col("x1").as("x"), col("y1").as("y")),
-      struct(col("x2").as("x"), col("y1").as("y")),
-      struct(col("x2").as("x"), col("y2").as("y")),
-      struct(col("x1").as("x"), col("y2").as("y")),
-      struct(col("x1").as("x"), col("y1").as("y")))
+      struct(lit(0).as("i"), col("x1").as("x"), col("y1").as("y")),
+      struct(lit(1).as("i"), col("x2").as("x"), col("y1").as("y")),
+      struct(lit(2).as("i"), col("x2").as("x"), col("y2").as("y")),
+      struct(lit(3).as("i"), col("x1").as("x"), col("y2").as("y")))
+    val vIdxOut =
+      if (4 % spacing == 0)
+        when(col("i") === 0, array(lit(0), lit(4))).otherwise(array(col("i")))
+      else array(col("i"))
     // r19: the pose's rotation matrix rides the BROADCAST side, computed
     // once per pose row (rotMatUdf); the per-vertex remainder is codegen
     // column math (rayColumns) — bit-identical to the old per-vertex
@@ -192,14 +209,19 @@ object StreetLevel {
     best
       .join(broadcast(posesR), "file_name")
       .select(col("file_name"), col("group_idx"), col("score"), col("rm"),
-        col("ox"), col("oy"), col("oz"),
-        posexplode(ring).as(Seq("v_idx", "v")))
-      .filter(col("v_idx") % spacing === 0)
-      .select(col("file_name"), col("group_idx"), col("score"), col("v_idx"),
+        col("ox"), col("oy"), col("oz"), explode(ring).as("v"))
+      .filter(col("v.i") % spacing === 0)
+      // Rays materialize HERE, once per distinct surviving vertex; the
+      // select below only duplicates computed attributes.
+      .select(col("file_name"), col("group_idx"), col("score"),
+        col("v.i").as("i"),
         rx.as("rx"), ry.as("ry"), rz.as("rz"),
         // Carry the camera origin: the ray–mesh consumer needs (origin,
         // endpoint) pairs, and re-deriving the origin would mean joining
         // the pose table a second time downstream.
         col("ox"), col("oy"), col("oz"))
+      .select(col("file_name"), col("group_idx"), col("score"),
+        explode(vIdxOut).as("v_idx"),
+        col("rx"), col("ry"), col("rz"), col("ox"), col("oy"), col("oz"))
   }
 }
